@@ -1,0 +1,68 @@
+"""Benchmark harness: run every registered query at the bench scale
+factor and print ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is fully materialized via a count-ish action
+(``df.write.format("noop")``) so the measured time includes the whole
+plan execution, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_wordcount_spark import registry
+from hadoop_wordcount_spark.session import get_spark
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="hwcs-bench")
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+
+    # Warm the JVM/codegen once so query timings measure the engine,
+    # not first-call classloading.
+    registry.QUERIES["word_count"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    t_total = time.perf_counter()
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record, keep benching the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    total = round(time.perf_counter() - t_total, 3)
+
+    out = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Absent from the reference (no joins/distinct anywhere in its 791
+lines — SURVEY.md §2.3); mandated by the north star. Ladder:
+
+- exact: hash-groupBy on a 16-byte fingerprint (md5 of normalized
+  text) — shuffles keys, not bodies.
+- anti-join: dedup against a reference corpus (LEFT ANTI).
+- n-gram Jaccard: exact near-dup scoring over blocked candidate pairs.
+- MinHash+LSH: shingle → minhash signature → banded bucket join —
+  the sub-quadratic scale path (pyspark.ml MinHashLSH).
+- SimHash: 32-bit per-doc sketch via per-bit majority vote.
+
+100 TB notes: exact/fingerprint dedup is one shuffle on a short key.
+MinHash-LSH cost is O(docs x bands) with bucket-join fan-out
+controlled by band width; never all-pairs. The exact Jaccard op
+blocks candidates (same lang + length bucket) — at scale you'd feed
+it LSH bucket output instead; the scoring math is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.operators.text_analysis import NORM_TEXT_SQL, norm_text
+from hadoop_wordcount_spark.operators.wordcount import tokens_col
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+        SELECT fingerprint,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM (SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint FROM documents)
+        GROUP BY fingerprint
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-text fingerprint, keep the
+    lowest doc_id (deterministic winner), count copies. One shuffle
+    on the 16-byte key; document bodies never move."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_anti_join",
+    oracle=f"""
+        WITH fp AS (SELECT doc_id, source, md5({NORM_TEXT_SQL}) AS fingerprint
+                    FROM documents)
+        SELECT doc_id FROM fp
+        WHERE source <> 'src0'
+          AND NOT EXISTS (SELECT 1 FROM fp r
+                          WHERE r.source = 'src0'
+                            AND r.fingerprint = fp.fingerprint)
+    """,
+)
+def q_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup against a reference corpus: drop any incoming doc whose
+    fingerprint already exists in the 'src0' corpus (LEFT ANTI join).
+    The reference fingerprint set is small → broadcast; the incoming
+    100 TB side never shuffles."""
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id", "source", F.md5(norm_text(F.col("text"))).alias("fingerprint")
+    )
+    reference = fp.filter(F.col("source") == "src0").select("fingerprint")
+    incoming = fp.filter(F.col("source") != "src0")
+    return incoming.join(
+        F.broadcast(reference), on="fingerprint", how="left_anti"
+    ).select("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH shing AS (
+            SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+                   list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS toks
+            FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                     greatest(len(list_distinct(a.toks || b.toks)), 1), 4) AS jaccard
+        FROM shing a JOIN shing b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+              greatest(len(list_distinct(a.toks || b.toks)), 1) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs >= 0.8, blocked by
+    (lang, length-bucket) so the pair space is per-block quadratic,
+    never global. At 100 TB, swap the blocking key for LSH bucket ids
+    (dedup_minhash) — the scoring stage is unchanged."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    s = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        toks.alias("toks"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union_ = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter / F.greatest(union_, F.lit(1))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash")  # approximate (LSH) — rows-only driver check
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (Jaccard distance <= 0.5).
+
+    shingle(3-token) → HashingTF (2^18 dims, fixed) → MinHashLSH
+    (8 hash tables, seed=42) → approxSimilarityJoin. Sub-quadratic:
+    only signature-bucket collisions are scored. Deterministic under
+    the fixed seed, but not ANSI-SQL-expressible → rows-only check;
+    pytest cross-validates candidates against exact Jaccard.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(norm_text(F.col("text")))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    base = d.select("doc_id", shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+    )
+
+
+@query("dedup_simhash")  # bit-twiddling sketch — rows-only driver check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) per document: per-bit majority vote over token
+    hashes. Token hash = first 8 hex digits of md5 (stable across
+    engines/releases, unlike murmur variants). Emitted as the sketch
+    value plus a 16-bit band key usable for banded near-dup joins.
+
+    Pure built-in expressions: explode → conv(hex) → bitwise ops →
+    32 conditional sums → bit reassembly. One shuffle (groupBy doc).
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(norm_text(F.col("text"))))).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return voted.select(
+        "doc_id",
+        simhash.cast("long").alias("simhash"),
+        (simhash.cast("long") % (1 << 16)).alias("band_lo"),
+    )

@@ -1,0 +1,146 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star surface: image/audio/video travel as ``binary`` columns
+with metadata; decode / feature-extract run as Arrow-batched Pandas
+UDFs over ``mapInPandas``. The container has no image/audio codecs,
+so the decode kernel is a clearly-marked deterministic stub — the
+Spark-side plumbing (schema, batching, partition flow) is real and
+is what matters at 100 TB: payloads never pass through Python row
+at a time, only as Arrow record batches.
+
+The testdata has no binary table, so payloads are derived from
+``documents.text`` (utf-8 encode) — a stand-in with the same plan
+shape as a real blob column read from parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload. STUB: no codec libraries in this
+    environment — a real deployment plugs Pillow/libvips here."""
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this container"
+    )
+
+
+def fake_image_meta(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for decode_image metadata extraction:
+    (width, height, format) derived from payload bytes only, so the
+    pipeline is testable and oracle-checkable without codecs."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, "png" if n % 2 == 0 else "jpeg")
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata (the canonical
+    multimodal row layout: id, payload binary, media_type, byte_len)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("byte_len"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS payload_sha256
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata scan: byte length + content hash —
+    JVM-side only; payload bytes never reach Python."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("byte_len"),
+        F.lower(F.sha2(payload, 256)).alias("payload_sha256"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+               CASE WHEN octet_length(encode(text)) % 2 = 0
+                    THEN 'png' ELSE 'jpeg' END AS fmt
+        FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract stage: mapInPandas over Arrow
+    batches of (doc_id, payload). The kernel is the deterministic
+    stub (fake_image_meta) standing in for a real codec; everything
+    around it — Arrow batch shape, output schema, partition-parallel
+    execution — is the production plumbing."""
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(fake_image_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta.map(lambda m: m[0]).astype("int64"),
+                    "height": meta.map(lambda m: m[1]).astype("int64"),
+                    "fmt": meta.map(lambda m: m[2]),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode_batches, schema="doc_id long, width long, height long, fmt string"
+    )
+
+
+@query(
+    "frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   unnest(range(0, least(octet_length(encode(text)) // 64, 8)))
+                       AS frame_no
+            FROM documents)
+        SELECT doc_id, frame_no,
+               CAST(frame_no * 64 AS BIGINT) AS frame_offset
+        FROM f
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: explode each payload
+    into up to 8 evenly-spaced frame offsets (64-byte 'frames' on the
+    stand-in payload). The real pipeline swaps the offset arithmetic
+    for container parsing; the explode + per-frame-row plan shape is
+    identical and shuffle-free."""
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = F.least(F.floor(F.col("byte_len") / 64), F.lit(8)).cast("int")
+    return (
+        payloads.filter(n_frames > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            (F.col("frame_no") * 64).cast("long").alias("frame_offset"),
+        )
+    )

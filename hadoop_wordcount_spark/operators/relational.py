@@ -1,0 +1,475 @@
+"""Relational extension surface: joins, aggregations, windows, scalars.
+
+The reference contains none of these (SURVEY.md §2.3 — joins,
+window functions, set ops and scalar functions are all **absent**
+from its 791 lines); they are mandated by the build's north star and
+implemented as pure Catalyst-optimizable DataFrame plans.
+
+Determinism/oracle notes:
+- Every double aggregate is ROUND()ed identically in Spark and the
+  DuckDB oracle so order-insensitive value hashing is stable.
+- Window orderings always include a unique tiebreak column.
+
+100 TB notes per operator are on each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_multi",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                  AS sum_qty,
+               round(sum(l_extendedprice), 2)                             AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+               round(avg(l_quantity), 4)                                  AS avg_qty,
+               round(avg(l_discount), 4)                                  AS avg_disc,
+               count(*)                                                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate scan.
+
+    One pass over lineitem; Catalyst plans partial+final HashAggregate
+    (map-side combine) around a single shuffle keyed on the two group
+    columns. The shipdate filter and 6-column projection push down to
+    the parquet scan. At 100 TB this is scan-bound — exactly what you
+    want; group cardinality is tiny (|returnflag|x|linestatus|).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "orders_by_month",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mon,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders GROUP BY 1, 2
+    """,
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension rollup; year/month are tz-independent on the
+    naive parquet timestamps so Spark and DuckDB agree exactly."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+        SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over documents: (lang, source), (lang), ().
+
+    Spark evaluates grouping sets in one Expand+HashAggregate pass —
+    a single shuffle regardless of how many sets, which is the right
+    plan at scale (vs N separate groupBys unioned)."""
+    return _t(spark, sf_dir, "documents").rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem status dims (all 4 grouping sets)."""
+    return _t(spark, sf_dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns. Explicit pivot values ('O','F')
+    avoid the extra distinct-values job Spark otherwise runs first —
+    at 100 TB that pre-pass is a full extra scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_orders_customer",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim equi-join. customer is broadcast (dim tables stay
+    small relative to facts even at 100 TB), so the join is
+    shuffle-free; the only shuffle is the final tiny groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_multi",
+    oracle="""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join customer→nation→region; both dims broadcast so
+    the whole join tree is one shuffle-free stage + final agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "broadcast_join_parts",
+    oracle="""
+        SELECT p_brand, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+)
+def q_broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biggest fact (lineitem) joined to part with an explicit
+    broadcast hint — no shuffle of the 100 TB side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS. Emits each left row at most once —
+    no fact-side duplication, and the probe side short-circuits."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        F.broadcast(o), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS — the dedup-against-reference-corpus
+    primitive reused by dedup_anti_join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "range_join_lineitem",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderpriority
+    """,
+)
+def q_range_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (ship lag > 60 days). The range
+    condition rides the equi-join as a post-filter, so this stays a
+    hash join, never a cartesian range join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_orders",
+    oracle="""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+    """,
+)
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the standard
+    top-k-per-group. One shuffle on the partition key; at scale,
+    Spark's WindowGroupLimit pushes the k-limit below the sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "running_event_value",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+               AS running_value
+        FROM events
+    """,
+)
+def q_running_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running sum per user over event time. Frame order is
+    (ts, event_id) — unique, so both engines accumulate in the same
+    sequence and the IEEE sums agree bit-for-bit before rounding."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+    )
+
+
+@query(
+    "lag_event_gap",
+    oracle="""
+        WITH t AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events)
+        SELECT event_id, user_id,
+               CAST(COALESCE(
+                   (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+                       // 1000000, -1) AS BIGINT) AS gap_seconds
+        FROM t
+    """,
+)
+def q_lag_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per user in whole seconds (first event → -1).
+
+    Both engines floor-divide the exact microsecond epoch, so the
+    integral result is tz-free and bit-identical; this is also the
+    building block of batch sessionization (gap > threshold ⇒ new
+    session)."""
+    e = _t(spark, sf_dir, "events").withColumn("us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = F.col("us") - F.lag("us").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.floor(gap_us / 1000000).cast("long"), F.lit(-1).cast("long")
+        ).alias("gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: strings, dates, JSON, math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_props_json",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+)
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + aggregate. At scale,
+    prefer parsing JSON once into a struct column (from_json) over
+    repeated path extraction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "scalar_functions_mix",
+    oracle="""
+        SELECT o_orderkey,
+               upper(o_orderstatus)                       AS status_u,
+               CAST(year(o_orderdate) AS BIGINT)          AS yr,
+               round(sqrt(o_totalprice), 4)               AS sqrt_total,
+               round(ln(o_totalprice + 1), 4)             AS ln_total,
+               length(o_orderpriority)                    AS prio_len,
+               substr(o_orderpriority, 1, 1)              AS prio_code
+        FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_scalar_functions_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar coverage in one projection — all
+    JVM-side whole-stage-codegen expressions, zero Python."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_total"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("ln_total"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+    )
+
+
+@query(
+    "asof_last_error",
+    oracle="""
+        SELECT event_id, user_id,
+               last_value(err_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+               AS has_prior_error
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'error' THEN ts END AS err_ts
+              FROM events)
+    """,
+)
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as last_value(ignoreNulls) — Spark has no
+    native as-of join (cf. pd.merge_asof); the carry-forward window
+    is the shuffle-minimal way to attach 'latest error at or before
+    this event' per user. Exposed as a boolean for oracle stability."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(err_ts, ignorenulls=True).over(w).isNotNull().alias("has_prior_error"),
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns.
+
+Absent from the reference; mandated by the north star. Two tiers:
+
+- brute-force cosine top-k: exact baseline, one scan, k-heap
+  (TakeOrderedAndProject) — O(n·d) per query, no shuffle of vectors.
+- LSH-bucketed ANN (BucketedRandomProjectionLSH): the scale path —
+  candidate generation via random-hyperplane buckets, then exact
+  re-scoring of candidates only.
+
+At 100 TB an IVF layout is the production variant: k-means coarse
+centroids as a partitioning column so each query probes a few
+partitions (partition pruning on the centroid id); the bucketed-LSH
+op here has the same plan shape (bucket equi-join + rescore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.functions.vectors import cosine, l2_norm
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec, k: int = TOP_K, exclude_id: int | None = None
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector ships as a literal in the plan (the broadcast
+    degenerate case); each partition keeps a k-heap so only k rows
+    per partition reach the driver."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        "vec_id", F.round(cosine(F.col("embedding"), qcol), 4).alias("cos_sim")
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+@query(
+    "sim_search_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT vec_id,
+                   round(list_dot_product(embedding, (SELECT qv FROM q)) /
+                         (sqrt(list_dot_product(embedding, embedding)) *
+                          sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 4)
+                       AS cos_sim
+            FROM embeddings WHERE vec_id <> {QUERY_VEC_ID})
+        SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for the vec_id=0 query vector."""
+    emb = _emb(spark, sf_dir)
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()[0]
+    )
+    return brute_force_topk(emb, qv, TOP_K, exclude_id=QUERY_VEC_ID)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean L2 norm — array-aggregate smoke over the
+    embedding column (the 'is my vector column sane' health check)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", l2_norm(F.col("embedding")).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+@query("sim_search_lsh")  # approximate (LSH) — rows-only driver check
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via BucketedRandomProjectionLSH (seed=42): approx top-k
+    neighbors of the vec_id=0 vector. Candidate set comes from
+    hyperplane buckets, then exact euclidean re-scoring — the
+    sub-linear scale path. pytest checks recall vs brute force."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(emb)
+    key = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()["features"]
+    nn = model.approxNearestNeighbors(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), key, TOP_K, distCol="dist"
+    )
+    return nn.select("vec_id", F.round("dist", 4).alias("euclid_dist"))
+
+
+@query(
+    "knn_block_join",
+    oracle="""
+        WITH probes AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+        scored AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS cand_id,
+                   round(list_dot_product(p.embedding, e.embedding) /
+                         (sqrt(list_dot_product(p.embedding, p.embedding)) *
+                          sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round(list_dot_product(p.embedding, e.embedding) /
+                                (sqrt(list_dot_product(p.embedding, p.embedding)) *
+                                 sqrt(list_dot_product(e.embedding, e.embedding))), 4) DESC,
+                                e.vec_id) AS rn
+            FROM probes p JOIN embeddings e
+              ON p.label = e.label AND p.vec_id <> e.vec_id)
+        SELECT probe_id, cand_id, cos_sim FROM scored WHERE rn <= 5
+    """,
+)
+def q_knn_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN join: 20 probe vectors x same-label candidates,
+    top-5 each by cosine. The label acts as the IVF-style coarse
+    partition — the join is an equi-join on the block key followed by
+    a per-probe window top-k, never a cartesian product."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        F.col("label").alias("probe_label"),
+    )
+    from pyspark.sql import Window
+
+    sim = cosine(F.col("probe_emb"), F.col("embedding"))
+    joined = (
+        F.broadcast(probes)
+        .join(
+            emb,
+            (F.col("probe_label") == F.col("label"))
+            & (F.col("probe_id") != F.col("vec_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+    )
+    # Rank on the ROUNDED similarity (with unique tiebreak) so the
+    # selected top-5 set is identical across engines even when raw
+    # doubles differ in the last ulp.
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "cand_id", "cos_sim")
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Absent from the reference (its only string op is ``Text.toString()``,
+``MapClass.java:21``); mandated by the north star: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot-path expressions are built-in Catalyst functions (array
+lambdas, regexes, hashes) — no Python UDFs — so they whole-stage
+codegen and scale linearly with the scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.operators.wordcount import tokens_col
+from hadoop_wordcount_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Deliberately minimal and deterministic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# Kept to character classes shared verbatim by Java regex and DuckDB (RE2).
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_SW_LIST_SQL = "', '".join(EN_STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def norm_text(text: Column) -> Column:
+    """Normalization used by fingerprinting/dedup: lowercase and
+    collapse whitespace runs — the canonical near-dup preprocessing."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# SQL twin of norm_text (DuckDB needs the 'g' flag for global replace).
+NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+                   AS n_distinct_tokens,
+               round(length(replace(text, ' ', '')) * 1.0
+                     / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 4)
+                   AS avg_token_len
+        FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: char count, token count, distinct tokens,
+    mean token length — single projection, no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.greatest(n_tokens, F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('{_SW_LIST_SQL}'))) * 1.0
+                   / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1)
+                   AS ratio
+            FROM documents)
+        SELECT doc_id, lang, round(ratio, 4) AS en_stop_ratio,
+               (ratio >= 0.05) AS pred_en
+        FROM scored
+    """,
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language identification (n-gram-heuristic
+    family): fraction of tokens in a tiny English stopword set; docs
+    at/above 5% are flagged predicted-English. Pure array lambdas —
+    codegen'd, shuffle-free."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("en_stop_ratio"),
+        (ratio >= 0.05).alias("pred_en"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+                   len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_dis,
+                   length(text) AS n_ch
+            FROM documents)
+        SELECT doc_id,
+               round(ln(1 + n_tok) * (n_dis * 1.0 / greatest(n_tok, 1)), 4) AS score,
+               (n_tok >= 10 AND n_ch >= 50 AND n_dis * 1.0 / greatest(n_tok, 1) >= 0.2)
+                   AS keep
+        FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: log-length x lexical diversity, plus a
+    boolean keep-gate (min tokens/chars/diversity) — the standard
+    pre-training corpus filter shape. Shuffle-free projection."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    diversity = n_dis / F.greatest(n_tok, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(F.log(1 + n_tok) * diversity, 4).alias("score"),
+        (
+            (n_tok >= 10) & (F.length("text") >= 50) & (diversity >= 0.2)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (letter runs / digit runs / symbols)
+    via regexp_extract_all — the cheap token-budget estimator."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({NORM_TEXT_SQL}) AS fingerprint FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    The exact-dedup key at scale: 16-byte key shuffles instead of
+    full document bodies."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))

@@ -1,0 +1,247 @@
+"""WordCount family — the reference's complete dataflow, Spark-first.
+
+Reference pipeline (SURVEY.md §2.1, line-cited):
+- tokenize+flatten: ``StringTokenizer(line, " ")`` emits one record
+  per token (``MapClass.java:22-27``). Delimiter is the single space
+  character ONLY: tabs/punctuation stay inside tokens, runs of
+  spaces produce no empty tokens, case is preserved.
+- emit ``(word, 1)`` (``MapClass.java:13,26``) → shuffle/group by key
+  (``WordCount.java:41-42``) → sum per key (``ReduceClass.java:12-23``).
+- implicit global sort by word (single default reducer + MapReduce
+  key sort — absence of ``setNumReduceTasks`` in ``WordCount.java:30-42``).
+
+Spark mapping: ``explode(split(value, ' ')) → filter != '' →
+groupBy(word).count() → orderBy(word)``. Catalyst gives the map-side
+combiner (partial HashAggregate) the reference lacks — no custom code.
+The count column is LongType, a deliberate deviation from the
+reference's 32-bit ``IntWritable`` accumulator (``ReduceClass.java:15,19``)
+whose silent overflow past 2^31-1 is a defect, not a feature.
+
+100 TB notes: groupBy(word) shuffles once, after map-side partial
+aggregation has already collapsed each task's output to its distinct
+words — the shuffled volume is O(distinct words per task), not
+O(tokens), the single most important property for a 100 TB corpus.
+Skewed hot words (e.g. "the") are handled by partial aggregation too:
+each map task emits one row per hot word, so no reducer sees more
+than O(num_map_tasks) rows per word. AQE coalesces the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+__all__ = [
+    "tokenize",
+    "word_count",
+    "word_count_sorted",
+    "top_k_words",
+    "distinct_words",
+    "grep_filter",
+]
+
+# DuckDB fragment mirroring tokenize() exactly: split on single-space,
+# drop empty tokens (StringTokenizer emits none for delimiter runs).
+_ORACLE_TOKENS = (
+    "SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word "
+    "FROM documents) t WHERE word <> ''"
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Array of tokens per StringTokenizer(line, " ") semantics.
+
+    ``split`` on the single-space pattern yields empty strings for
+    adjacent/leading/trailing delimiters where StringTokenizer yields
+    nothing — the explicit filter is the fidelity point
+    (``MapClass.java:22`` vs Spark split semantics).
+    """
+    return F.filter(F.split(text, " ", -1), lambda w: w != "")
+
+
+def tokenize(df: DataFrame, text_col: str = "value") -> DataFrame:
+    """Flatten lines/documents into one row per token (column ``word``)."""
+    return df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+
+
+def word_count(df: DataFrame, text_col: str = "value") -> DataFrame:
+    """The reference's entire computation: token → count per token.
+
+    Catalyst plans partial+final HashAggregate around one hash
+    shuffle on ``word`` — the combiner MapReduce never configured
+    (no ``setCombinerClass`` in ``WordCount.java:30-42``).
+    """
+    return tokenize(df, text_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def word_count_sorted(df: DataFrame, text_col: str = "value") -> DataFrame:
+    """word_count + the reference's emergent global ORDER BY word (O8).
+
+    Spark string sort is binary/codepoint order, matching Hadoop
+    ``Text``'s UTF-8 byte comparator for valid UTF-8. Kept out of
+    ``word_count`` itself: a global sort is a range-shuffle and only
+    the single-file sink fidelity path needs it.
+    """
+    return word_count(df, text_col).orderBy("word")
+
+
+def top_k_words(df: DataFrame, k: int = 20, text_col: str = "value") -> DataFrame:
+    """Top-k by count. Ties broken by word so the result is a total order.
+
+    Plans as TakeOrderedAndProject: each partition keeps a k-heap and
+    only k rows per partition reach the driver — no global sort at scale.
+    """
+    return word_count(df, text_col).orderBy(F.desc("count"), F.asc("word")).limit(k)
+
+
+def distinct_words(df: DataFrame, text_col: str = "value") -> DataFrame:
+    """Count of distinct tokens (single long column ``n_words``)."""
+    return tokenize(df, text_col).agg(F.countDistinct("word").alias("n_words"))
+
+
+def grep_filter(df: DataFrame, needle: str, text_col: str = "value") -> DataFrame:
+    """Distributed grep — the filter sibling of wordcount.
+
+    Substring containment (not regex) so behavior is obvious; the
+    predicate stays JVM-side and Catalyst pushes the scan's column
+    pruning to parquet.
+    """
+    return df.filter(F.col(text_col).contains(needle))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries over the shared testdata (documents.text is the corpus).
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "word_count",
+    oracle=f"SELECT word, count(*) AS count FROM ({_ORACLE_TOKENS}) GROUP BY word",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_count(_docs(spark, sf_dir), text_col="text")
+
+
+@query(
+    "word_count_sorted",
+    oracle=(
+        f"SELECT word, count(*) AS count FROM ({_ORACLE_TOKENS}) "
+        "GROUP BY word ORDER BY word"
+    ),
+)
+def q_word_count_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_count_sorted(_docs(spark, sf_dir), text_col="text")
+
+
+@query(
+    "top_k_words",
+    oracle=(
+        f"SELECT word, count(*) AS count FROM ({_ORACLE_TOKENS}) "
+        "GROUP BY word ORDER BY count DESC, word LIMIT 20"
+    ),
+)
+def q_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_k_words(_docs(spark, sf_dir), k=20, text_col="text")
+
+
+@query(
+    "distinct_words",
+    oracle=f"SELECT count(DISTINCT word) AS n_words FROM ({_ORACLE_TOKENS})",
+)
+def q_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_words(_docs(spark, sf_dir), text_col="text")
+
+
+@query(
+    "approx_distinct_words",
+    # HLL sketches differ across engines; the driver records the weaker
+    # rows-only check. pytest asserts <5% relative error vs exact.
+)
+def q_approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale variant of distinct_words: HyperLogLog, no
+    exact distinct shuffle — sketches merge associatively map-side."""
+    return tokenize(_docs(spark, sf_dir), text_col="text").agg(
+        F.approx_count_distinct("word").alias("n_words_approx")
+    )
+
+
+@query(
+    "grep_filter",
+    oracle=(
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE contains(text, 'spark') ORDER BY doc_id"
+    ),
+)
+def q_grep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        grep_filter(_docs(spark, sf_dir), "spark", text_col="text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "union_corpora",
+    oracle=(
+        "SELECT word, count(*) AS count FROM ("
+        "  SELECT unnest(string_split(text, ' ')) AS word FROM ("
+        "    SELECT text FROM documents WHERE lang = 'en'"
+        "    UNION ALL SELECT text FROM documents WHERE source = 'src0')"
+        ") WHERE word <> '' GROUP BY word"
+    ),
+)
+def q_union_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 multi-input union: two corpora unioned before counting.
+
+    unionByName is a no-shuffle concatenation of scans; the single
+    aggregation after it shuffles once.
+    """
+    docs = _docs(spark, sf_dir)
+    corpus_a = docs.filter(F.col("lang") == "en").select("text")
+    corpus_b = docs.filter(F.col("source") == "src0").select("text")
+    return word_count(corpus_a.unionByName(corpus_b), text_col="text")
+
+
+@query(
+    "words_intersect",
+    oracle=(
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='en') WHERE word <> '' "
+        "INTERSECT "
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='de') WHERE word <> ''"
+    ),
+)
+def q_words_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: distinct tokens appearing in both corpora (INTERSECT)."""
+    docs = _docs(spark, sf_dir)
+    en = tokenize(docs.filter(F.col("lang") == "en"), "text")
+    de = tokenize(docs.filter(F.col("lang") == "de"), "text")
+    return en.intersect(de)
+
+
+@query(
+    "words_except",
+    oracle=(
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='en') WHERE word <> '' "
+        "EXCEPT "
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='de') WHERE word <> ''"
+    ),
+)
+def q_words_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: tokens in the en corpus absent from the de corpus (EXCEPT)."""
+    docs = _docs(spark, sf_dir)
+    en = tokenize(docs.filter(F.col("lang") == "en"), "text")
+    de = tokenize(docs.filter(F.col("lang") == "de"), "text")
+    return en.subtract(de)  # EXCEPT DISTINCT, matching SQL EXCEPT

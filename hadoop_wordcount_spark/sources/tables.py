@@ -1,0 +1,65 @@
+"""Table sources.
+
+The reference reads text lines via the default ``TextInputFormat``
+(selected by the *absence* of ``setInputFormatClass`` in
+``WordCount.java:30-42``). Our engine's primary storage is parquet
+(columnar scan + predicate pushdown + column pruning via Catalyst);
+text/CSV/JSON line sources live in :mod:`.textfiles`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst prunes columns and pushes filters."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    long (legacy conf) and rebuild ``ts`` as TIMESTAMP_NTZ truncated
+    to microseconds — exactly what DuckDB's reader does — via
+    timezone-free epoch arithmetic, so results match the oracle under
+    ANY session timezone. The raw nanos stay available as ``ts_ns``
+    for integer time math (second-truncated gaps etc.).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts_ns div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

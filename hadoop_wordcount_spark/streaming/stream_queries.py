@@ -1,0 +1,186 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (Hadoop 1.x MapReduce has no streaming);
+this is north-star extension surface. Each query runs a real
+Structured Streaming pipeline — file source over the events parquet,
+watermark, event-time windows — driven to completion with an
+availableNow trigger into a memory sink, then returns the settled
+result as a batch DataFrame so the driver harness can collect it.
+
+Because one availableNow pass ingests the whole fixture before the
+watermark closes anything, the settled result equals the batch
+window aggregation — which makes these streaming pipelines
+DuckDB-oracle-checkable (time_bucket / gap-based sessionization in
+SQL). Late-data *dropping* behavior can't be seen that way; pytest
+covers it by replaying events in two out-of-order micro-batches.
+
+100 TB notes: windowed aggregation state is bounded by the watermark
+horizon; shuffle is keyed on (window, key) exactly like the batch
+groupBy. File source here swaps for Kafka in production with the
+same downstream plan.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table, table_path
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned — streaming
+    file sources require an explicit schema).
+
+    Watermarks require TIMESTAMP (an instant), not TIMESTAMP_NTZ, so
+    ``ts`` is rebuilt from the raw nanos as an epoch instant. All
+    downstream outputs are epoch *seconds* (unix_timestamp of window
+    bounds), which are session-timezone-free and match DuckDB's
+    ``epoch_ns(...) // 1e9`` on the naive timestamps exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # FileStreamSource requires a directory or a glob — a bare file
+    # path fails basePath resolution. The char-class glob matches
+    # exactly events.parquet while keeping the parent dir as basePath.
+    raw = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/[e]vents.parquet")
+    return raw.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion: availableNow
+    trigger → memory sink → return the settled table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a
+    10-minute watermark: the canonical streaming aggregation."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("win.start").alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "streaming_event_counts",
+    oracle="""
+        SELECT epoch_ns(time_bucket(INTERVAL 1 HOUR, ts)) // 1000000000
+                   AS window_start_s,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(windowed_event_counts(events_stream(spark, sf_dir)))
+
+
+@query(
+    "streaming_sliding_windows",
+    oracle="""
+        WITH offs AS (SELECT unnest([0, 30]) AS off_min),
+        w AS (
+            SELECT epoch_ns(time_bucket(INTERVAL 1 HOUR, ts - to_minutes(off_min))
+                            + to_minutes(off_min)) // 1000000000 AS window_start_s,
+                   event_type, event_id
+            FROM events CROSS JOIN offs)
+        SELECT window_start_s, event_type, count(*) AS n
+        FROM w GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length / 30min slide): each event lands in
+    2 overlapping windows. Oracle mirrors via the two aligned bucket
+    families."""
+    events = events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("win.start").alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory(agg)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM gaps)
+        SELECT user_id,
+               epoch_ns(min(ts)) // 1000000000 AS session_start_s,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    native session_window; the oracle recreates sessionization with
+    the lag/gap/cumulative-sum idiom. Session state at scale is
+    bounded by the watermark; keys expire once the gap closes."""
+    events = events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start_s"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg)
+
+
+@query("streaming_dedup")  # stateful dropDuplicates — rows-only driver check
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on
+    event_id — the streaming twin of dedup_exact. State holds only
+    ids inside the watermark horizon (bounded memory at scale)."""
+    events = events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(counted, output_mode="complete")
