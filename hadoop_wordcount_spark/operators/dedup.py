@@ -208,3 +208,186 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash.cast("long").alias("simhash"),
         (simhash.cast("long") % (1 << 16)).alias("band_lo"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding, b.embedding) /
+                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                          sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar same-label pairs.
+
+    Blocking on the label column keeps the pair space per-block
+    quadratic (the IVF-cell pattern); at 100 TB the block key becomes
+    an LSH bucket or coarse-quantizer cell and this exact scoring
+    stage is unchanged. Ordered by ROUNDED similarity + ids so the
+    selected top-20 is engine-stable."""
+    from hadoop_wordcount_spark.functions.vectors import cosine as cos_fn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cos_fn(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+# --- Native-expression MinHash + banded LSH (oracle-checkable) -------------
+#
+# Unlike the pyspark.ml MinHashLSH variant above (seeded random affine
+# permutations — not reproducible in SQL), this implementation derives
+# each of the k=8 permutations from md5(seed || shingle) and takes the
+# LEXICOGRAPHIC min hex digest per document. md5 is identical in Spark
+# and DuckDB, so the full pipeline — signatures, band keys, candidate
+# pairs, exact-Jaccard verification — is value-checkable end to end.
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # 4 bands of 2 rows → P(candidate) = 1-(1-s^2)^4
+
+_ORACLE_MINHASH = """
+    WITH toks AS (
+        -- NOTE: the token SEQUENCE, not a distinct set — shingles are
+        -- order-dependent, and DuckDB's list_distinct does not
+        -- preserve order (Spark's array_distinct does).
+        SELECT doc_id,
+               list_filter(
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                   w -> w <> '') AS tk
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' ')))
+               END AS shingles
+        FROM toks),
+    sig AS (
+        SELECT doc_id, shingles,
+               list_transform(range(0, 8),
+                   k -> list_min(list_transform(shingles, s -> md5(k || ':' || s))))
+                   AS sig
+        FROM sh),
+    bands AS (
+        SELECT doc_id, shingles, b,
+               md5(sig[2*b + 1] || sig[2*b + 2]) AS band_key
+        FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sh_a, sh_b)) * 1.0 /
+                 greatest(len(list_distinct(sh_a || sh_b)), 1), 4) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(sh_a, sh_b)) * 1.0 /
+          greatest(len(list_distinct(sh_a || sh_b)), 1) >= 0.2
+"""
+
+
+@query("dedup_minhash_banded", oracle=_ORACLE_MINHASH)
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH + exact-Jaccard verification,
+    all in built-in expressions (md5 / array lambdas) — deterministic
+    AND oracle-checkable, unlike seeded ML LSH.
+
+    Plan at scale: signature computation is a shuffle-free projection;
+    the only shuffle is the band-key self-join (candidates ∝ true
+    near-dups, not n²); verification touches candidate pairs only.
+    """
+    d = _docs(spark, sf_dir)
+    # Shingle the token SEQUENCE (order matters); only the resulting
+    # shingle SET is deduped — set ops downstream are order-free.
+    tk = tokens_col(norm_text(F.col("text")))
+    n = F.size(tk)
+    shingles = F.when(
+        n < 3, F.array(F.array_join(tk, " "))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.array_join(F.slice(tk, i, 3), " "),
+            )
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    base = d.select("doc_id", shingles.alias("shingles")).select(
+        "doc_id", "shingles", sig.alias("sig")
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands = base.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("b"),
+                    F.md5(
+                        F.concat(
+                            F.element_at("sig", b * _BAND_SIZE + 1),
+                            F.element_at("sig", b * _BAND_SIZE + 2),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.b", "band.band_key")
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+        "b", "band_key",
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        F.col("b").alias("b2"), F.col("band_key").alias("band_key2"),
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("b") == F.col("b2"))
+            & (F.col("band_key") == F.col("band_key2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_ = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union_, F.lit(1))
+    return cand.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )

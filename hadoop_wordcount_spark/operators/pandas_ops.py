@@ -1,0 +1,78 @@
+"""Sanctioned Python escape hatches: Pandas UDF / applyInPandas.
+
+The reference's Mapper/Reducer classes are its UDF surface — user
+code slotted into framework extension points (``MapClass.java:11``,
+``ReduceClass.java:10``). The modern analog is ``applyInPandas``
+(grouped map — the Reducer shape) and ``pandas_udf`` (the Mapper
+shape), both Arrow-batched. Everything else in this engine is
+built-in expressions; these two queries exist to cover the extension
+point with the *right* escape hatch (vectorized Arrow, never
+row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+
+@query(
+    "group_zscore_pandas",
+    oracle="""
+        SELECT event_id, event_type,
+               round((value - avg(value) OVER (PARTITION BY event_type))
+                     / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+        FROM events
+    """,
+)
+def q_group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via applyInPandas — the grouped-map Reducer
+    analog: each event_type group arrives as one Arrow-backed pandas
+    DataFrame. (Catalyst could do this with window functions — see
+    the oracle — but this query deliberately exercises the UDAF
+    extension point.) At scale: one shuffle on the group key, Python
+    workers process groups in parallel, Arrow keeps serde off the
+    per-row path."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        pdf["z"] = ((pdf["value"] - pdf["value"].mean()) / std).round(4)
+        return pdf[["event_id", "event_type", "z"]]
+
+    return e.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+@query(
+    "pandas_udf_scale",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged
+        FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def q_pandas_udf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized Mapper analog) computing
+    the charged amount. Production guidance stays: built-ins beat
+    this by staying JVM-side — the query exists to pin the pattern
+    and its exact-parity semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+
+    @F.pandas_udf("double")
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    # Round JVM-side: numpy's .round is banker's rounding and disagrees
+    # with SQL ROUND (half-up) on .xxxx5 boundaries.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charged("l_extendedprice", "l_discount", "l_tax"), 4).alias("charged"),
+    )

@@ -473,3 +473,33 @@ def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(err_ts, ignorenulls=True).over(w).isNotNull().alias("has_prior_error"),
     )
+
+
+@query(
+    "rank_dense_ntile",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4)     OVER w AS quartile,
+               round(COALESCE(lead(o_totalprice) OVER w, -1.0), 2) AS next_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function coverage (rank / dense_rank / ntile / lead)
+    over one window definition — single shuffle on the partition key,
+    all four functions evaluated in the same Window exec."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(-1.0)), 2).alias(
+            "next_total"
+        ),
+    )

@@ -176,3 +176,33 @@ def q_knn_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "cand_id", "cos_sim")
     )
+
+
+@query(
+    "array_ops_mix",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(embedding[1], 4) AS first_val,
+               round(embedding[64], 4) AS last_val,
+               round(list_sum(list_transform(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))) / 8, 4) AS head_mean
+        FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_array_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function coverage: size / element_at / slice /
+    aggregate over the embedding column — all codegen'd, no UDF."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 50)
+    head = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1), 4).alias("first_val"),
+        F.round(F.element_at("embedding", 64), 4).alias("last_val"),
+        F.round(head / 8, 4).alias("head_mean"),
+    )

@@ -1,0 +1,66 @@
+"""Sink coverage: CSV / JSON / partitioned-parquet write→read round
+trips, plus save-mode semantics.
+
+Reference surface: one tab-KV text sink with an existence guard
+(O9/O10, ``WordCount.java:35,39``) — reproduced verbatim in
+``cli.py``. These queries cover the modern sink matrix and prove the
+written artifacts read back bit-identically (the oracle compares the
+round trip against the source table directly).
+
+100 TB notes: partitioned parquet (partitionBy) is the production
+sink — downstream scans prune partitions; writer parallelism is the
+upstream partition count (never coalesce(1) outside final small
+exports).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "hwcs_sinks", name)
+
+
+@query("sink_roundtrip_csv", oracle="SELECT * FROM nation")
+def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (header) → read back with explicit schema.
+    Output must equal the source table exactly."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _tmp("nation_csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(n.schema).option("header", "true").csv(path)
+
+
+@query("sink_roundtrip_json", oracle="SELECT r_regionkey, r_name FROM region")
+def q_sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → JSON lines → read back with explicit schema."""
+    r = load_table(spark, sf_dir, "region")
+    path = _tmp("region_json")
+    r.write.mode("overwrite").json(path)
+    return spark.read.schema(r.schema).json(path).select("r_regionkey", "r_name")
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → parquet partitioned by lang → read back filtered to
+    one partition. The read's lang='en' predicate prunes directories
+    (PartitionFilters), the scan never touches other languages — the
+    layout that makes 100 TB corpora queryable."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _tmp("documents_by_lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )

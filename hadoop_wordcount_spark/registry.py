@@ -41,8 +41,10 @@ def load_all() -> None:
     from hadoop_wordcount_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pandas_ops,
         relational,
         similarity,
+        sinks,
         text_analysis,
         wordcount,
     )

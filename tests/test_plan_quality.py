@@ -1,0 +1,132 @@
+"""Physical-plan assertions — the 100 TB readiness gate.
+
+Correctness says the operator works on 60k rows; these tests pin the
+*plan shape* that keeps it working at 1000 executors x 100 TB:
+filters/projections pushed into the parquet scan, dim joins
+broadcast, aggregates split partial/final, top-k via ordered limit,
+no cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark import registry
+from hadoop_wordcount_spark.plans.inspect import (
+    assert_in_plan,
+    assert_not_in_plan,
+    formatted_plan,
+)
+from hadoop_wordcount_spark.sources.tables import load_table
+
+registry.load_all()
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    """agg_multi's shipdate predicate must reach the scan as a
+    PushedFilter, and the scan must read only the 8 needed columns."""
+    df = registry.QUERIES["agg_multi"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0], (
+        "scan must prune unused columns:\n" + plan
+    )
+
+
+def test_column_pruning_grep(spark, sf_dir):
+    """grep_filter projects 3 columns + text predicate; the parquet
+    ReadSchema must not include the full table."""
+    df = registry.QUERIES["grep_filter"](spark, sf_dir)
+    plan = formatted_plan(df)
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "n_chars" not in read_schema, plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("join_orders_customer", "join_multi", "broadcast_join_parts",
+                 "semi_join_customers"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_in_plan(df, "BroadcastHashJoin")
+        assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    """The map-side combine the reference lacks: partial + final
+    HashAggregate around exactly one exchange."""
+    df = registry.QUERIES["word_count"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan, plan
+    assert "hashpartitioning(word" in plan, plan
+
+
+def test_topk_is_ordered_limit_not_global_sort(spark, sf_dir):
+    """top_k_words must plan as TakeOrderedAndProject (per-partition
+    k-heap), never a full global sort feeding a limit."""
+    df = registry.QUERIES["top_k_words"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_no_cartesian_in_pair_joins(spark, sf_dir):
+    """Blocked pair generation (dedup/knn) must stay equi-join —
+    a cartesian product here is the n² trap at scale."""
+    for name in ("dedup_ngram_jaccard", "knn_block_join", "dedup_minhash_banded",
+                 "dedup_embedding_cosine"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_text_path_stays_jvm_side(spark, sf_dir):
+    """Text analysis must stay JVM-side: no Python eval nodes anywhere
+    in the hot path. (Higher-order array functions evaluate outside
+    whole-stage codegen but still in the JVM — that's expected.)"""
+    for name in ("text_stats", "lang_id_heuristic", "quality_score",
+                 "doc_fingerprint", "word_count"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
+
+
+def test_codegen_in_relational_path(spark, sf_dir):
+    """Pure-relational plans (no HOFs) must be whole-stage codegen'd
+    (formatted explain marks codegen spans with 'codegen id').
+    AQE defers codegen marking to the final plan, so toggle it off
+    just for the static inspection."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("agg_multi", "join_orders_customer", "window_topk_orders"):
+            df = registry.QUERIES[name](spark, sf_dir)
+            assert "codegen id" in formatted_plan(df), name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_window_group_limit_pushdown(spark, sf_dir):
+    """Top-k-per-group must push the limit below the shuffle
+    (WindowGroupLimit on the map side) — at scale this is the
+    difference between shuffling k rows per group and all rows."""
+    df = registry.QUERIES["window_topk_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    """The lang='en' read after a partitionBy('lang') write must prune
+    partitions at the source, not post-filter."""
+    registry.QUERIES["sink_partitioned_parquet"](spark, sf_dir).collect()
+    import tempfile, os
+
+    path = os.path.join(tempfile.gettempdir(), "hwcs_sinks", "documents_by_lang")
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [isnotnull(lang", plan
+    assert "lang#" not in plan.split("ReadSchema: ")[1].split("\n")[0]
+
+
+def test_exchange_reuse_no_double_scan(spark, sf_dir):
+    """Self-join pipelines (minhash banding) should scan documents a
+    bounded number of times — sanity-check the scan count."""
+    df = registry.QUERIES["dedup_minhash_banded"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 4, plan
