@@ -122,6 +122,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union_ = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = inter / F.greatest(union_, F.lit(1))
+    # Cheap necessary condition evaluated before the O(|A|+|B|) set
+    # ops: Jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t.
+    # Prunes most candidate pairs with two int comparisons.
+    size_ok = (
+        F.least(F.size("a.toks"), F.size("b.toks"))
+        >= 0.8 * F.greatest(F.size("a.toks"), F.size("b.toks"))
+    )
     return (
         a.join(
             b,
@@ -129,6 +136,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(size_ok)
         .filter(jac >= 0.8)
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -162,7 +170,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles") > 0
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(base)
+    # Cache the featurized docs: fit() + both sides of the self-join
+    # would otherwise re-run the shingle+TF pipeline three times.
+    feats = tf.transform(base).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
