@@ -503,3 +503,138 @@ def q_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_total"
         ),
     )
+
+
+@query(
+    "batch_sessionize",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        gaps AS (
+            SELECT user_id, us,
+                   CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sess AS (
+            SELECT user_id, us,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM gaps)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(us) // 1000000 AS session_start_s
+        FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap > 30min ⇒ new session, cumulative
+    sum assigns ids — the lag+cumsum idiom (the batch twin of
+    session_window). Two window passes over ONE partitioning (user_id),
+    so a single shuffle; state is O(1) per row."""
+    e = _t(spark, sf_dir, "events").withColumn("us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_session = F.when(
+        (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+        | F.lag("us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor(F.min("us") / 1_000_000).cast("long").alias("session_start_s"),
+        )
+    )
+
+
+@query(
+    "map_ops_mix",
+    oracle="""
+        SELECT event_id, event_type AS type_from_map, 2 AS n_keys
+        FROM events WHERE event_id % 50 = 0
+    """,
+)
+def q_map_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar coverage: build a map column (create_map),
+    read it back (element_at), measure it (size/map_keys). The oracle
+    checks the round trip semantically."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "unpivot_status",
+    oracle="""
+        WITH p AS (
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus='O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+                   round(sum(CASE WHEN l_linestatus='F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'O' AS status, qty_O AS qty FROM p
+        UNION ALL
+        SELECT l_returnflag, 'F' AS status, qty_F AS qty FROM p
+    """,
+)
+def q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) — wide back to long; with pivot_status this
+    closes the reshape round trip. stack() is a Generate node:
+    shuffle-free row expansion."""
+    wide = q_pivot_status(spark, sf_dir)
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'O', qty_O, 'F', qty_F) AS (status, qty)",
+    )
+
+
+@query("value_percentiles")  # approximate (GK sketch) — rows-only driver check
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (percentile_approx — Greenwald-Khanna):
+    the 100 TB path for quantiles; sketches merge map-side like HLL.
+    pytest bounds its error against exact quantiles. No oracle: DuckDB
+    has no matching sketch."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 3).alias("p50"),
+        F.round(F.percentile_approx("value", 0.95, 10000), 3).alias("p95"),
+    )
+
+
+@query(
+    "colocated_join",
+    oracle="""
+        SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+)
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located shuffle-hash-free join: both sides pre-partitioned on
+    the join key with the same partition count, so the SortMergeJoin
+    adds NO exchange of its own (asserted in plan tests). This is the
+    repartition twin of bucketed tables — at 100 TB you persist the
+    bucketing (write.bucketBy) and repeated joins on the key skip the
+    shuffle entirely."""
+    o = _t(spark, sf_dir, "orders").repartition(8, "o_custkey")
+    c = _t(spark, sf_dir, "customer").repartition(8, "c_custkey")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -245,3 +245,45 @@ def q_words_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = tokenize(docs.filter(F.col("lang") == "en"), "text")
     de = tokenize(docs.filter(F.col("lang") == "de"), "text")
     return en.subtract(de)  # EXCEPT DISTINCT, matching SQL EXCEPT
+
+
+@query(
+    "topk_words_per_doc",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        cnt AS (
+            SELECT doc_id, word, count(*) AS cnt FROM tok
+            WHERE word <> '' GROUP BY doc_id, word),
+        ranked AS (
+            SELECT doc_id, word, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, word) AS rn
+            FROM cnt)
+        SELECT doc_id, word, cnt FROM ranked WHERE rn <= 3
+    """,
+)
+def q_topk_words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 words per document: per-key aggregation feeding a
+    ranking window, sharing ONE shuffle (plan-tested).
+
+    The trick: repartition the *documents* by doc_id before
+    exploding. HashPartitioning(doc_id) satisfies both the
+    groupBy(doc_id, word) clustering (subset rule) and the window's
+    partitionBy(doc_id), so no further exchange is planned — and the
+    bytes shuffled are compact documents, never exploded tokens."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text").repartition("doc_id")
+    counts = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "cnt")
+    )

@@ -130,3 +130,22 @@ def test_exchange_reuse_no_double_scan(spark, sf_dir):
     df = registry.QUERIES["dedup_minhash_banded"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_colocated_join_adds_no_exchange(spark, sf_dir):
+    """Both sides pre-partitioned on the join key: the SortMergeJoin
+    must consume the explicit repartitions directly — exactly the two
+    user exchanges feed the join, none inserted by the planner."""
+    df = registry.QUERIES["colocated_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    join_input = plan.split("SortMergeJoin")[0]
+    assert join_input.count("Exchange") <= 3, plan  # 2 repartitions (+agg above)
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_topk_per_doc_reuses_group_shuffle(spark, sf_dir):
+    """groupBy(doc_id, word) then window over doc_id: the window must
+    reuse the aggregation's hash partitioning — one Exchange total."""
+    df = registry.QUERIES["topk_words_per_doc"](spark, sf_dir)
+    tree = formatted_plan(df).split("\n\n")[0]  # tree section only
+    assert tree.count("Exchange") == 1, tree

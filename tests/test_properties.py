@@ -127,3 +127,33 @@ def test_minhash_recall_on_high_shingle_jaccard(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), (
         f"banded LSH missed {len(missed)}/{len(exact)} high-sim pairs"
     )
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    """approx_count_distinct (HLL) and percentile_approx (GK) have no
+    SQL oracle; bound their error against exact computations."""
+    from hadoop_wordcount_spark import registry
+
+    registry.load_all()
+    approx = registry.QUERIES["approx_distinct_words"](spark, sf_dir).head()[
+        "n_words_approx"
+    ]
+    exact = registry.QUERIES["distinct_words"](spark, sf_dir).head()["n_words"]
+    assert abs(approx - exact) / exact < 0.05
+
+    import duckdb
+    from tests.oracle_utils import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    exact_p = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT event_type, quantile_cont(value, 0.5), quantile_cont(value, 0.95)"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    for r in registry.QUERIES["value_percentiles"](spark, sf_dir).collect():
+        p50, p95 = exact_p[r["event_type"]]
+        assert abs(r["p50"] - p50) <= 0.05 * max(abs(p50), 1)
+        assert abs(r["p95"] - p95) <= 0.05 * max(abs(p95), 1)
