@@ -638,3 +638,49 @@ def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "event_props_struct",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events GROUP BY event_type
+    """,
+)
+def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then aggregate the field — the
+    parse-once pattern: at 100 TB, one from_json per row beats N
+    get_json_object path extractions (each re-parses the document)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(F.sum("p.k").alias("sum_k"))
+
+
+@query(
+    "salted_aggregation",
+    oracle="""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 groups by
+    (key, salt16) spreading each hot key over 16 reducers; stage 2
+    merges the partials per key. The result is identical to the plain
+    groupBy (the oracle) — the plan trades one extra (tiny) shuffle
+    for bounded per-reducer load. With only 5 event_types and
+    hash-partitioned reducers, an unsalted shuffle would put entire
+    keys on single reducers — THE skew pattern at 100 TB. (Spark's
+    partial aggregation already bounds count/sum skew; salting is the
+    general form that also covers collect_list-style aggregates.)"""
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("salt", (F.rand(seed=42) * 16).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )

@@ -287,3 +287,26 @@ def q_topk_words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "cnt")
     )
+
+
+@query(
+    "text_source_wordcount",
+    oracle=f"SELECT word, count(*) AS count FROM ({_ORACLE_TOKENS}) GROUP BY word",
+)
+def q_text_source_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's O1→O9 path through REAL text files: export the
+    corpus as line-oriented text (one doc per line — the fixture texts
+    contain no newlines), then run wordcount over spark.read.text.
+    Counts must equal the parquet-sourced word_count exactly, proving
+    the text source/sink round trip is lossless."""
+    import os
+    import tempfile
+
+    from hadoop_wordcount_spark.sources.textfiles import read_lines
+
+    d = _docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks", f"corpus_text_{os.path.basename(sf_dir)}"
+    )
+    d.select("text").write.mode("overwrite").text(path)
+    return word_count(read_lines(spark, path), text_col="value")

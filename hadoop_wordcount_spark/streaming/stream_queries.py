@@ -184,3 +184,60 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_to_memory(counted, output_mode="complete")
+
+
+@query(
+    "streaming_stateful_counter",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 3) AS sum_value,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    the arbitrary-state API (the modern analog of hand-rolled Reducer
+    state): per event_type, a GroupState struct accumulates
+    (count, sum, max_id) across micro-batches.
+
+    State is O(1) per key; Arrow batches flow per group per batch.
+    One availableNow pass over the fixture settles to the batch
+    aggregate, which makes even this custom operator oracle-checkable.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events_stream(spark, sf_dir).select("event_type", "value", "event_id")
+
+    def update(key, pdfs, state):
+        n, s, m = state.get if state.exists else (0, 0.0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, int(pdf["event_id"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "sum_value": [round(s, 3)],
+             "max_event_id": [m]}
+        )
+
+    result = events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n long, sum_value double, max_event_id long",
+        stateStructType="n long, s double, m long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    settled = run_to_memory(result, output_mode="update")
+    # update mode may emit one row per key per batch; keep the final
+    # state per key (max n wins — counts are monotone).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        settled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n", "sum_value", "max_event_id")
+    )
