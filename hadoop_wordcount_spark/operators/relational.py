@@ -56,8 +56,11 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     want; group cardinality is tiny (|returnflag|x|linestatus|).
     """
     li = _t(spark, sf_dir, "lineitem")
+    # timestamp_ntz literal: the column is NTZ (parquet
+    # isAdjustedToUTC=false); an LTZ literal would coerce through the
+    # session timezone and shift the cutoff on non-UTC driver sessions.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
