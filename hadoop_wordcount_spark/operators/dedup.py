@@ -415,3 +415,78 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(jac >= 0.2).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            -- the banded-minhash candidate pairs, verified >= 0.2 (same
+            -- pipeline as dedup_minhash_banded's oracle)
+            """ + _ORACLE_MINHASH.replace("SELECT doc_a, doc_b,",
+                                          "SELECT doc_a, doc_b,").strip() + """
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
+        SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the near-dup
+    pair graph (iterative min-label propagation) — the step that turns
+    pairwise dedup output into keep-one-per-cluster decisions.
+
+    This is the engine's one genuinely iterative algorithm: labels
+    converge in O(graph diameter) rounds, each round a join + min
+    aggregation (the simplified large-star operation). The loop is
+    driver-side control flow but ALL data work is distributed; the
+    convergence check is an aggregate, not a collect. The DuckDB
+    oracle computes the same fixpoint with a recursive CTE — exact
+    parity for an 'iterative, non-SQL' operator.
+
+    At 100 TB: near-dup graphs are forests of small cliques, so
+    diameter (and round count) stays tiny; each round shuffles
+    O(edges). Persist+checkpoint per round would truncate lineage on
+    very deep graphs.
+    """
+    pairs = q_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).cache()
+    for _ in range(20):  # diameter bound; near-dup cliques converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
