@@ -711,3 +711,27 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
     )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(min(value), 3) AS lo,
+               round(max(value), 3) AS hi
+        FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value — the single-pass
+    group-by-bucket shape; bucket count is bounded by the value range,
+    independent of row count, so the exchange stays tiny at any scale."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 3).alias("lo"),
+        F.round(F.max("value"), 3).alias("hi"),
+    )

@@ -64,3 +64,20 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
     )
+
+
+@query(
+    "sink_roundtrip_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal FROM supplier",
+)
+def q_sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC (zstd) → read back. ORC is Spark's second
+    built-in columnar format (vectorized reader, predicate pushdown);
+    zstd shows codec selection at the sink."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _tmp("supplier_orc")
+    s.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
+    )
