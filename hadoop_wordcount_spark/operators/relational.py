@@ -735,3 +735,40 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 3).alias("lo"),
         F.round(F.max("value"), 3).alias("hi"),
     )
+
+
+@query(
+    "sql_tpch_q3",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(year(o_orderdate) AS BIGINT) AS order_yr
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, year(o_orderdate)
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the SQL API: temp views + spark.sql —
+    Catalyst produces the same plan as the DataFrame form (same
+    pushdowns, same broadcast), proving the SQL entry path end to
+    end. NTZ timestamp literals keep the cutoffs session-tz-free."""
+    from hadoop_wordcount_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(year(o_orderdate) AS BIGINT) AS order_yr
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP_NTZ '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, year(o_orderdate)
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """)
