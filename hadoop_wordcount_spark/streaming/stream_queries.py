@@ -241,3 +241,38 @@ def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n", "sum_value", "max_event_id")
     )
+
+
+def kafka_events_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Production stream source: Kafka → the same downstream plans.
+
+    Every streaming query in this module consumes a DataFrame with an
+    event-time ``ts`` column, so swapping the file source for Kafka is
+    exactly this function: parse value JSON to the events schema and
+    reuse windowed_event_counts & co unchanged.
+
+    The kafka connector jar (spark-sql-kafka) is not in this
+    environment — fail loudly with the setup hint rather than at
+    plan time with a classpath error.
+    """
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as exc:  # AnalysisException: data source not found
+        raise NotImplementedError(
+            "Kafka source requires the spark-sql-kafka-0-10 package on the "
+            "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from exc
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")

@@ -100,3 +100,32 @@ def test_empty_input(spark, tmp_path):
     p = tmp_path / "empty.txt"
     p.write_text("", encoding="utf-8")
     assert word_count(read_lines(spark, str(p))).count() == 0
+
+
+def test_read_lines_directory_and_glob(spark, corpus_split, tmp_path):
+    """O2: a directory path reads all its files; a glob selects."""
+    import os
+
+    from hadoop_wordcount_spark.sources.textfiles import read_lines
+
+    d = os.path.dirname(corpus_split[0])
+    via_dir = {r["word"]: r["count"] for r in word_count(read_lines(spark, d)).collect()}
+    via_glob = {
+        r["word"]: r["count"]
+        for r in word_count(read_lines(spark, f"{d}/*.txt")).collect()
+    }
+    assert via_dir == via_glob == GOLDEN
+
+
+def test_connector_stubs_fail_loudly(spark):
+    import pytest as _pytest
+
+    from hadoop_wordcount_spark.sources.lakehouse import read_delta, read_iceberg
+    from hadoop_wordcount_spark.streaming.stream_queries import kafka_events_stream
+
+    with _pytest.raises(NotImplementedError, match="[Dd]elta"):
+        read_delta(spark, "/tmp/nope")
+    with _pytest.raises(NotImplementedError, match="[Ii]ceberg"):
+        read_iceberg(spark, "iceberg.db.t")
+    with _pytest.raises(NotImplementedError, match="[Kk]afka"):
+        kafka_events_stream(spark, "localhost:9092", "events")
