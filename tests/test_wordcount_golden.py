@@ -129,3 +129,14 @@ def test_connector_stubs_fail_loudly(spark):
         read_iceberg(spark, "iceberg.db.t")
     with _pytest.raises(NotImplementedError, match="[Kk]afka"):
         kafka_events_stream(spark, "localhost:9092", "events")
+
+
+def test_run_query_cli(spark, tmp_path):
+    from hadoop_wordcount_spark.run_query import main as rq_main
+
+    assert rq_main(["--list"]) == 0
+    assert rq_main(["word_count", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    out = str(tmp_path / "res")
+    assert rq_main(["distinct_words", "--sf-dir", "/root/testdata/sf0.001",
+                    "--out", out, "--format", "json"]) == 0
+    assert rq_main(["nope"]) == 2
