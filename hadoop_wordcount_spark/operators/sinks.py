@@ -25,8 +25,11 @@ from hadoop_wordcount_spark.registry import query
 from hadoop_wordcount_spark.sources.tables import load_table
 
 
-def _tmp(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "hwcs_sinks", name)
+def _tmp(name: str, sf_dir: str) -> str:
+    """Per-SF path: a plan constructed for one scale factor must not be
+    clobbered by a later run at another before it is collected."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "hwcs_sinks", sf, name)
 
 
 @query("sink_roundtrip_csv", oracle="SELECT * FROM nation")
@@ -34,7 +37,7 @@ def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV (header) → read back with explicit schema.
     Output must equal the source table exactly."""
     n = load_table(spark, sf_dir, "nation")
-    path = _tmp("nation_csv")
+    path = _tmp("nation_csv", sf_dir)
     n.write.mode("overwrite").option("header", "true").csv(path)
     return spark.read.schema(n.schema).option("header", "true").csv(path)
 
@@ -43,7 +46,7 @@ def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region → JSON lines → read back with explicit schema."""
     r = load_table(spark, sf_dir, "region")
-    path = _tmp("region_json")
+    path = _tmp("region_json", sf_dir)
     r.write.mode("overwrite").json(path)
     return spark.read.schema(r.schema).json(path).select("r_regionkey", "r_name")
 
@@ -58,7 +61,7 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters), the scan never touches other languages — the
     layout that makes 100 TB corpora queryable."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    path = _tmp("documents_by_lang")
+    path = _tmp("documents_by_lang", sf_dir)
     d.write.mode("overwrite").partitionBy("lang").parquet(path)
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
     return back.select(
@@ -75,7 +78,7 @@ def q_sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in columnar format (vectorized reader, predicate pushdown);
     zstd shows codec selection at the sink."""
     s = load_table(spark, sf_dir, "supplier")
-    path = _tmp("supplier_orc")
+    path = _tmp("supplier_orc", sf_dir)
     s.write.mode("overwrite").option("compression", "zstd").orc(path)
     back = spark.read.orc(path)
     return back.select(

@@ -115,9 +115,11 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
     """The lang='en' read after a partitionBy('lang') write must prune
     partitions at the source, not post-filter."""
     registry.QUERIES["sink_partitioned_parquet"](spark, sf_dir).collect()
-    import tempfile, os
+    import os
 
-    path = os.path.join(tempfile.gettempdir(), "hwcs_sinks", "documents_by_lang")
+    from hadoop_wordcount_spark.operators.sinks import _tmp
+
+    path = _tmp("documents_by_lang", sf_dir)
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
     plan = formatted_plan(back)
     assert "PartitionFilters: [isnotnull(lang", plan
