@@ -276,3 +276,54 @@ def kafka_events_stream(
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("e")
     ).select("e.*")
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        purchases AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               count(*) AS n_pairs
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range bounds: clicks
+    joined to same-user purchases within the following hour.
+
+    Both sides are watermarked streams; the time-range condition lets
+    Spark expire join state once the watermark passes each event's
+    join window — bounded state, the defining constraint of
+    stream-stream joins at scale. One availableNow pass settles to
+    the batch time-range join (the oracle)."""
+    events = events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    # Aggregating a stream-stream join output needs a second stateful
+    # stage; settle the join in append mode, then aggregate the
+    # settled batch (the driver collects a batch DataFrame anyway).
+    settled = run_to_memory(
+        joined.select(F.col("c_user").alias("user_id")), output_mode="append"
+    )
+    return settled.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
