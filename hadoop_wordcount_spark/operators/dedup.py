@@ -508,3 +508,76 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+_ORACLE_CLUSTERS_CTE = """
+        pairs AS (
+            """ + _ORACLE_MINHASH.strip() + """
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        clusters AS (
+            SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+
+
+@query(
+    "pipeline_curate",
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_CLUSTERS_CTE},
+        quality AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+                   len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_dis,
+                   length(text) AS n_ch
+            FROM documents)
+        SELECT q.doc_id, q.lang, CAST(q.n_tok AS BIGINT) AS n_tokens
+        FROM quality q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+        WHERE q.n_tok >= 10 AND q.n_ch >= 50
+          AND q.n_dis * 1.0 / greatest(q.n_tok, 1) >= 0.2
+          AND (c.doc_id IS NULL OR c.cluster_id = q.doc_id)
+    """,
+)
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation pipeline — what this engine is
+    FOR: documents → quality gate (length/diversity) → near-dup
+    clustering (banded MinHash → connected components) → keep ONE
+    representative per duplicate cluster (the component's min doc_id;
+    unpaired docs represent themselves) → curated corpus.
+
+    Every stage is an already-verified operator (quality_score,
+    dedup_minhash_banded, dedup_clusters) composed into one plan, and
+    the whole pipeline is still DuckDB-oracle-checked end to end.
+
+    At 100 TB: quality gating is a shuffle-free scan; clustering cost
+    scales with near-dup pairs, not corpus size; the final anti-join
+    of non-representatives is a broadcast of (small) cluster output
+    against the full corpus.
+    """
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    quality = d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        (
+            (n_tok >= 10)
+            & (F.length("text") >= 50)
+            & (n_dis / F.greatest(n_tok, F.lit(1)) >= 0.2)
+        ).alias("keep"),
+    ).filter(F.col("keep"))
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    # Non-representatives: clustered docs whose id is not the label.
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return quality.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens"
+    )
