@@ -146,3 +146,50 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("frame_no") * 64).cast("long").alias("frame_offset"),
         )
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 640 + 1 AS w,
+                   octet_length(encode(text)) % 480 + 1 AS h
+            FROM documents)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(CASE WHEN w >= h THEN 256
+                         ELSE (w * 256) // h END AS BIGINT) AS out_w,
+               CAST(CASE WHEN h >= w THEN 256
+                         ELSE (h * 256) // w END AS BIGINT) AS out_h
+        FROM meta
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage: aspect-preserving fit into a 256x256 box
+    (longest side scaled to 256) per payload, computed in a
+    mapInPandas kernel over Arrow batches (the slot where a real
+    resampler runs — stubbed to the dimension arithmetic since no
+    codec ships here). Same production plumbing as multimodal_decode:
+    batch in, batch out, shuffle-free."""
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 1).astype("int64")
+            h = (n % 480 + 1).astype("int64")
+            out_w = w.where(w >= h, (w * 256) // h).where(w < h, 256)
+            out_h = h.where(h >= w, (h * 256) // w).where(h < w, 256)
+            # fit-in-box: the longest side becomes 256, the other
+            # scales by the same ratio (integer floor division).
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": w, "height": h,
+                 "out_w": out_w.astype("int64"), "out_h": out_h.astype("int64")}
+            )
+
+    return payloads.mapInPandas(
+        resize_batches,
+        schema="doc_id long, width long, height long, out_w long, out_h long",
+    )

@@ -253,3 +253,43 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("bigram"))
         .limit(30)
     )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle=f"""
+        WITH cps AS (
+            SELECT doc_id,
+                   list_transform(string_split_regex({NORM_TEXT_SQL}, ''),
+                                  c -> unicode(c)) AS cp
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(cp) AS BIGINT) AS n_cp,
+               list_reduce([CAST(0 AS BIGINT)] || cp,
+                           (acc, c) -> (acc * 257 + c) % 1000000007) AS rhash
+        FROM cps
+    """,
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin polynomial fingerprint of the normalized text:
+    h = sum(c_i * B^(n-i)) mod P with B=257, P=1e9+7, folded left to
+    right over unicode codepoints — the rolling-hash family used for
+    content-defined chunking and plagiarism-style fingerprinting.
+    (The windowed form reuses these prefix hashes: h(i..j) =
+    ph[j] - ph[i-1]*B^(j-i+1) mod P.) Pure built-in expressions, one
+    sequential fold per document, shuffle-free; both engines fold the
+    identical codepoint sequence, so the 31-bit values match exactly."""
+    d = _docs(spark, sf_dir)
+    cps = F.transform(
+        F.split(norm_text(F.col("text")), ""), lambda c: F.ascii(c).cast("long")
+    )
+    rhash = F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 257 + c) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split(norm_text(F.col("text")), "")).cast("long").alias("n_cp"),
+        rhash.alias("rhash"),
+    )
