@@ -154,3 +154,12 @@ def test_topk_per_doc_reuses_group_shuffle(spark, sf_dir):
     df = registry.QUERIES["topk_words_per_doc"](spark, sf_dir)
     tree = formatted_plan(df).split("\n\n")[0]  # tree section only
     assert tree.count("Exchange") == 1, tree
+
+
+def test_tfidf_and_q5_broadcasts(spark, sf_dir):
+    """tfidf's document-frequency table and Q5's dimension tables must
+    broadcast — the fact sides never reshuffle for these joins."""
+    for name in ("tfidf", "tpch_q5_like"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_in_plan(df, "BroadcastHashJoin")
+        assert_not_in_plan(df, "CartesianProduct")
