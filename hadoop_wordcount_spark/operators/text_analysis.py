@@ -293,3 +293,52 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(norm_text(F.col("text")), "")).cast("long").alias("n_cp"),
         rhash.alias("rhash"),
     )
+
+
+@query(
+    "repeated_ngrams",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split({NORM_TEXT_SQL}, ' '), w -> w <> '') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 8),
+                          i -> array_to_string(t[i:i+9], ' ')))) AS gram
+            FROM tk WHERE len(t) >= 10)
+        SELECT gram, count(*) AS n_docs
+        FROM sh GROUP BY gram HAVING count(*) >= 2
+        ORDER BY n_docs DESC, gram LIMIT 50
+    """,
+)
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated long-n-gram detection (10-token grams appearing in >= 2
+    distinct documents): the boilerplate / training-test-contamination
+    signal behind substring-level dedup ('Deduplicating Training Data
+    Makes Language Models Better'-style pipelines approximate the
+    suffix-array pass with exactly this shingle-count shape at scale).
+
+    Plan: shuffle-free shingle explode (per-doc distinct, so a doc
+    counts once per gram) → partial+final count on the gram →
+    HAVING >= 2 → bounded top-k. At 100 TB the gram key is hashed to
+    16 bytes before the shuffle (same trick as dedup_exact)."""
+    d = _docs(spark, sf_dir)
+    t = tokens_col(norm_text(F.col("text")))
+    return (
+        d.select(t.alias("t"))
+        .filter(F.size("t") >= 10)
+        .select(F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 9),
+                    lambda i: F.array_join(F.slice("t", i, 10), " "),
+                )
+            )
+        ).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(50)
+    )
