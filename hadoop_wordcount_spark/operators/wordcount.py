@@ -310,3 +310,54 @@ def q_text_source_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d.select("text").write.mode("overwrite").text(path)
     return word_count(read_lines(spark, path), text_col="value")
+
+
+@query(
+    "wc_tokens",
+    oracle=(
+        "SELECT doc_id, word FROM ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+        "  FROM documents WHERE doc_id < 5) WHERE word <> ''"
+    ),
+)
+def q_wc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare explode+filter projection (SURVEY §2.3's wc_tokens):
+    one row per (doc, token), the tokenizer surface itself — the
+    building block every text operator above composes."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 5)
+    return d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+
+
+@query(
+    "join_wordcount_docs",
+    oracle=f"""
+        WITH wc AS (
+            SELECT word, count(*) AS cnt FROM ({_ORACLE_TOKENS}) GROUP BY word),
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               round(avg(wc.cnt), 4) AS avg_word_freq
+        FROM tok JOIN wc ON tok.word = wc.word
+        WHERE tok.word <> ''
+        GROUP BY tok.doc_id
+    """,
+)
+def q_join_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts joined back to documents (SURVEY §2.3's
+    join_wordcount_docs): global word frequencies broadcast to the
+    per-doc token stream → mean corpus-frequency of each document's
+    words (a commonness score). The wordcount table is
+    vocabulary-sized → broadcast; the token side never reshuffles
+    except for the final per-doc aggregation."""
+    d = _docs(spark, sf_dir)
+    wc = word_count(d, text_col="text").withColumnRenamed("count", "cnt")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    return (
+        tok.join(F.broadcast(wc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("cnt"), 4).alias("avg_word_freq"),
+        )
+    )

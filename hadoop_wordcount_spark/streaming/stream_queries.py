@@ -327,3 +327,33 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(F.col("c_user").alias("user_id")), output_mode="append"
     )
     return settled.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "streaming_wordcount",
+    oracle="""
+        SELECT word, count(*) AS count FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    """,
+)
+def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WordCount (SURVEY §2.3 / M4): the reference's
+    computation over an unbounded text stream — file stream over the
+    documents parquet, explode+filter tokenize, running count per
+    word in complete mode. One availableNow pass settles to the batch
+    word_count, so even the streaming twin is oracle-checked.
+
+    At scale this is the canonical streaming aggregation: partial
+    counts merge into the state store per micro-batch; the word key
+    space bounds state, not the stream length."""
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    docs = spark.readStream.schema(schema).parquet(f"{sf_dir}/[d]ocuments.parquet")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return run_to_memory(counts, output_mode="complete")
