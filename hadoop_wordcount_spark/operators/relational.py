@@ -856,3 +856,34 @@ def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "outer_join_nations",
+    oracle="""
+        SELECT n_name,
+               CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_customers,
+               round(COALESCE(c.bal, 0.0), 2) AS total_acctbal
+        FROM nation LEFT JOIN (
+            SELECT c_nationkey, count(*) AS n_cust, sum(c_acctbal) AS bal
+            FROM customer GROUP BY c_nationkey) c
+          ON n_nationkey = c.c_nationkey
+    """,
+)
+def q_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null semantics: every nation appears,
+    customer-less nations surface with zeroed aggregates (COALESCE
+    over the null probe side). Aggregate-then-join keeps the outer
+    join's build side one row per nation — at 100 TB you outer-join
+    pre-aggregated summaries, never raw facts."""
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("c_acctbal").alias("bal"))
+    )
+    return n.join(c, n.n_nationkey == c.c_nationkey, "left").select(
+        "n_name",
+        F.coalesce(F.col("n_cust"), F.lit(0)).cast("long").alias("n_customers"),
+        F.round(F.coalesce(F.col("bal"), F.lit(0.0)), 2).alias("total_acctbal"),
+    )
