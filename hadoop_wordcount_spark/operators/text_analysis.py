@@ -342,3 +342,27 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(50)
     )
+
+
+@query(
+    "fuzzy_match_words",
+    oracle="""
+        SELECT word, CAST(levenshtein(word, 'spark') AS BIGINT) AS dist
+        FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' AND levenshtein(word, 'spark') <= 2
+    """,
+)
+def q_fuzzy_match_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: vocabulary words within
+    Levenshtein distance 2 of a probe term — the typo/variant-merge
+    primitive of entity resolution. Runs on the DISTINCT vocabulary
+    (tiny), never the token stream, so the quadratic-ish DP cost is
+    bounded by |vocab| regardless of corpus size."""
+    from hadoop_wordcount_spark.operators.wordcount import tokenize
+
+    words = tokenize(_docs(spark, sf_dir), "text").distinct()
+    dist = F.levenshtein(F.col("word"), F.lit("spark"))
+    return words.filter(dist <= 2).select(
+        "word", dist.cast("long").alias("dist")
+    )

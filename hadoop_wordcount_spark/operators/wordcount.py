@@ -35,6 +35,7 @@ from hadoop_wordcount_spark.registry import query
 from hadoop_wordcount_spark.sources.tables import load_table
 
 __all__ = [
+    "tokens_col",
     "tokenize",
     "word_count",
     "word_count_sorted",
