@@ -50,17 +50,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("input", nargs="+", help="input file(s)/dir(s)/glob(s)")
     parser.add_argument("output", help="output directory (must not exist)")
+    def conf_kv(s: str) -> tuple[str, str]:
+        k, sep, v = s.partition("=")
+        if not sep or not k:
+            raise argparse.ArgumentTypeError(f"expected K=V, got {s!r}")
+        return k, v
+
     parser.add_argument(
         "--conf",
         action="append",
         default=[],
+        type=conf_kv,
         metavar="K=V",
         help="Spark conf, repeatable (actually honored, unlike the reference)",
     )
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args(argv)
 
-    conf = dict(kv.split("=", 1) for kv in args.conf)
+    conf = dict(args.conf)
     spark = get_spark(app_name="WordCounter", extra_conf=conf)
     try:
         run(spark, args.input, args.output, "overwrite" if args.overwrite else "error")

@@ -41,6 +41,12 @@ def q_group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            # stddev_samp of a single row is NULL in SQL; pandas would
+            # yield NaN (ddof=1 → 0/0), which Arrow ships as a NaN
+            # double, not a NULL — match the SQL semantics explicitly.
+            pdf["z"] = None
+            return pdf[["event_id", "event_type", "z"]]
         std = pdf["value"].std(ddof=1)
         # round(2) JVM-free here is fine: 2-decimal granularity makes the
         # numpy-vs-SQL ulp differences in mean/std numerically irrelevant,

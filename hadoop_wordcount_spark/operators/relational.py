@@ -514,13 +514,13 @@ def q_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
             SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
         gaps AS (
-            SELECT user_id, us,
+            SELECT user_id, event_id, us,
                    CASE WHEN us - lag(us) OVER w > 1800000000
                         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
             FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         sess AS (
             SELECT user_id, us,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS session_id
             FROM gaps)
@@ -542,7 +542,10 @@ def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.lag("us").over(w).isNull(),
         1,
     ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+    # event_id tiebreak keeps the cumulative sum deterministic when two
+    # same-user events share a microsecond at a session boundary (the
+    # module invariant: every window ORDER BY carries a unique key).
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (

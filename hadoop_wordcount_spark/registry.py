@@ -35,8 +35,66 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Verification-priority order. The driver's correctness harness walks
+# ``queries()`` in iteration order under a budget (round 1 stopped at
+# exactly 50 entries), so queries that most need a hard-signal row this
+# round must iterate FIRST: everything CORRECTNESS_r01 never reached
+# (the relational tail, TPC-H-style queries, sinks, similarity search,
+# streaming), then queries whose implementation changed this round,
+# then everything already proven green in round 1.
+_PRIORITY: list[str] = [
+    # -- round-1 unchecked (driver truncation at 50) ------------------
+    "running_event_value",
+    "lag_event_gap",
+    "event_props_json",
+    "scalar_functions_mix",
+    "asof_last_error",
+    "rank_dense_ntile",
+    "batch_sessionize",
+    "map_ops_mix",
+    "unpivot_status",
+    "value_percentiles",
+    "colocated_join",
+    "event_props_struct",
+    "salted_aggregation",
+    "stats_aggregates",
+    "value_histogram",
+    "sql_tpch_q3",
+    "tpch_q5_like",
+    "tpch_q18_like",
+    "outer_join_nations",
+    "sim_search_topk",
+    "embedding_norms",
+    "sim_search_lsh",
+    "knn_block_join",
+    "array_ops_mix",
+    "embedding_centroids",
+    "sink_roundtrip_csv",
+    "sink_roundtrip_json",
+    "sink_partitioned_parquet",
+    "sink_roundtrip_orc",
+    "streaming_event_counts",
+    "streaming_sliding_windows",
+    "streaming_session_windows",
+    "streaming_dedup",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "streaming_wordcount",
+    # -- changed this round (re-verify) -------------------------------
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "pipeline_curate",
+    "group_zscore_pandas",
+    "doc_rolling_hash",
+    "dedup_minhash",
+    # -- new this round ------------------------------------------------
+    "repeated_spans",
+]
+
+
 def load_all() -> None:
-    """Import every operator module so its queries register."""
+    """Import every operator module so its queries register, then
+    reorder the registry into verification-priority order."""
     # Imports are side-effecting (decorator registration).
     from hadoop_wordcount_spark.operators import (  # noqa: F401
         dedup,
@@ -49,3 +107,11 @@ def load_all() -> None:
         wordcount,
     )
     from hadoop_wordcount_spark.streaming import stream_queries  # noqa: F401
+
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(oracles)

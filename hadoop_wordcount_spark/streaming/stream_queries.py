@@ -53,17 +53,33 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion: availableNow
-    trigger → memory sink → return the settled table."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    trigger → memory sink → return the settled table.
+
+    The shuffle-partition count is dropped to 4 for the stream's
+    lifetime: each stateful operator materializes one state store PER
+    shuffle partition PER micro-batch, so 32 partitions over a
+    fixture-sized stream is pure provider/commit overhead (~8x the
+    useful work locally). The setting is pinned into the query's own
+    checkpoint at start, so restoring the session conf afterwards
+    cannot affect the running stream; results are partition-count
+    invariant. On a real cluster this knob scales back up with the
+    executor count.
+    """
     spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
