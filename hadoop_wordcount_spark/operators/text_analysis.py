@@ -11,7 +11,7 @@ codegen and scale linearly with the scan at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_wordcount_spark.registry import query
@@ -255,6 +255,19 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kr_fold(values: Column, base: int, mod: int) -> Column:
+    """Karp-Rabin polynomial fold: h = sum(v_i * B^(n-1-i)) mod P,
+    left-to-right over an int array. Shared by `doc_rolling_hash`
+    (whole-document fingerprint) and `repeated_spans` (windowed form).
+    Every intermediate stays in int64: acc < P, so acc*B + v < 2^63
+    for P, B below ~2^31 / 2^20."""
+    return F.aggregate(
+        values,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * base + v) % mod,
+    )
+
+
 @query(
     "doc_rolling_hash",
     oracle=f"""
@@ -280,17 +293,17 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold per document, shuffle-free; both engines fold the
     identical codepoint sequence, so the 31-bit values match exactly."""
     d = _docs(spark, sf_dir)
-    cps = F.transform(
-        F.split(norm_text(F.col("text")), ""), lambda c: F.ascii(c).cast("long")
+    # Explicit empty-element filter: don't depend on SPARK-40194's
+    # (>= 3.4) split(str, '') trailing-empty behavior — an empty
+    # element would fold in a spurious 0 term and break oracle parity.
+    chars = F.filter(
+        F.split(norm_text(F.col("text")), ""), lambda c: c != F.lit("")
     )
-    rhash = F.aggregate(
-        cps,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 257 + c) % 1000000007,
-    )
+    cps = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    rhash = kr_fold(cps, 257, 1000000007)
     return d.select(
         "doc_id",
-        F.size(F.split(norm_text(F.col("text")), "")).cast("long").alias("n_cp"),
+        F.size(chars).cast("long").alias("n_cp"),
         rhash.alias("rhash"),
     )
 
@@ -341,6 +354,140 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(50)
+    )
+
+
+# repeated_spans parameters. Two independent 31-bit Karp-Rabin hash
+# families => a 62-bit effective window key; each family's fold keeps
+# every product inside int64 (acc < 2^31, base < 2^20). Window keys
+# only need to agree WITHIN a candidate doc pair, so the global
+# collision odds (~|windows|^2 / 2^62) stay negligible at sf scale and
+# a verified-span variant (re-compare token slices) is the belt-and-
+# braces option at 100 TB.
+_SPAN_W = 10  # seed window length, tokens (matches repeated_ngrams)
+_KR_FAMILIES = ((1000003, 2147483647), (999983, 2147483629))
+
+
+@query(
+    "repeated_spans",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split({NORM_TEXT_SQL}, ' '), w -> w <> '') AS t
+            FROM documents),
+        w AS (
+            SELECT doc_id, s.pos AS pos, s.gram AS gram
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - {_SPAN_W - 2}),
+                                i -> {{'pos': i,
+                                      'gram': array_to_string(t[i:i+{_SPAN_W - 1}], ' ')}}))
+                             AS s
+                  FROM tk WHERE len(t) >= {_SPAN_W}) u),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, a.pos - b.pos AS off
+            FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        g AS (
+            SELECT doc_a, doc_b, off, pos_a,
+                   pos_a - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS grp
+            FROM p)
+        SELECT doc_a, doc_b,
+               CAST(min(pos_a) AS BIGINT) AS start_a,
+               CAST(min(pos_a) - off AS BIGINT) AS start_b,
+               CAST(count(*) + {_SPAN_W - 1} AS BIGINT) AS span_len
+        FROM g GROUP BY doc_a, doc_b, off, grp
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length repeated-span detection: maximal token spans
+    (>= {_SPAN_W} tokens) shared verbatim between two documents, with
+    their start offsets — the suffix-array contamination pass of
+    'Deduplicating Training Data Makes Language Models Better',
+    re-expressed as a bounded-shuffle Spark plan. Where
+    `repeated_ngrams` counts fixed 10-gram shingles, this merges runs
+    of matching windows into spans of ARBITRARY length.
+
+    Plan: tokens → per-token int hashes → windowed Karp-Rabin
+    polynomial fold (two independent 31-bit families; `kr_fold`, the
+    same machinery as `doc_rolling_hash`) → explode (doc, pos, h1, h2)
+    — a shuffle-free projection ~|tokens| rows wide, integers only,
+    document bodies never leave the scan — → equi-join on the 62-bit
+    window key → gaps-and-islands per (pair, alignment offset): a
+    shared span of length L appears as L-{_SPAN_W}+1 consecutive
+    window matches at one offset, so `pos - row_number()` groups them
+    and `count + {_SPAN_W}-1` recovers L.
+
+    At 100 TB: the join key is uniformly-hashed (no skew), candidates
+    are proportional to true shared windows (never all-pairs), and the
+    window-per-token explode is the same cost envelope as the
+    tokenize-explode every wordcount query already pays. The oracle
+    joins on the raw gram strings — hash collisions are the only
+    possible divergence (~2^-62 per window pair)."""
+    d = _docs(spark, sf_dir)
+    t = tokens_col(norm_text(F.col("text")))
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= _SPAN_W)
+    # Per-token base values: family i folds pmod(xxhash64(seed_i, w), P_i).
+    # Distinct seeds decorrelate the families below the 64-bit level.
+    def token_hash(seed: int, mod: int):
+        # closure (not default args): PySpark reads lambda arity to
+        # pick the higher-order-function form, so extra params break it
+        return lambda w: F.pmod(F.xxhash64(F.lit(seed), w), F.lit(mod))
+
+    for i, (_, mod) in enumerate(_KR_FAMILIES):
+        base = base.withColumn(f"th{i}", F.transform("t", token_hash(i, mod)))
+
+    def window_hash(col: str, start: Column, base_: int, mod: int) -> Column:
+        return kr_fold(F.slice(F.col(col), start, _SPAN_W), base_, mod)
+
+    windows = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_SPAN_W - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    *[
+                        window_hash(f"th{k}", i, b, m).alias(f"h{k}")
+                        for k, (b, m) in enumerate(_KR_FAMILIES)
+                    ],
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h0", "s.h1")
+    wa = windows.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h0", "h1"
+    )
+    wb = windows.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("h0").alias("hb0"),
+        F.col("h1").alias("hb1"),
+    )
+    p = (
+        wa.join(
+            wb,
+            (F.col("h0") == F.col("hb0"))
+            & (F.col("h1") == F.col("hb1"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("off"))
+    )
+    run = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pos_a")
+    return (
+        p.withColumn("grp", F.col("pos_a") - F.row_number().over(run))
+        .groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + (_SPAN_W - 1)).alias("span_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") - F.col("off")).alias("start_b"),
+            "span_len",
+        )
     )
 
 

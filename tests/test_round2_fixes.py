@@ -88,6 +88,56 @@ def test_ngram_jaccard_has_no_driver_collect():
     assert ".collect()" not in src
 
 
+PASSAGE = " ".join(f"p{i}" for i in range(17))  # 17 unique tokens
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """Documents with ONE planted 17-token passage shared by docs 1 and
+    2 at known offsets; every other token is unique to its document."""
+    d = tmp_path_factory.mktemp("planted")
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(5)) + f" {PASSAGE} " + " ".join(f"z{i}" for i in range(4))),
+        (2, "b0 b1 " + PASSAGE + " " + " ".join(f"y{i}" for i in range(8))),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        d / "documents.parquet"
+    )
+    return str(d)
+
+
+def test_repeated_spans_planted_passage(spark, planted_dir):
+    """The gaps-and-islands merge must recover the planted span's exact
+    boundaries: maximal (not fixed-window) length and both offsets."""
+    rows = [
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in registry.QUERIES["repeated_spans"](spark, planted_dir).collect()
+    ]
+    # one maximal span: docs (1,2), passage starts at token 6 in doc 1
+    # (after 5 fillers) and token 3 in doc 2, exactly 17 tokens long
+    assert rows == [(1, 2, 6, 3, 17)]
+
+
+def test_repeated_spans_oracle_parity_on_planted(spark, planted_dir):
+    """Hash-keyed Spark join == string-keyed DuckDB join on the same
+    planted corpus (collision-free by construction here)."""
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in registry.QUERIES["repeated_spans"](spark, planted_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(registry.ORACLES["repeated_spans"]).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
 def test_cli_malformed_conf_is_usage_error(capsys):
     from hadoop_wordcount_spark.cli import main
 
