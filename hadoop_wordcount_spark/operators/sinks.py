@@ -11,6 +11,13 @@ round trip against the source table directly).
 sink — downstream scans prune partitions; writer parallelism is the
 upstream partition count (never coalesce(1) outside final small
 exports).
+
+SIDE EFFECTS: each sink query writes under ``$TMPDIR/hwcs_sinks/<sf>/``
+(mode=overwrite, per-scale-factor paths) as part of proving the round
+trip — calling one mutates that scratch directory and nothing else.
+``bucketed_join`` (relational.py) follows the same convention under
+``/tmp/spark_graft_buckets/``. These are the registry's only
+side-effecting queries besides the CLI's explicit output dir.
 """
 
 from __future__ import annotations

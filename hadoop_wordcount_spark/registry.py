@@ -89,6 +89,9 @@ _PRIORITY: list[str] = [
     "dedup_minhash",
     # -- new this round ------------------------------------------------
     "repeated_spans",
+    "skew_salted_join",
+    "bucketed_join",
+    "ann_ivf_search",
 ]
 
 

@@ -163,3 +163,36 @@ def test_tfidf_and_q5_broadcasts(spark, sf_dir):
         df = registry.QUERIES[name](spark, sf_dir)
         assert_in_plan(df, "BroadcastHashJoin")
         assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_bucketed_join_adds_no_exchange(spark, sf_dir):
+    """Persisted bucketBy(8, key) on both sides: the SortMergeJoin
+    reads the bucket layout directly — zero Exchange below the join
+    (the only exchange in the plan is the final aggregation's)."""
+    df = registry.QUERIES["bucketed_join"](spark, sf_dir)
+    tree = formatted_plan(df).split("\n\n")[0]
+    join_input = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_input, tree
+    assert "SortMergeJoin" in tree, tree
+
+
+def test_skew_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The salted join must shuffle on (event_type, salt) — the whole
+    point is the composite key spreading hot keys — and must not
+    degrade to broadcast."""
+    df = registry.QUERIES["skew_salted_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "salt" in plan.split("hashpartitioning(event_type")[1].split(")")[0], plan
+
+
+def test_repeated_spans_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Window-key equi-join (never all-pairs) and a scan pruned to
+    (doc_id, text)."""
+    df = registry.QUERIES["repeated_spans"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "text" in read_schema, plan
+    assert "n_chars" not in read_schema, plan

@@ -157,3 +157,23 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
         p50, p95 = exact_p[r["event_type"]]
         assert abs(r["p50"] - p50) <= 0.05 * max(abs(p50), 1)
         assert abs(r["p95"] - p95) <= 0.05 * max(abs(p95), 1)
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=2 of K=8 cells scans ~1/4 of the data; the
+    query's own cell is always probed (distance 0 to its assigned
+    centroid region), so near neighbors — which cluster with the
+    query by construction of k-means — should mostly be found.
+    Require recall@10 >= 0.8 at test scale (observed: 1.0)."""
+    from hadoop_wordcount_spark import registry
+
+    registry.load_all()
+    ivf = {
+        r["vec_id"]
+        for r in registry.QUERIES["ann_ivf_search"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in registry.QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.8
