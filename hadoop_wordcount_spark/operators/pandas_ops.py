@@ -88,3 +88,43 @@ def q_pandas_udf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boundary flip numerically negligible at any tested SF.
         F.round(charged("l_extendedprice", "l_discount", "l_tax"), 2).alias("charged"),
     )
+
+
+@query(
+    "udtf_split_sentences",
+    oracle="""
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, '. '), 1) - 1 AS INT)
+                   AS pos,
+               unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+    """,
+)
+def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 4 API):
+    one input row -> N output rows, here sentence segmentation with
+    ordinal positions. Completes the Python extension-point trio
+    (scalar pandas_udf / grouped applyInPandas / tabular UDTF).
+
+    This is deliberately the API-coverage demo: a '. ' split is
+    expressible with built-in explode (and the hot-path queries do
+    exactly that); a real UDTF earns its cost when the row-expansion
+    logic needs a Python library (parsers, tokenizers). Lateral
+    correlation keeps it distributed — the UDTF runs per-partition
+    beside the scan, no shuffle; only the Python-worker hop makes it
+    slower than the built-in path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence "
+        "FROM udtf_docs_in d, LATERAL split_sentences(d.text) s"
+    )

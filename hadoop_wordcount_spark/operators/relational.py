@@ -989,3 +989,157 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+            FROM orders),
+        upd AS (SELECT k, 'U' AS s, round(p * 1.1, 2) AS p
+                FROM base WHERE k % 97 = 0),
+        ins AS (SELECT -k AS k, 'N' AS s, p FROM base WHERE k % 101 = 0),
+        ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        m AS (
+            SELECT COALESCE(c.k, b.k) AS k,
+                   COALESCE(c.s, b.s) AS s,
+                   COALESCE(c.p, b.p) AS p
+            FROM base b FULL OUTER JOIN ch c ON b.k = c.k)
+        SELECT s AS o_orderstatus, count(*) AS n, round(sum(p), 2) AS total
+        FROM m GROUP BY s
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE (upsert) without a lakehouse format: a staged
+    change set — updates (keys % 97, price bump, status 'U') plus
+    inserts (negated keys % 101, status 'N') — applied to the base
+    table via FULL OUTER join + COALESCE: matched rows take the
+    change, unmatched changes insert, unmatched base rows persist.
+    The change set here is DERIVED deterministically from the base so
+    the oracle can rebuild it; in production it is your CDC feed.
+
+    At 100 TB: the merge is one shuffle join keyed on the primary key
+    — broadcast when the change set is small, bucket-colocated (see
+    `bucketed_join`) when the base is bucketed on the key, and the
+    rewrite lands via dynamic partition overwrite so only partitions
+    containing changed keys are rewritten. This plan IS what Delta/
+    Iceberg MERGE compiles to underneath; expressing it directly
+    keeps the capability available with plain parquet."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    upd = base.filter(F.col("k") % 97 == 0).select(
+        "k", F.lit("U").alias("s"), F.round(F.col("p") * 1.1, 2).alias("p")
+    )
+    ins = base.filter(F.col("k") % 101 == 0).select(
+        (-F.col("k")).alias("k"), F.lit("N").alias("s"), F.col("p").alias("p")
+    )
+    ch = upd.unionAll(ins)
+    b, c = base.alias("b"), ch.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full").select(
+        F.coalesce(F.col("c.s"), F.col("b.s")).alias("s"),
+        F.coalesce(F.col("c.p"), F.col("b.p")).alias("p"),
+    )
+    return merged.groupBy(F.col("s").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p"), 2).alias("total"),
+    )
+
+
+@query(
+    "events_resample",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, epoch_ns(ts) // 600000000000 AS bkt, value
+            FROM events),
+        agg AS (
+            SELECT event_type, bkt, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM e GROUP BY event_type, bkt),
+        rng AS (SELECT event_type, min(bkt) AS mn, max(bkt) AS mx
+                FROM e GROUP BY event_type),
+        grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bkt FROM rng)
+        SELECT g.event_type, g.bkt,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+               COALESCE(a.sum_value, 0.0) AS sum_value
+        FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.bkt = a.bkt
+    """,
+)
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with GAP FILLING: 10-minute buckets per
+    event_type from each type's first to last event, empty buckets
+    emitted as zero rows — the densify step every downsampling /
+    charting / feature-window pipeline needs (plain groupBy silently
+    drops empty intervals). Bucket math is integer nanos (`ts_ns div
+    60e9`) so Spark and DuckDB agree exactly, no timezone surface.
+
+    Plan: one partial+final agg per (type, bucket); the dense grid
+    comes from sequence()+explode of each type's [min, max] bucket
+    range — |types| rows exploding to |types| x |minutes|, NEVER a
+    per-event explode; the gap-fill join is keyed on (type, bucket)
+    and broadcastable when the grid is small. At 100 TB the grid size
+    is timespan-bound (525k minutes/year x |types|), independent of
+    event count."""
+    # integer `div`, not `/`: ts_ns ~ 1.7e18 exceeds double's exact
+    # integer range, so float division would misplace bucket edges
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 600000000000").alias("bkt"), "value"
+    )
+    agg = e.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    grid = (
+        e.groupBy("event_type")
+        .agg(F.min("bkt").alias("mn"), F.max("bkt").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("bkt"))
+    )
+    return grid.join(agg, ["event_type", "bkt"], "left").select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "trailing_window_sum",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec, value
+            FROM events WHERE user_id < 50)
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 2)
+                   AS trailing_sum
+        FROM e
+    """,
+)
+def q_trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute sum per user — a RANGE-frame window (frame
+    bounds in the ORDER BY column's units, not row counts), the
+    time-decayed-feature primitive rows-frames cannot express when
+    events are irregularly spaced. RANGE frames are tie-safe by
+    construction: all events in the same second share one frame, so
+    no unique-tiebreak column is needed (the module invariant applies
+    to ROWS frames). Integer-second ordering keeps both engines on
+    identical frames; one shuffle on user_id, frame evaluation is a
+    per-partition sliding accumulator."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000000000").alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_sum"),
+    )

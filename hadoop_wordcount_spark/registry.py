@@ -92,6 +92,12 @@ _PRIORITY: list[str] = [
     "skew_salted_join",
     "bucketed_join",
     "ann_ivf_search",
+    "dataset_split",
+    "stratified_sample",
+    "merge_upsert",
+    "udtf_split_sentences",
+    "events_resample",
+    "trailing_window_sum",
 ]
 
 
@@ -104,6 +110,7 @@ def load_all() -> None:
         multimodal,
         pandas_ops,
         relational,
+        sampling,
         similarity,
         sinks,
         text_analysis,
