@@ -963,10 +963,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries: pay the bucketed write once, skip the shuffle every read.
     The bucketed tables land under /tmp per scale factor (same
     side-effect convention as the sink_* queries)."""
+    import os as _os
     import re as _re
 
     tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    base = f"/tmp/spark_graft_buckets/{tag}"
+    # per-process path: concurrent sessions (e.g. parallel test runs)
+    # must not overwrite each other's bucket files mid-read
+    base = f"/tmp/spark_graft_buckets/{_os.getpid()}/{tag}"
     specs = {
         f"orders_b_{tag}": (_t(spark, sf_dir, "orders"), "o_custkey"),
         f"customer_b_{tag}": (_t(spark, sf_dir, "customer"), "c_custkey"),

@@ -196,3 +196,21 @@ def test_repeated_spans_no_cartesian_and_pruned_scan(spark, sf_dir):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "doc_id" in read_schema and "text" in read_schema, plan
     assert "n_chars" not in read_schema, plan
+
+
+def test_stratified_sample_is_scan_level_filter(spark, sf_dir):
+    """Deterministic hash sampling must be a pure scan+filter+project:
+    zero exchanges, scan pruned to the 3 output columns."""
+    df = registry.QUERIES["stratified_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan.split("\n\n")[0], plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in read_schema, plan
+
+
+def test_merge_upsert_single_key_join(spark, sf_dir):
+    """The CDC merge must stay an equi-join on the primary key — no
+    cartesian, no nested loop."""
+    df = registry.QUERIES["merge_upsert"](spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
