@@ -586,3 +586,68 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+@query(
+    "pipeline_train_corpus",
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_CLUSTERS_CTE},
+        quality AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+                   len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_dis,
+                   length(text) AS n_ch
+            FROM documents),
+        curated AS (
+            SELECT q.doc_id, q.lang, CAST(q.n_tok AS BIGINT) AS n_tokens
+            FROM quality q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+            WHERE q.n_tok >= 10 AND q.n_ch >= 50
+              AND q.n_dis * 1.0 / greatest(q.n_tok, 1) >= 0.2
+              AND (c.doc_id IS NULL OR c.cluster_id = q.doc_id)),
+        assigned AS (
+            SELECT lang, n_tokens,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM curated)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM assigned GROUP BY split, lang
+    """,
+)
+def q_pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build, end to end: quality gate →
+    near-dup dedup (keep one per cluster) → deterministic train/val/
+    test split → per-(split, language) document and token budgets —
+    the report a data-curation run hands to the training team.
+
+    Pure composition of verified operators (`pipeline_curate` +
+    `dataset_split`'s hash-bucket assignment), still oracle-checked
+    end to end. Because split membership is a hash of doc_id, the
+    assignment commutes with every upstream filter: curating first
+    and splitting second yields the same split for a surviving doc as
+    splitting the raw corpus would — no leakage drift between runs.
+
+    At 100 TB: adds one scan-level projection and a tiny final
+    aggregate on top of `pipeline_curate`'s cost envelope."""
+    from hadoop_wordcount_spark.operators.sampling import (
+        _TRAIN_HI,
+        _VAL_HI,
+        hash_bucket,
+    )
+
+    curated = q_pipeline_curate(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _TRAIN_HI, "train").when(b < _VAL_HI, "val").otherwise("test")
+    )
+    return (
+        curated.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

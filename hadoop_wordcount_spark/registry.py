@@ -98,6 +98,8 @@ _PRIORITY: list[str] = [
     "udtf_split_sentences",
     "events_resample",
     "trailing_window_sum",
+    "streaming_foreach_batch",
+    "pipeline_train_corpus",
 ]
 
 

@@ -373,3 +373,61 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
     )
     return run_to_memory(counts, output_mode="complete")
+
+
+@query(
+    "streaming_foreach_batch",
+    oracle="""
+        SELECT epoch_ns(time_bucket(INTERVAL 1 HOUR, ts)) // 1000000000
+                   AS window_start_s,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink: the production streaming→storage
+    bridge (memory sinks are test scaffolding; real pipelines land
+    micro-batches in a table). Same tumbling-window aggregation as
+    `streaming_event_counts`, but each micro-batch is written by a
+    BATCH parquet writer inside foreachBatch — giving the streaming
+    query access to the full batch sink matrix (formats, modes,
+    partitionBy, even MERGE) that writeStream alone lacks.
+
+    Complete output mode + overwrite per batch = the landed table is
+    always the settled aggregate; replays of a batch id rewrite the
+    same content (idempotent sink, the exactly-once recipe). The
+    checkpoint dir is recreated per run so the query is rerunnable.
+    At 100 TB the foreachBatch writer inherits every batch-side scale
+    property (AQE, partitioned writes, dynamic overwrite)."""
+    import shutil
+    import tempfile
+    import os
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks", sf_tag, f"stream_fb_{os.getpid()}"
+    )
+    out_path, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    agg = windowed_event_counts(events_stream(spark, sf_dir))
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_path)
