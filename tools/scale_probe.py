@@ -34,8 +34,12 @@ def main() -> None:
     rows = ["# SCALING — replication probe over documents (sf0.1 base)", "",
             f"Base corpus: {base_n} docs. Each step replicates it Nx with "
             "re-keyed doc_ids (distinct-key cardinality grows with N too).",
+            "For the repeated_spans probe every token additionally gets a "
+            "replica-unique interleave so true span density stays constant "
+            "per replica — the probe measures the operator's scaling, not "
+            "the planted quadratic duplication replication would create.",
             "", "| replication | docs | word_count s | dedup_exact s | "
-            "text_stats-agg s |", "|---|---|---|---|---|"]
+            "text_stats-agg s | repeated_spans s |", "|---|---|---|---|---|---|"]
     for n in factors:
         reps = spark.range(n).select(F.col("id").alias("rep"))
         corpus = docs.crossJoin(F.broadcast(reps)).select(
@@ -63,8 +67,32 @@ def main() -> None:
         ).agg(F.sum("nt"), F.avg("nt")).write.format("noop").mode("overwrite").save()
         t_ts = round(time.perf_counter() - t0, 2)
 
-        rows.append(f"| {n}x | {n_docs} | {t_wc} | {t_dd} | {t_ts} |")
-        print(f"{n}x: docs={n_docs} wc={t_wc}s dedup={t_dd}s stats={t_ts}s")
+        # repeated_spans: replica-unique interleave token after every
+        # space keeps 10-token windows from matching ACROSS replicas,
+        # so shared-span density per replica is constant and wall-clock
+        # should scale ~linearly with rows.
+        from hadoop_wordcount_spark import registry
+
+        registry.load_all()
+        span_dir = os.path.join(tempfile.gettempdir(), f"hwcs_scale_spans_{n}x")
+        spans_corpus = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("rep") * base_n).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"), F.lit(" "),
+                F.concat(F.lit(" q"), F.col("rep").cast("string"), F.lit("z ")),
+            ).alias("text"),
+        )
+        spans_corpus.write.mode("overwrite").parquet(
+            os.path.join(span_dir, "documents.parquet")
+        )
+        t0 = time.perf_counter()
+        registry.QUERIES["repeated_spans"](spark, span_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_rs = round(time.perf_counter() - t0, 2)
+
+        rows.append(f"| {n}x | {n_docs} | {t_wc} | {t_dd} | {t_ts} | {t_rs} |")
+        print(f"{n}x: docs={n_docs} wc={t_wc}s dedup={t_dd}s stats={t_ts}s spans={t_rs}s")
 
     rows += ["", "Linear-ish growth here means the plans are scan-bound with "
              "bounded shuffles — the property that carries to a real cluster, "
