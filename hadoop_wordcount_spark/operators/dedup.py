@@ -491,7 +491,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Eager localCheckpoint: materializes this round's labels and
         # TRUNCATES lineage — each iteration's plan reads the previous
-        # checkpoint, never the whole join chain.
+        # checkpoint, never the whole join chain. The change flag is
+        # computed INSIDE the same update join (nbr_min improves the
+        # label iff it is strictly smaller), so the convergence check
+        # is a filter over the already-materialized checkpoint — no
+        # second new-vs-old join per round.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -499,17 +503,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).limit(1).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
