@@ -118,7 +118,11 @@ def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, sentence string")
     class SplitSentences:
         def eval(self, text: str):
-            for i, s in enumerate((text or "").split(". ")):
+            if text is None:
+                # Match the oracle's unnest(string_split(NULL, ...)):
+                # NULL input expands to ZERO rows, not a ('', 0) row.
+                return
+            for i, s in enumerate(text.split(". ")):
                 yield i, s
 
     spark.udtf.register("split_sentences", SplitSentences)

@@ -620,6 +620,31 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_percentiles_exact",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 3) AS p50,
+               round(quantile_cont(value, 0.95), 3) AS p95
+        FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles via `percentile` (full sort per group, linear
+    interpolation at index p*(n-1)) — the hash-checked twin of the
+    GK-sketch `value_percentiles`: DuckDB's quantile_cont uses the
+    identical continuous-quantile definition, so the values match
+    under the standard round grid. Use the sketch at 100 TB (mergeable
+    map-side, bounded memory); use this when per-group cardinalities
+    are modest and exactness matters — the per-group sort is the cost.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 3).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 3).alias("p95"),
+    )
+
+
+@query(
     "colocated_join",
     oracle="""
         SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
@@ -633,9 +658,13 @@ def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds NO exchange of its own (asserted in plan tests). This is the
     repartition twin of bucketed tables — at 100 TB you persist the
     bucketing (write.bucketBy) and repeated joins on the key skip the
-    shuffle entirely."""
-    o = _t(spark, sf_dir, "orders").repartition(8, "o_custkey")
-    c = _t(spark, sf_dir, "customer").repartition(8, "c_custkey")
+    shuffle entirely. Partition count follows the session's
+    spark.sql.shuffle.partitions (no hard-coded width — the same code
+    runs at cluster scale where that knob is sized to the executor
+    fleet)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = _t(spark, sf_dir, "orders").repartition(n_part, "o_custkey")
+    c = _t(spark, sf_dir, "customer").repartition(n_part, "c_custkey")
     return (
         o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
@@ -966,10 +995,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import re as _re
 
+    import shutil as _shutil
+
     tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     # per-process path: concurrent sessions (e.g. parallel test runs)
-    # must not overwrite each other's bucket files mid-read
+    # must not overwrite each other's bucket files mid-read. Recreate
+    # the pid-scoped base per run so repeated runs in one process
+    # never accumulate stale bucket files (same convention as the
+    # foreachBatch sink).
     base = f"/tmp/spark_graft_buckets/{_os.getpid()}/{tag}"
+    _shutil.rmtree(base, ignore_errors=True)
     specs = {
         f"orders_b_{tag}": (_t(spark, sf_dir, "orders"), "o_custkey"),
         f"customer_b_{tag}": (_t(spark, sf_dir, "customer"), "c_custkey"),
@@ -1076,15 +1111,15 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as zero rows — the densify step every downsampling /
     charting / feature-window pipeline needs (plain groupBy silently
     drops empty intervals). Bucket math is integer nanos (`ts_ns div
-    60e9`) so Spark and DuckDB agree exactly, no timezone surface.
+    600e9`) so Spark and DuckDB agree exactly, no timezone surface.
 
     Plan: one partial+final agg per (type, bucket); the dense grid
     comes from sequence()+explode of each type's [min, max] bucket
-    range — |types| rows exploding to |types| x |minutes|, NEVER a
+    range — |types| rows exploding to |types| x |buckets|, NEVER a
     per-event explode; the gap-fill join is keyed on (type, bucket)
     and broadcastable when the grid is small. At 100 TB the grid size
-    is timespan-bound (525k minutes/year x |types|), independent of
-    event count."""
+    is timespan-bound (~52.6k 10-minute buckets/year x |types|),
+    independent of event count."""
     # integer `div`, not `/`: ts_ns ~ 1.7e18 exceeds double's exact
     # integer range, so float division would misplace bucket edges
     e = _t(spark, sf_dir, "events").select(

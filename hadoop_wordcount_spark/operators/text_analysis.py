@@ -368,9 +368,11 @@ _SPAN_W = 10  # seed window length, tokens (matches repeated_ngrams)
 _KR_FAMILIES = ((1000003, 2147483647), (999983, 2147483629))
 
 
-@query(
-    "repeated_spans",
-    oracle=f"""
+# String-ground-truth oracle shared by repeated_spans (hash-keyed
+# plan) and repeated_spans_verified (hash-keyed + token-slice verify):
+# the oracle joins on raw gram strings, so it IS the collision-free
+# answer both variants target.
+_ORACLE_REPEATED_SPANS = f"""
         WITH tk AS (
             SELECT doc_id,
                    list_filter(string_split({NORM_TEXT_SQL}, ' '), w -> w <> '') AS t
@@ -397,8 +399,10 @@ _KR_FAMILIES = ((1000003, 2147483647), (999983, 2147483629))
                CAST(min(pos_a) - off AS BIGINT) AS start_b,
                CAST(count(*) + {_SPAN_W - 1} AS BIGINT) AS span_len
         FROM g GROUP BY doc_a, doc_b, off, grp
-    """,
-)
+    """
+
+
+@query("repeated_spans", oracle=_ORACLE_REPEATED_SPANS)
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length repeated-span detection: maximal token spans
     (>= {_SPAN_W} tokens) shared verbatim between two documents, with
@@ -423,10 +427,25 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-per-token explode is the same cost envelope as the
     tokenize-explode every wordcount query already pays. The oracle
     joins on the raw gram strings — hash collisions are the only
-    possible divergence (~2^-62 per window pair)."""
+    possible divergence (~2^-62 per window pair; see
+    `repeated_spans_verified` for the collision-immune variant)."""
+    _, p = _span_window_matches(spark, sf_dir)
+    return _spans_from_matches(
+        p.select(
+            "doc_a", "doc_b", "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("off"),
+        )
+    )
+
+
+def _span_window_matches(spark: SparkSession, sf_dir: str):
+    """Shared candidate stage of the repeated-spans family: returns
+    (base, p) where ``base`` is (doc_id, t) token arrays and ``p`` the
+    hash-matched window pairs (doc_a, doc_b, pos_a, pos_b)."""
     d = _docs(spark, sf_dir)
     t = tokens_col(norm_text(F.col("text")))
     base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= _SPAN_W)
+    hashed = base
     # Per-token base values: family i folds pmod(xxhash64(seed_i, w), P_i).
     # Distinct seeds decorrelate the families below the 64-bit level.
     def token_hash(seed: int, mod: int):
@@ -435,12 +454,12 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda w: F.pmod(F.xxhash64(F.lit(seed), w), F.lit(mod))
 
     for i, (_, mod) in enumerate(_KR_FAMILIES):
-        base = base.withColumn(f"th{i}", F.transform("t", token_hash(i, mod)))
+        hashed = hashed.withColumn(f"th{i}", F.transform("t", token_hash(i, mod)))
 
     def window_hash(col: str, start: Column, base_: int, mod: int) -> Column:
         return kr_fold(F.slice(F.col(col), start, _SPAN_W), base_, mod)
 
-    windows = base.select(
+    windows = hashed.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -464,15 +483,18 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h0").alias("hb0"),
         F.col("h1").alias("hb1"),
     )
-    p = (
-        wa.join(
-            wb,
-            (F.col("h0") == F.col("hb0"))
-            & (F.col("h1") == F.col("hb1"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("off"))
-    )
+    p = wa.join(
+        wb,
+        (F.col("h0") == F.col("hb0"))
+        & (F.col("h1") == F.col("hb1"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", "pos_a", "pos_b")
+    return base, p
+
+
+def _spans_from_matches(p: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of matched windows (doc_a, doc_b, pos_a,
+    off) into maximal spans — shared tail of the repeated-spans family."""
     run = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pos_a")
     return (
         p.withColumn("grp", F.col("pos_a") - F.row_number().over(run))
@@ -489,6 +511,40 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_len",
         )
     )
+
+
+@query("repeated_spans_verified", oracle=_ORACLE_REPEATED_SPANS)
+def q_repeated_spans_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`repeated_spans` with belt-and-braces verification: every
+    hash-matched candidate window is re-compared as actual TOKEN
+    SLICES before the island merge, so a 62-bit Karp-Rabin collision
+    can never fabricate a span — the variant the base docstring
+    promises for 100 TB certainty.
+
+    Cost: re-attaches the token arrays to the (few) candidate matches
+    — two joins keyed on doc id whose right side is the already-
+    scanned base, plus an O(span window) array comparison per
+    candidate; candidates ∝ true shared windows, so the verify stage
+    never touches the n² pair space. On collision-free input (any
+    real corpus, a.s.) the output is IDENTICAL to `repeated_spans` —
+    pytest pins that equivalence; the string-ground-truth oracle is
+    the same one `repeated_spans` hash-matches."""
+    base, p = _span_window_matches(spark, sf_dir)
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    verified = (
+        p.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.slice("t_a", F.col("pos_a").cast("int"), _SPAN_W)
+            == F.slice("t_b", F.col("pos_b").cast("int"), _SPAN_W)
+        )
+        .select(
+            "doc_a", "doc_b", "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("off"),
+        )
+    )
+    return _spans_from_matches(verified)
 
 
 @query(

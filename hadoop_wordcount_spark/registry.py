@@ -36,70 +36,78 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # Verification-priority order. The driver's correctness harness walks
-# ``queries()`` in iteration order under a budget (round 1 stopped at
-# exactly 50 entries), so queries that most need a hard-signal row this
-# round must iterate FIRST: everything CORRECTNESS_r01 never reached
-# (the relational tail, TPC-H-style queries, sinks, similarity search,
-# streaming), then queries whose implementation changed this round,
-# then everything already proven green in round 1.
+# ``queries()`` in iteration order under a budget (rounds 1 and 2 each
+# stopped at exactly 50 entries), so queries that most need a
+# hard-signal row this round must iterate FIRST. Round 3: the four
+# queries neither round ever reached, then queries that are new or
+# gained an oracle this round, then implementations touched this
+# round, then the set last verified in round 1 (re-confirmation), with
+# the round-2-green set falling past the budget (just verified).
 _PRIORITY: list[str] = [
-    # -- round-1 unchecked (driver truncation at 50) ------------------
-    "running_event_value",
-    "lag_event_gap",
-    "event_props_json",
-    "scalar_functions_mix",
-    "asof_last_error",
-    "rank_dense_ntile",
-    "batch_sessionize",
-    "map_ops_mix",
-    "unpivot_status",
-    "value_percentiles",
-    "colocated_join",
-    "event_props_struct",
-    "salted_aggregation",
-    "stats_aggregates",
-    "value_histogram",
-    "sql_tpch_q3",
-    "tpch_q5_like",
-    "tpch_q18_like",
-    "outer_join_nations",
-    "sim_search_topk",
-    "embedding_norms",
-    "sim_search_lsh",
-    "knn_block_join",
-    "array_ops_mix",
-    "embedding_centroids",
-    "sink_roundtrip_csv",
-    "sink_roundtrip_json",
-    "sink_partitioned_parquet",
-    "sink_roundtrip_orc",
-    "streaming_event_counts",
-    "streaming_sliding_windows",
-    "streaming_session_windows",
-    "streaming_dedup",
-    "streaming_stateful_counter",
-    "streaming_stream_join",
-    "streaming_wordcount",
-    # -- changed this round (re-verify) -------------------------------
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "pipeline_curate",
-    "group_zscore_pandas",
-    "doc_rolling_hash",
-    "dedup_minhash",
-    # -- new this round ------------------------------------------------
-    "repeated_spans",
-    "skew_salted_join",
-    "bucketed_join",
-    "ann_ivf_search",
-    "dataset_split",
-    "stratified_sample",
-    "merge_upsert",
-    "udtf_split_sentences",
+    # -- never driver-checked (r1+r2 budget truncation) ---------------
     "events_resample",
     "trailing_window_sum",
     "streaming_foreach_batch",
     "pipeline_train_corpus",
+    # -- new or oracle-upgraded this round ----------------------------
+    "dedup_ngram_jaccard_lsh",
+    "value_percentiles_exact",
+    "repeated_spans_verified",
+    "dedup_simhash",
+    "streaming_dedup",
+    # -- implementation touched this round (re-verify) ----------------
+    "colocated_join",
+    "bucketed_join",
+    "udtf_split_sentences",
+    "dedup_minhash",
+    "dedup_minhash_banded",
+    "repeated_spans",
+    "dedup_clusters",
+    "pipeline_curate",
+    # -- last verified in round 1 (re-confirm under budget) -----------
+    "word_count",
+    "word_count_sorted",
+    "top_k_words",
+    "distinct_words",
+    "approx_distinct_words",
+    "grep_filter",
+    "union_corpora",
+    "words_intersect",
+    "words_except",
+    "topk_words_per_doc",
+    "text_source_wordcount",
+    "wc_tokens",
+    "join_wordcount_docs",
+    "text_stats",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count_regex",
+    "doc_fingerprint",
+    "tfidf",
+    "bigram_counts",
+    "repeated_ngrams",
+    "fuzzy_match_words",
+    "dedup_exact",
+    "dedup_anti_join",
+    "dedup_embedding_cosine",
+    "multimodal_meta",
+    "multimodal_decode",
+    "frame_sample",
+    "multimodal_resize",
+    "pandas_udf_scale",
+    "agg_multi",
+    "orders_by_month",
+    "grouping_rollup",
+    "cube_agg",
+    "pivot_status",
+    "join_orders_customer",
+    "join_multi",
+    "broadcast_join_parts",
+    "semi_join_customers",
+    "anti_join_customers",
+    "range_join_lineitem",
+    "window_topk_orders",
+    # -- round-2 green follows in registration order ------------------
 ]
 
 

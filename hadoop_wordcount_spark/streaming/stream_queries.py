@@ -64,6 +64,12 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     cannot affect the running stream; results are partition-count
     invariant. On a real cluster this knob scales back up with the
     executor count.
+
+    The temporary session-conf mutation assumes no OTHER query runs
+    concurrently on the same SparkSession during the availableNow
+    drain (true for the sequential harness/bench/driver; a concurrent
+    batch query would briefly plan with 4 shuffle partitions —
+    results unchanged, parallelism reduced).
     """
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -189,11 +195,25 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
-@query("streaming_dedup")  # stateful dropDuplicates — rows-only driver check
+@query(
+    "streaming_dedup",
+    oracle="""
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events GROUP BY event_type
+    """,
+)
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark on
     event_id — the streaming twin of dedup_exact. State holds only
-    ids inside the watermark horizon (bounded memory at scale)."""
+    ids inside the watermark horizon (bounded memory at scale).
+
+    Oracle: one availableNow pass settles to one surviving row per
+    event_id, so the per-type counts equal batch
+    count(DISTINCT event_id). (event_ids are globally unique in the
+    fixture; if an id ever repeated ACROSS types, which survivor wins
+    would be arrival-order-dependent and not SQL-expressible — the
+    late-duplicate *dropping* behavior is pinned by the two-batch
+    replay pytest instead.)"""
     events = events_stream(spark, sf_dir)
     deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -430,4 +450,9 @@ def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not os.path.exists(out_path):
+        # Zero micro-batches (empty source dir): foreachBatch never
+        # fired, so nothing landed. Return an empty frame with the
+        # aggregation's schema instead of an opaque AnalysisException.
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(out_path)
