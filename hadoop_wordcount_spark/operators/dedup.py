@@ -218,10 +218,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-        WITH tok AS (
+# Shared CTE chain: md5-hex fold to a 32-bit token hash, per-bit
+# majority vote, bit reassembly — DuckDB twin of _simhash_table.
+_ORACLE_SIMHASH_CTES = f"""
+        tok AS (
             SELECT doc_id,
                    unnest(list_distinct(list_filter(
                        string_split({NORM_TEXT_SQL}, ' '), w -> w <> ''))) AS w
@@ -244,21 +244,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
                        AS simhash
             FROM votes GROUP BY doc_id)
-        SELECT doc_id, simhash, simhash % 65536 AS band_lo FROM sh
-    """,
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) per document: per-bit majority vote over token
-    hashes. Token hash = first 8 hex digits of md5 (stable across
-    engines/releases, unlike murmur variants). Emitted as the sketch
-    value plus a 16-bit band key usable for banded near-dup joins.
+"""
 
-    Pure built-in expressions: explode → conv(hex) → bitwise ops →
-    32 conditional sums → bit reassembly. One shuffle (groupBy doc).
-    Fully oracle-checked: the md5 bit math is engine-portable, so the
-    DuckDB twin reproduces the identical sketch (hex digits folded to
-    the same 32-bit int, same per-bit majority, same reassembly).
-    """
+
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit per-document SimHash — per-bit
+    majority vote over distinct-token hashes. Token hash = first 8
+    hex digits of md5 (stable across engines/releases, unlike murmur
+    variants). Cached: feeds both the sketch query and both sides of
+    the pairs self-join."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens_col(norm_text(F.col("text"))))).alias("w")
@@ -276,10 +270,109 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(32):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
-    return voted.select(
+    return voted.select("doc_id", simhash.cast("long").alias("simhash")).cache()
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_ORACLE_SIMHASH_CTES}
+        SELECT doc_id, simhash, simhash % 65536 AS band_lo FROM sh
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) per document: per-bit majority vote over token
+    hashes, emitted as the sketch value plus a 16-bit band key usable
+    for banded near-dup joins (`dedup_simhash_pairs` is the full
+    blocked join).
+
+    Pure built-in expressions: explode → conv(hex) → bitwise ops →
+    32 conditional sums → bit reassembly. One shuffle (groupBy doc).
+    Fully oracle-checked: the md5 bit math is engine-portable, so the
+    DuckDB twin reproduces the identical sketch (hex digits folded to
+    the same 32-bit int, same per-bit majority, same reassembly).
+    """
+    sh = _simhash_table(spark, sf_dir)
+    return sh.select(
+        "doc_id", "simhash", (F.col("simhash") % (1 << 16)).alias("band_lo")
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH {_ORACLE_SIMHASH_CTES},
+        bands AS (
+            SELECT doc_id, simhash, t.b AS b,
+                   (simhash >> (CAST(t.b AS INT) * 8)) & 255 AS bkey
+            FROM sh, unnest(range(0, 4)) AS t(b)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: Hamming distance <= 3 over the 32-bit
+    sketches, candidates blocked by the pigeonhole bands — split the
+    sketch into 4 disjoint 8-bit blocks; any pair within Hamming 3
+    shares at least one block EXACTLY (3 flipped bits can ruin at most
+    3 of 4 blocks), so the band equi-join has guaranteed recall, never
+    an all-pairs scan. This completes the SimHash story: sketch
+    (`dedup_simhash`) → blocked join → verified pairs.
+
+    At 100 TB: candidates are ~n²/2^bits per band by chance plus true
+    near-dups; widen the sketch to 64 bits with 4x16-bit bands (same
+    plan, chance collisions 1/65536 per band) — 32-bit keeps the
+    DuckDB twin's integer math comfortably inside BIGINT here. One
+    aggregation shuffle for sketches (cached, shared across both
+    sides), one equi-join shuffle on (block, key); xor+bit_count
+    verification is codegen'd integer math on candidates only.
+    """
+    sh = _simhash_table(spark, sf_dir)
+    bands = sh.select(
         "doc_id",
-        simhash.cast("long").alias("simhash"),
-        (simhash.cast("long") % (1 << 16)).alias("band_lo"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.b", "band.bkey")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "b", "bkey"
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("b").alias("b2"),
+        F.col("bkey").alias("bkey2"),
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bkey") == F.col("bkey2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
 
 

@@ -1142,6 +1142,46 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rollup_multires",
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   epoch_ns(ts) // 3600000000000 AS b_hour,
+                   epoch_ns(ts) // 600000000000 AS b_10min,
+                   value
+            FROM events)
+        SELECT event_type, b_hour, b_10min,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM e GROUP BY ROLLUP(event_type, b_hour, b_10min)
+    """,
+)
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: 10-minute,
+    hourly, per-type, and grand-total aggregates of the SAME scan in
+    ONE pass — ROLLUP over (event_type, hour-bucket, 10min-bucket),
+    exploiting that the bucket columns form a hierarchy (10-min
+    determines hour), so the grouping sets ARE the resolution ladder
+    a continuous-aggregate/downsampling system maintains.
+
+    Plan: a single Expand+HashAggregate — one shuffle total for all
+    four resolutions, vs four separate scans+shuffles if computed
+    naively. Expand multiplies rows x4 BEFORE partial aggregation, so
+    the shuffle still carries only (group, partial) pairs — at 100 TB
+    the exchange is bounded by the bucket-grid sizes, not event count.
+    Bucket math is integer nanos (`ts_ns div`), engine-exact."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").alias("b_hour"),
+        F.expr("ts_ns div 600000000000").alias("b_10min"),
+        "value",
+    )
+    return e.rollup("event_type", "b_hour", "b_10min").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "trailing_window_sum",
     oracle="""
         WITH e AS (

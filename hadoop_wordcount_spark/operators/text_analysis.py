@@ -218,6 +218,47 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        freq AS (SELECT word, count(*) AS c FROM tok2 GROUP BY word),
+        tot AS (SELECT sum(c) AS n FROM freq)
+        SELECT t.doc_id,
+               round(avg(ln(f.c * 1.0 / tot.n) / ln(10)), 4) AS avg_logprob
+        FROM tok2 t JOIN freq f ON t.word = f.word CROSS JOIN tot
+        GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: mean log10 probability of
+    a document's tokens under the corpus's own unigram distribution —
+    the perplexity-style fluency/outlier signal of pretraining-data
+    quality filters (gibberish and boilerplate-with-rare-symbols score
+    low, plain prose scores high).
+
+    Plan: one token-frequency aggregation (vocabulary-sized result →
+    broadcast back onto the token stream), the corpus-total N attached
+    via crossJoin(broadcast(agg)) — a plan literal-free scalar join,
+    NO driver-side count() round trip (one job end to end, unlike
+    tfidf's documented two-job form) — then one groupBy(doc_id). At
+    100 TB: two shuffles total (freq, per-doc mean); the token stream
+    itself never reshuffles between them."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log10(F.col("c") / F.col("n"))), 4).alias("avg_logprob"))
+    )
+
+
+@query(
     "bigram_counts",
     oracle="""
         WITH tok AS (

@@ -51,6 +51,9 @@ _PRIORITY: list[str] = [
     "pipeline_train_corpus",
     # -- new or oracle-upgraded this round ----------------------------
     "dedup_ngram_jaccard_lsh",
+    "dedup_simhash_pairs",
+    "unigram_logprob",
+    "events_rollup_multires",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",

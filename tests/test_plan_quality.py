@@ -71,7 +71,8 @@ def test_no_cartesian_in_pair_joins(spark, sf_dir):
     """Blocked pair generation (dedup/knn) must stay equi-join —
     a cartesian product here is the n² trap at scale."""
     for name in ("dedup_ngram_jaccard", "knn_block_join", "dedup_minhash_banded",
-                 "dedup_embedding_cosine"):
+                 "dedup_embedding_cosine", "dedup_ngram_jaccard_lsh",
+                 "dedup_simhash_pairs", "repeated_spans_verified"):
         df = registry.QUERIES[name](spark, sf_dir)
         assert_not_in_plan(df, "CartesianProduct")
 
