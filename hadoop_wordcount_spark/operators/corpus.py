@@ -1,0 +1,335 @@
+"""Training-corpus assembly operators: sequence packing, RAG
+chunking, eval-set decontamination, inverted index, BM25 retrieval.
+
+Absent from the reference (its only text op is tokenize+count,
+``MapClass.java:21-24``); these are the operations a 100 TB
+pretraining-data pipeline runs AFTER dedup/quality filtering: pack
+documents into fixed token blocks for the trainer, chunk for
+retrieval, decontaminate the train split against held-out eval sets,
+and build retrieval structures (postings, BM25) over the corpus.
+
+All hot paths are built-in Catalyst expressions (array lambdas,
+window aggregates, broadcast joins) — no Python UDFs.
+
+NOTE on higher-order functions: every lambda passed to
+``F.transform``/``F.filter`` here takes exactly ONE parameter —
+PySpark treats a two-parameter callable as (element, index) and
+passes the index Column as the second argument, which silently
+corrupts ``lambda x, k=k`` default-capture idioms. Per-variant
+constants are closed over via helper-function scopes instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark.operators.sampling import hash_bucket
+from hadoop_wordcount_spark.operators.wordcount import tokens_col
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+_BLOCK = 512  # trainer sequence length (tokens per packed block)
+_CHUNK = 32  # RAG chunk window (tokens)
+_STRIDE = 16  # RAG chunk stride (tokens) — 50% overlap
+_SHINGLE = 5  # decontamination n-gram size
+_EVAL_HI = "08"  # md5-bucket bound: doc_id buckets < '08' (~1/32) are eval
+_POSTING_CAP = 100  # posting-list truncation (delta-encode + split at scale)
+_BM25_TERMS = ("spark", "join", "window")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                       AS n_tokens
+            FROM documents),
+        c AS (
+            -- DuckDB SUM(BIGINT) yields HUGEINT; pin back to BIGINT so
+            -- the derived columns keep integer types end to end.
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                        AS BIGINT) AS cum
+            FROM t)
+        SELECT doc_id, lang, n_tokens,
+               cum - n_tokens AS start_off,
+               (cum - n_tokens) // {_BLOCK} AS first_block,
+               greatest(cum - 1, cum - n_tokens) // {_BLOCK} AS last_block,
+               ((cum - n_tokens) // {_BLOCK}
+                <> greatest(cum - 1, cum - n_tokens) // {_BLOCK}) AS spans_boundary
+        FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic order and chop the token stream into fixed
+    {_BLOCK}-token trainer blocks — each document gets its absolute
+    token offset and the [first_block, last_block] span it lands in,
+    plus whether it straddles a block boundary (the attention-mask /
+    doc-separator bookkeeping a trainer needs).
+
+    The running offset is a window cumsum PARTITIONED BY lang (the
+    packing shard), so shards pack independently and in parallel —
+    the 100 TB form partitions by (shard_id) with thousands of
+    shards, same plan. A GLOBAL single-stream packing would serialize
+    the cumsum into one partition; the sharded form is what scales
+    (and matches how packed pretraining data is actually laid out:
+    per-shard files, each self-contained). One shuffle (by lang),
+    window is a single pass; doc_id order makes it reproducible."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    first_block = F.expr(f"(cum - n_tokens) div {_BLOCK}")
+    last_block = F.expr(f"greatest(cum - 1, cum - n_tokens) div {_BLOCK}")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_off"),
+        first_block.alias("first_block"),
+        last_block.alias("last_block"),
+        (first_block != last_block).alias("spans_boundary"),
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {_STRIDE})) AS start
+            FROM t WHERE len(toks) >= 1)
+        SELECT doc_id,
+               start // {_STRIDE} AS chunk_idx,
+               start AS start_tok,
+               CAST(len(list_slice(toks, start + 1, start + {_CHUNK})) AS BIGINT)
+                   AS chunk_len,
+               array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping {_CHUNK}-token windows at stride
+    {_STRIDE} (50% overlap) per document — the retrieval-index
+    preprocessing step. Tail chunks are allowed to be short (every
+    token is covered by at least one chunk; interior tokens by two).
+
+    Pure projection + explode: sequence() of starts, slice() per
+    start — shuffle-free, scales linearly with the scan exactly like
+    the tokenize explode every wordcount pays. Chunk count per doc is
+    ceil(n_tokens / stride), bounded and known in advance."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK)
+    return s.select(
+        "doc_id",
+        F.expr(f"start div {_STRIDE}").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "decontaminate_vs_eval",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        sh AS (
+            SELECT doc_id, b,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(toks) - {_SHINGLE - 2}),
+                       i -> array_to_string(list_slice(toks, i, i + {_SHINGLE - 1}), ' '))))
+                       AS s
+            FROM tk WHERE len(toks) >= {_SHINGLE}),
+        ev AS (SELECT DISTINCT s FROM sh WHERE b < '{_EVAL_HI}'),
+        tr AS (SELECT doc_id, s FROM sh WHERE b >= '{_EVAL_HI}')
+        SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tr JOIN ev USING (s)
+        GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    {_SHINGLE}-token n-gram with a held-out eval set — the standard
+    train/test-contamination sweep run before pretraining. The eval
+    set here is the deterministic md5-bucket < '{_EVAL_HI}' slice of
+    the corpus (~1/32 of docs), standing in for MMLU/GSM-style
+    benchmark text; output is each contaminated train doc with its
+    count of distinct shared n-grams (the removal/flagging signal).
+
+    Scale shape: eval benchmarks are tiny (MBs) next to a 100 TB
+    corpus, so the distinct eval-shingle set BROADCASTS — the train
+    side never shuffles; contamination detection is a map-side
+    semi-join + one groupBy(doc_id) whose input is only the matching
+    shingles. Shingles compare as strings here (exact semantics,
+    engine-portable); at scale you'd hash them to int64 first, same
+    plan."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("b"),
+        tokens_col(F.col("text")).alias("toks"),
+    ).filter(F.size("toks") >= _SHINGLE)
+    sh = t.select(
+        "doc_id",
+        "b",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SHINGLE - 1)),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i, _SHINGLE), " "),
+                )
+            )
+        ).alias("s"),
+    )
+    ev = sh.filter(F.col("b") < _EVAL_HI).select("s").distinct()
+    tr = sh.filter(F.col("b") >= _EVAL_HI).select("doc_id", "s")
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS word
+            FROM documents),
+        u AS (SELECT DISTINCT doc_id, word FROM tok)
+        SELECT word, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, {_POSTING_CAP}), ',')
+                   AS postings
+        FROM u GROUP BY word
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: per token, document frequency and the
+    (sorted, {_POSTING_CAP}-capped) posting list of doc_ids — the
+    core retrieval/search structure over a corpus.
+
+    One distinct + one groupBy(word) shuffle; posting lists are
+    sorted for determinism and truncated at {_POSTING_CAP} entries so
+    a stop-word's posting row cannot become a multi-GB record. At
+    100 TB the cap becomes posting-list SHARDING ((word, shard_no)
+    keys, delta-encoded ids) — same aggregation shape, and the
+    head-word skew is exactly what `salted_aggregation` demonstrates
+    the fix for."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).distinct()
+    postings = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"), postings.alias("postings")
+    )
+
+
+_TERMS_SQL = "', '".join(_BM25_TERMS)
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        tok AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM tok
+            WHERE word IN ('{_TERMS_SQL}') GROUP BY doc_id, word),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+        SELECT tf.doc_id,
+               round(sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                         * tf.tf * {_K1 + 1}
+                         / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))), 4)
+                   AS bm25
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.word = dfreq.word
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id LIMIT {_TOPK}
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring: top-{_TOPK} documents for a fixed
+    3-term query under Okapi BM25 (k1={_K1}, b={_B}) — idf from
+    corpus document frequency, tf saturation, doc-length
+    normalization against the corpus mean. The ranking function
+    behind full-text search over the corpus (`inverted_index` is the
+    structure; this is the scorer).
+
+    Plan shape at 100 TB: the token scan filters to query terms
+    BEFORE any shuffle (tf input ∝ term postings, not corpus); df
+    and the (n_docs, avgdl) scalar attach via broadcast — no driver
+    round trip; one groupBy(doc_id) over matching terms only, then a
+    TakeOrderedAndProject k-heap. Scores are rounded before the sort
+    so the top-k cut is engine-stable (unique doc_id tiebreak)."""
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tok = docs.select("doc_id", F.explode("toks").alias("word")).filter(
+        F.col("word").isin(list(_BM25_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )

@@ -54,6 +54,11 @@ _PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     "unigram_logprob",
     "events_rollup_multires",
+    "pack_sequences",
+    "doc_chunk_windows",
+    "decontaminate_vs_eval",
+    "inverted_index",
+    "bm25_topk",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
@@ -119,6 +124,7 @@ def load_all() -> None:
     reorder the registry into verification-priority order."""
     # Imports are side-effecting (decorator registration).
     from hadoop_wordcount_spark.operators import (  # noqa: F401
+        corpus,
         dedup,
         multimodal,
         pandas_ops,
