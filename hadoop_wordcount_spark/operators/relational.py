@@ -1182,6 +1182,93 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   epoch_ns(ts) // 1000000000 AS ts_s
+            FROM events),
+        s1 AS (
+            SELECT user_id, event_type, ts_s,
+                   min(CASE WHEN event_type = 'view' THEN ts_s END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM e),
+        s2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts_s > t1
+                               THEN ts_s END)
+                       OVER (PARTITION BY user_id) AS t2
+            FROM s1),
+        s3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s > t2
+                               THEN ts_s END)
+                       OVER (PARTITION BY user_id) AS t3
+            FROM s2)
+        SELECT user_id,
+               max(t1) AS first_view,
+               max(t2) AS first_click,
+               max(t3) AS first_purchase,
+               CASE WHEN max(t3) IS NOT NULL THEN 'purchase'
+                    WHEN max(t2) IS NOT NULL THEN 'click'
+                    WHEN max(t1) IS NOT NULL THEN 'view'
+                    ELSE 'none' END AS reached
+        FROM s3 GROUP BY user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the first view, the first click STRICTLY AFTER that view, and the
+    first purchase strictly after that click — the conversion-path
+    primitive of product analytics, where each stage must respect the
+    causal order (a purchase before the first view does not count).
+
+    ONE shuffle total: three chained min-over windows all partition by
+    user_id, so Spark plans them as consecutive Window nodes over a
+    single Exchange, and the closing per-user aggregate reuses the
+    same hash partitioning (plan-asserted). Each window pass is a
+    per-partition constant-state scan; at 100 TB the cost is one
+    user_id shuffle of (user, type, second) triples — no joins, no
+    per-stage re-scans. Epoch-second integer math keeps both engines
+    on identical timestamps."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000000000").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_s") > F.col("t1")),
+                F.col("ts_s"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_s") > F.col("t2")),
+                F.col("ts_s"),
+            )
+        ).over(w),
+    )
+    reached = (
+        F.when(F.max("t3").isNotNull(), "purchase")
+        .when(F.max("t2").isNotNull(), "click")
+        .when(F.max("t1").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return s3.groupBy("user_id").agg(
+        F.max("t1").alias("first_view"),
+        F.max("t2").alias("first_click"),
+        F.max("t3").alias("first_purchase"),
+        reached.alias("reached"),
+    )
+
+
+@query(
     "trailing_window_sum",
     oracle="""
         WITH e AS (

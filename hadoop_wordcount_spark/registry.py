@@ -59,6 +59,8 @@ _PRIORITY: list[str] = [
     "decontaminate_vs_eval",
     "inverted_index",
     "bm25_topk",
+    "funnel_conversion",
+    "pagerank_bigram",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
@@ -126,6 +128,7 @@ def load_all() -> None:
     from hadoop_wordcount_spark.operators import (  # noqa: F401
         corpus,
         dedup,
+        graph,
         multimodal,
         pandas_ops,
         relational,
