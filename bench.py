@@ -35,10 +35,15 @@ def main() -> None:
     failures: dict[str, str] = {}
 
     # Warm the JVM/codegen once so query timings measure the engine,
-    # not first-call classloading.
+    # not first-call classloading. Same treatment for the Python
+    # data source path: its first use pays ~10s of one-time worker
+    # spawn + registration (session-fixed, not per-row).
     registry.QUERIES["word_count"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    registry.QUERIES["python_datasource_scan"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     t_total = time.perf_counter()
     for name in sorted(registry.QUERIES):

@@ -91,6 +91,68 @@ def q_pandas_udf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_in_arrow_scale",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_band,
+               round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+        FROM lineitem WHERE l_orderkey % 500 = 1
+    """,
+)
+def q_map_in_arrow_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-level sanctioned escape hatch: the
+    function sees raw ``pyarrow.RecordBatch``es, no pandas
+    materialization at all. This is the right hatch when the Python
+    side is itself Arrow-native (Arrow-backed ML feature libraries,
+    Arrow Flight shipping, zero-copy hand-off to C extensions):
+    one less conversion than mapInPandas, identical distribution
+    story (per-partition, no shuffle).
+
+    Completes the Python extension-point family: pandas_udf (scalar),
+    applyInPandas (grouped), mapInPandas (batch iterator),
+    UDTF (tabular), applyInPandasWithState /
+    transformWithStateInPandas (stateful streaming), mapInArrow
+    (raw Arrow). Rounding happens JVM-side after the hatch, per the
+    module's parity conventions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def bands(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            price = t.column("l_extendedprice")
+            disc = t.column("l_discount")
+            band = pc.cast(pc.floor(pc.divide(price, pa.scalar(1000.0))), pa.int64())
+            dp = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_linenumber": t.column("l_linenumber"),
+                    "price_band": band,
+                    "disc_price": dp,
+                }
+            )
+            yield from out.to_batches()
+
+    mapped = li.mapInArrow(
+        bands,
+        schema="l_orderkey long, l_linenumber int, price_band long, disc_price double",
+    )
+    return mapped.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_band",
+        F.round("disc_price", 2).alias("disc_price"),
+    )
+
+
+@query(
     "udtf_split_sentences",
     oracle="""
         SELECT doc_id,

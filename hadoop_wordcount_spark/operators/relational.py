@@ -419,6 +419,49 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_variant",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               max(k) AS max_k,
+               CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_even
+        FROM v GROUP BY event_type
+    """,
+)
+def q_event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4):
+    ``parse_json`` parses each props payload ONCE into Variant's
+    binary-encoded form, then ``variant_get`` path-extracts with a
+    target type — the modern replacement for repeated
+    get_json_object string re-parsing (`event_props_json` is the
+    legacy twin on the same data).
+
+    At 100 TB this is the schema-on-read path for heterogeneous JSON:
+    parse once per row, extract many paths from the binary encoding
+    (no per-path re-parse), shred into columns at the scan when the
+    paths stabilize. The aggregate shape is identical to the JSON
+    twin, so the two queries' costs are directly comparable in
+    BENCH.json. Oracle reads the same values via DuckDB JSON
+    extraction — Variant is an encoding, not a semantics change."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+        )
+    )
+
+
+@query(
     "scalar_functions_mix",
     oracle="""
         SELECT o_orderkey,
@@ -803,6 +846,38 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate  > TIMESTAMP_NTZ '1998-03-15 00:00:00'
         GROUP BY l_orderkey, year(o_orderdate)
         ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """)
+
+
+@query(
+    "sql_pipe_q6",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+        GROUP BY l_returnflag
+    """,
+)
+def q_sql_pipe_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, `|>` operators): the TPC-H
+    Q6-forecast-revenue shape written as a linear FROM → WHERE →
+    AGGREGATE pipeline instead of nested SELECT — the readable form
+    for staged transformations, compiled by Catalyst into the exact
+    same plan as the classic query (predicate pushdown into the scan
+    included; the oracle IS the classic form). API-surface coverage:
+    a reference user gets the classic SQL path (`sql_tpch_q3`), the
+    DataFrame path, and the pipe path over the same tables."""
+    from hadoop_wordcount_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(sum(l_extendedprice * l_discount), 2) AS revenue
+           GROUP BY l_returnflag
     """)
 
 

@@ -61,6 +61,10 @@ _PRIORITY: list[str] = [
     "bm25_topk",
     "funnel_conversion",
     "pagerank_bigram",
+    "python_datasource_scan",
+    "event_props_variant",
+    "map_in_arrow_scale",
+    "sql_pipe_q6",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
@@ -138,6 +142,7 @@ def load_all() -> None:
         text_analysis,
         wordcount,
     )
+    from hadoop_wordcount_spark.sources import pydatasource  # noqa: F401
     from hadoop_wordcount_spark.streaming import stream_queries  # noqa: F401
 
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -279,6 +279,110 @@ def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas — Spark 4's arbitrary-state API v2
+    (successor to applyInPandasWithState, which
+    `streaming_stateful_counter` keeps covered): a StatefulProcessor
+    object with an explicit init/handleInputRows/close lifecycle and
+    named state handles. Per event_type, a ValueState accumulates
+    (count, sum, min_id) across micro-batches.
+
+    NOT a registry query: the API's Python state server speaks
+    protobuf, and this container's google.protobuf install is broken
+    (`ImportError: cannot import name 'descriptor'`) with pip
+    installs disallowed — the runner crashes at init. The plan/state
+    code below is complete and environment-gated like the Kafka and
+    lakehouse connectors; `tests/test_streaming_semantics.py` pins
+    the gate. On a working install the settled availableNow result
+    equals `SELECT event_type, count(*), round(avg(value),3),
+    min(event_id) FROM events GROUP BY event_type`.
+
+    The API REQUIRES the RocksDB state-store provider — which is also
+    the right provider at 100 TB (state spills to disk + changelog
+    checkpointing, instead of HDFSBackedStateStore's executor-heap
+    maps). The provider conf is set for this query's start and
+    restored after (pinned into the query's checkpoint, same
+    single-threaded-harness assumption run_to_memory documents).
+    One availableNow pass settles to the batch aggregate.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires a working google.protobuf "
+            "(its Python state server is proto-based); this environment's "
+            "protobuf install is broken and pip installs are disallowed"
+        ) from exc
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events = events_stream(spark, sf_dir).select("event_type", "value", "event_id")
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n LONG, s DOUBLE, mn LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, s, mn = self._agg.get()
+            else:
+                n, s, mn = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                batch_min = int(pdf["event_id"].min())
+                mn = batch_min if mn is None else min(mn, batch_min)
+            self._agg.update((n, s, mn))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n": [n],
+                    "avg_value": [round(s / n, 3)],
+                    "min_event_id": [mn],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        result = events.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=TypeStats(),
+            outputStructType=(
+                "event_type string, n long, avg_value double, min_event_id long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        settled = run_to_memory(result, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # update mode may emit one row per key per micro-batch; the final
+    # state per key has the largest n (counts are monotone).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        settled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n", "avg_value", "min_event_id")
+    )
+
+
 def kafka_events_stream(
     spark: SparkSession, bootstrap_servers: str, topic: str
 ) -> DataFrame:

@@ -114,3 +114,29 @@ def test_streaming_batch_equivalence(spark, sf_dir):
     )
     batch_rows = {(r["ws"], r["event_type"], r["n"]) for r in batch.collect()}
     assert stream_rows == batch_rows
+
+def test_transform_with_state_gate(spark, sf_dir):
+    """transformWithStateInPandas is environment-gated: this
+    container's protobuf is broken (its Python state server needs
+    it), so the helper must raise the documented NotImplementedError
+    BEFORE starting a stream — or, on a fixed install, run and settle
+    to the batch aggregate."""
+    from hadoop_wordcount_spark.streaming import stream_queries
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if not have_protobuf:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_queries.transform_with_state_stats(spark, sf_dir)
+    else:
+        rows = stream_queries.transform_with_state_stats(spark, sf_dir).collect()
+        assert {r["event_type"] for r in rows} == {
+            "signup", "click", "view", "purchase", "error"
+        }
