@@ -1257,6 +1257,48 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "outlier_filter_p99",
+    oracle="""
+        WITH p AS (
+            SELECT event_type, round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 3) AS value, p.p99
+        FROM events e JOIN p USING (event_type)
+        WHERE e.value > p.p99
+    """,
+)
+def q_outlier_filter_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile outlier filter: events above their type's
+    exact p99 — the standard anomaly/trim step of a cleaning pipeline
+    (cap sensor spikes, drop abusive request sizes) where the
+    threshold is data-derived per group, not a constant.
+
+    Plan: one aggregation computes the per-type thresholds (|types|
+    rows → BROADCAST back onto the event stream), so the event scan
+    is filtered map-side — no second shuffle, no driver round trip,
+    and at 100 TB the big side never repartitions. Both engines
+    compare against the threshold ROUNDED to 4 decimals (Spark
+    `percentile` and DuckDB `quantile_cont` are both linear
+    interpolation; rounding removes last-ulp divergence from the
+    filter decision)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")
+    )
+    return (
+        e.join(F.broadcast(p), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            "p99",
+        )
+    )
+
+
+@query(
     "funnel_conversion",
     oracle="""
         WITH e AS (

@@ -304,9 +304,10 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape per stage, at 100 TB:
     - assignment: |V| x K rows via crossJoin(broadcast(centroids)) —
-      centroids are K x d values, always broadcastable; the only
-      shuffle is the per-vector argmin window, keyed uniformly by
-      vec_id (rank over K rows per key).
+      centroids are K x d values, always broadcastable; the argmin is
+      min(struct(d2, cid)) with MAP-SIDE partials, so the shuffle
+      carries one partial per vector, never the |V| x K distance rows
+      (a window argmin would sort all of them post-shuffle).
     - update: groupBy(cid, pos) mean with map-side partials; the
       exchange carries K x d rows regardless of corpus size. Each
       round's centroid table is localCheckpoint-ed (it is tiny) so the
@@ -318,8 +319,6 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so double-summation ulp noise cannot flip an assignment;
     ranking ties break on cid. The planner sees plain joins/agg —
     AQE right-sizes every exchange."""
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
     # Cache the double-cast vectors: every k-means round (assign +
     # update) and the final assignment re-read them — one scan, not 8.
@@ -341,15 +340,21 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("d2", "cid")
+        # argmin as min(struct(d2, cid)): struct ordering compares d2
+        # then cid — the same deterministic tiebreak as a window
+        # ordered by (d2, cid), but as a HashAggregate with MAP-SIDE
+        # partials: the shuffle carries one partial min per vec_id per
+        # map partition instead of all |V| x K distance rows that a
+        # window argmin would sort post-shuffle.
+        best = F.struct(
+            d2(F.col("v"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
         )
         return (
             vecs.crossJoin(F.broadcast(cent_df))
-            .select("vec_id", "cid", d2(F.col("v"), F.col("cv")).alias("d2"))
-            .withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
+            .select("vec_id", best.alias("dc"))
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"))
         )
 
     for _ in range(IVF_ITERS):

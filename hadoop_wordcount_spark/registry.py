@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "event_props_variant",
     "map_in_arrow_scale",
     "sql_pipe_q6",
+    "outlier_filter_p99",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
