@@ -1256,6 +1256,70 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_sql(xc: str, yc: str) -> str:
+    """SQL bit-interleave of two 8-bit values (shared by oracle)."""
+    return " + ".join(
+        f"((({xc} >> {i}) & 1) << {2 * i}) + ((({yc} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+        WITH d AS (
+            SELECT o_custkey % 256 AS x,
+                   datediff('day', TIMESTAMP '1970-01-01', o_orderdate) % 256 AS y
+            FROM orders),
+        z AS (SELECT x, y, {_zorder_sql('x', 'y')} AS zkey FROM d)
+        SELECT zkey // 4096 AS zchunk,
+               CAST(count(*) AS BIGINT) AS n,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM z GROUP BY zchunk
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two dimensions — customer
+    bucket x order-day bucket — plus per-chunk min/max statistics:
+    the multi-dimensional clustering primitive behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting by the interleaved key groups rows so
+    EVERY chunk is a small rectangle in BOTH dimensions (the min/max
+    spans in the output show it), which is what lets min/max file
+    statistics skip files for predicates on EITHER column — a
+    1-D sort gives perfect pruning on one column and none on the
+    other.
+
+    The interleave is 16 unrolled integer bit ops — pure codegen'd
+    projection, shuffle only for the per-chunk stats aggregate
+    (bounded by chunk count). At 100 TB this key feeds
+    repartitionByRange + sortWithinPartitions at write time; the
+    day bucket via datediff keeps both engines timezone-free."""
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz")
+        ).cast("long")
+        % 256
+    )
+    d = _t(spark, sf_dir, "orders").select(x.alias("x"), y.alias("y"))
+    zkey = None
+    for i in range(8):
+        xbit = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        zkey = xbit + ybit if zkey is None else zkey + xbit + ybit
+    z = d.select("x", "y", zkey.alias("zkey"))
+    return z.groupBy(F.expr("zkey div 4096").alias("zchunk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
 @query(
     "outlier_filter_p99",
     oracle="""

@@ -66,6 +66,8 @@ _PRIORITY: list[str] = [
     "map_in_arrow_scale",
     "sql_pipe_q6",
     "outlier_filter_p99",
+    "zorder_layout",
+    "streaming_quality_gate",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",

@@ -279,6 +279,63 @@ def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_quality_gate",
+    oracle="""
+        WITH q AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+                   len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))
+                       AS n_dis,
+                   length(text) AS n_ch
+            FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM q
+        WHERE n_tok >= 10 AND n_ch >= 50
+          AND n_dis * 1.0 / greatest(n_tok, 1) >= 0.2
+        GROUP BY lang
+    """,
+)
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the `pipeline_curate` quality gate
+    (length/diversity thresholds, identical predicates) applied to a
+    STREAM of documents with per-lang running totals — the
+    ingest-time shape of corpus building, where new crawl shards
+    arrive continuously and the curation counters must not wait for a
+    batch recompute. Every other stream here reads events; this one
+    proves the document pipeline is source-agnostic too.
+
+    The gate itself is a stateless projection+filter (per-batch, no
+    state store); only the per-lang counter aggregation holds state —
+    |langs| rows, trivially bounded. One availableNow pass over the
+    fixture settles to the batch gate = the oracle. At 100 TB the
+    file source swaps for the crawl queue and the same plan runs
+    micro-batched."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/[d]ocuments.parquet")
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    gated = raw.select(
+        "lang", n_tok.cast("long").alias("n_tok"), n_dis.alias("n_dis"),
+        F.length("text").alias("n_ch"),
+    ).filter(
+        (F.col("n_tok") >= 10)
+        & (F.col("n_ch") >= 50)
+        & (F.col("n_dis") / F.greatest(F.col("n_tok"), F.lit(1)) >= 0.2)
+    )
+    counted = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    return run_to_memory(counted, output_mode="complete")
+
+
 def transform_with_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas — Spark 4's arbitrary-state API v2
     (successor to applyInPandasWithState, which

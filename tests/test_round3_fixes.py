@@ -140,3 +140,18 @@ def test_streaming_dedup_drops_in_stream_duplicates(spark, tmp_path):
     pdf = head.to_pandas()
     expect = pdf.groupby("event_type")["event_id"].nunique().to_dict()
     assert got == expect
+
+
+def test_zorder_chunks_are_rectangles_in_both_dims(spark, sf_dir):
+    """The z-order locality property: with 16 chunks (top 4 interleaved
+    bits = 2 high bits per dimension), every chunk must span < 64 of
+    the 256-bucket range in BOTH dimensions — the guarantee that makes
+    min/max file stats prune on either column."""
+    from hadoop_wordcount_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["zorder_layout"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] < 64, r
+        assert r["max_y"] - r["min_y"] < 64, r
