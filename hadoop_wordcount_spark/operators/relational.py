@@ -1256,6 +1256,57 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_dedup_latest",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_ns(ts) // 1000000000 AS ts_s, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        SELECT user_id, event_id, event_type, ts_s,
+               round(value, 3) AS value
+        FROM r WHERE rn = 1
+    """,
+)
+def q_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction: keep each user's most recent
+    event (ROW_NUMBER = 1 over ts DESC with event_id tiebreak) — the
+    CDC-compaction / snapshot-view primitive that turns an append-only
+    changelog into current state. `merge_upsert` applies a delta; this
+    collapses the log itself.
+
+    One shuffle on the key; Spark plans the rn=1 filter as a
+    WindowGroupLimit, so each partition keeps ONE row per key before
+    the window sort — at 100 TB the sort input per key is the group
+    limit, not the full history. The unique event_id tiebreak makes
+    same-second ties engine-stable."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000000000").alias("ts_s"),
+        F.expr("ts_ns").alias("_ord"),
+        "value",
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("_ord"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts_s",
+            F.round("value", 3).alias("value"),
+        )
+    )
+
+
 def _zorder_sql(xc: str, yc: str) -> str:
     """SQL bit-interleave of two 8-bit values (shared by oracle)."""
     return " + ".join(

@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "outlier_filter_p99",
     "zorder_layout",
     "streaming_quality_gate",
+    "window_dedup_latest",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
