@@ -91,10 +91,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
     )
+    return pack_offsets(t, _BLOCK)
+
+
+def pack_offsets(t: DataFrame, block: int) -> DataFrame:
+    """Core of `pack_sequences` over a (doc_id, lang, n_tokens) frame
+    — separated so property tests can feed synthetic corpora; see the
+    query docstring for semantics and plan shape."""
     w = Window.partitionBy("lang").orderBy("doc_id")
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    first_block = F.expr(f"(cum - n_tokens) div {_BLOCK}")
-    last_block = F.expr(f"greatest(cum - 1, cum - n_tokens) div {_BLOCK}")
+    first_block = F.expr(f"(cum - n_tokens) div {block}")
+    last_block = F.expr(f"greatest(cum - 1, cum - n_tokens) div {block}")
     return c.select(
         "doc_id",
         "lang",

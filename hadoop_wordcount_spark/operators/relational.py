@@ -1315,6 +1315,18 @@ def _zorder_sql(xc: str, yc: str) -> str:
     )
 
 
+def zorder_key(x, y):
+    """Morton interleave of two 8-bit bucket Columns → 16-bit z-key
+    Column (x in even bits, y in odd). Pure codegen'd bit ops;
+    property-tested against a Python bit model."""
+    zkey = None
+    for i in range(8):
+        xbit = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zkey = xbit + ybit if zkey is None else zkey + xbit + ybit
+    return zkey
+
+
 @query(
     "zorder_layout",
     oracle=f"""
@@ -1354,14 +1366,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 256
     )
     d = _t(spark, sf_dir, "orders").select(x.alias("x"), y.alias("y"))
-    zkey = None
-    for i in range(8):
-        xbit = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
-        ybit = F.shiftleft(
-            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-        zkey = xbit + ybit if zkey is None else zkey + xbit + ybit
-    z = d.select("x", "y", zkey.alias("zkey"))
+    z = d.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("zkey"))
     return z.groupBy(F.expr("zkey div 4096").alias("zchunk")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("min_x"),
@@ -1464,6 +1469,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts_ns div 1000000000").alias("ts_s")
     )
+    return funnel_stages(e)
+
+
+def funnel_stages(e: DataFrame) -> DataFrame:
+    """Core of `funnel_conversion` over a (user_id, event_type, ts_s)
+    frame — separated so property tests can feed synthetic event
+    streams; see the query docstring for semantics and plan shape."""
     w = Window.partitionBy("user_id")
     s1 = e.withColumn(
         "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w)
