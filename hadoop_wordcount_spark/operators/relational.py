@@ -1256,6 +1256,54 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "profile_table",
+    oracle="""
+        """ + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_s,
+                   CAST(max({c}) AS VARCHAR) AS max_s
+            FROM orders"""
+        for c in _PROFILE_COLS
+    ) + """
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep: per-column null count, distinct count,
+    and min/max (as strings, type-erased) over a fixed column set —
+    the ingest-quality report every pipeline runs before trusting a
+    new drop of data.
+
+    One aggregation pass PER COLUMN over the same scan (column
+    pruning keeps each scan to its own column); at 100 TB you fold
+    the exact distincts into one pass of approx_count_distinct
+    sketches per column — same output shape, one scan total. min/max
+    string casts make the report schema-stable across column types
+    (numerics compare numerically BEFORE the cast, so min_s/max_s are
+    the true extremes rendered as text)."""
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 @query(
     "window_dedup_latest",
     oracle="""
@@ -1290,7 +1338,12 @@ def q_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.expr("ts_ns div 1000000000").alias("ts_s"),
-        F.expr("ts_ns").alias("_ord"),
+        # Order at MICROSECOND granularity: DuckDB reads the nanos
+        # parquet as a us-truncated TIMESTAMP, so ordering by raw
+        # nanos here could break a same-us tie differently than the
+        # oracle. The event_id tiebreak then resolves us-ties
+        # identically in both engines.
+        F.expr("ts_ns div 1000").alias("_ord"),
         "value",
     )
     w = W.partitionBy("user_id").orderBy(F.desc("_ord"), F.desc("event_id"))
@@ -1401,7 +1454,10 @@ def q_outlier_filter_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare against the threshold ROUNDED to 4 decimals (Spark
     `percentile` and DuckDB `quantile_cont` are both linear
     interpolation; rounding removes last-ulp divergence from the
-    filter decision)."""
+    filter decision). Exact percentile buffers each group's values;
+    at 100 TB swap in `approx_percentile` (GK sketch, constant
+    memory — `value_percentiles` demonstrates it) with an epsilon
+    guard band on the threshold."""
     e = _t(spark, sf_dir, "events")
     p = e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")

@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "zorder_layout",
     "streaming_quality_gate",
     "window_dedup_latest",
+    "profile_table",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
