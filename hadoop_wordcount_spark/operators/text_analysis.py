@@ -259,6 +259,73 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM tok WHERE len(tk) >= 2),
+        bg AS (SELECT p, count(*) AS c2 FROM bi GROUP BY p),
+        c1 AS (SELECT string_split(p, ' ')[1] AS w1, sum(c2) AS c1
+               FROM bg GROUP BY 1)
+        SELECT bi.doc_id,
+               round(avg(ln(bg.c2 * 1.0 / c1.c1) / ln(10)), 4) AS avg_logprob
+        FROM bi
+        JOIN bg ON bi.p = bg.p
+        JOIN c1 ON string_split(bi.p, ' ')[1] = c1.w1
+        GROUP BY bi.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: mean log10 of the MLE
+    transition probability p(w2|w1) = c(w1,w2)/c(w1·) over each
+    document's bigrams — one rung above `unigram_logprob` on the
+    LM-fluency ladder (scrambled or templated text scores low even
+    when its unigram mix looks natural). The denominator is the
+    bigram-left count, so probabilities per w1 sum to exactly 1.
+
+    Plan: the bigram table is vocabulary²-bounded (and skew-headed,
+    like every language table) → BROADCAST onto the doc bigram
+    stream, as is the per-w1 marginal; one groupBy(doc_id) closes.
+    The token stream shuffles zero times before the per-doc mean. At
+    100 TB, hash the pair strings to int64 and frequency-cap the
+    table (rare tails add noise, not signal) — same plan shape."""
+    d = _docs(spark, sf_dir)
+    tk = tokens_col(F.col("text"))
+    # Pre-filter single-token docs: Spark's sequence(1, 0) infers a
+    # DESCENDING step and would index element 0 (1-based arrays).
+    bi = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat(
+                        F.element_at("tk", i), F.lit(" "), F.element_at("tk", i + 1)
+                    ),
+                )
+            ).alias("p"),
+        )
+    )
+    bg = bi.groupBy("p").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy(F.split("p", " ").getItem(0).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    return (
+        bi.join(F.broadcast(bg), "p")
+        .join(F.broadcast(c1), F.split(bi.p, " ").getItem(0) == c1.w1)
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log10(F.col("c2") / F.col("c1"))), 4).alias("avg_logprob"))
+    )
+
+
+@query(
     "bigram_counts",
     oracle="""
         WITH tok AS (

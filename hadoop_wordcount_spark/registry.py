@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "streaming_quality_gate",
     "window_dedup_latest",
     "profile_table",
+    "bigram_logprob",
     "value_percentiles_exact",
     "repeated_spans_verified",
     "dedup_simhash",
