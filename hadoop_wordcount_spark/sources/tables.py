@@ -39,23 +39,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    long (legacy conf) and rebuild ``ts`` as TIMESTAMP_NTZ truncated
-    to microseconds — exactly what DuckDB's reader does — via
-    timezone-free epoch arithmetic, so results match the oracle under
-    ANY session timezone. The raw nanos stay available as ``ts_ns``
-    for integer time math (second-truncated gaps etc.).
+    """Normalize the events table to (``ts``: TIMESTAMP_NTZ in µs,
+    ``ts_ns``: epoch nanoseconds as long) regardless of how the
+    parquet file stores time. Two generations of driver testdata
+    exist:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it outright
+      ([PARQUET_TYPE_ILLEGAL]), so read nanos as long (legacy conf)
+      and rebuild ``ts`` truncated to microseconds — exactly what
+      DuckDB's reader does.
+    - timestamp[us]: Spark reads TIMESTAMP_NTZ directly (and DuckDB a
+      naive TIMESTAMP — same instant); derive ``ts_ns`` from it.
+
+    All arithmetic is timezone-free epoch math, so results match the
+    oracle under ANY session timezone, and ``ts_ns`` keeps integer
+    time math (second-truncated gaps etc.) engine-portable.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts",
+    if dict(df.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) as long
+        return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts_ns div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df.withColumn(
+        "ts_ns",
         F.expr(
-            "timestampadd(MICROSECOND, ts_ns div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ),
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+        ).cast("long"),
     )
 
 

@@ -46,7 +46,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path fails basePath resolution. The char-class glob matches
     # exactly events.parquet while keeping the parent dir as basePath.
     raw = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/[e]vents.parquet")
-    return raw.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+    # Same two storage generations as sources.tables._load_events:
+    # TIMESTAMP(NANOS) arrives as long (nanosAsLong), timestamp[us]
+    # as TIMESTAMP_NTZ; both reduce to epoch-ns integer math.
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ts_ns = F.col("ts").cast("long")
+    else:
+        ts_ns = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+        ).cast("long")
+    return raw.withColumn("ts_ns", ts_ns).withColumn(
         "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
 
