@@ -428,6 +428,80 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cosine_oracle() -> str:
+    """IVF-cell-blocked cosine pairs in DuckDB: the quantizer CTEs come
+    from `similarity._ivf_assign_ctes`, so the oracle trains the
+    IDENTICAL k-means (same init, round-4 quantization, (d2, cid)
+    tiebreak) before the same-cell pair join."""
+    from hadoop_wordcount_spark.operators.similarity import IVF_ITERS, _ivf_assign_ctes
+
+    ctes, _ = _ivf_assign_ctes()
+    return f"""
+        WITH {ctes},
+        side AS (
+            SELECT e.vec_id, e.embedding, c.cid
+            FROM embeddings e JOIN a{IVF_ITERS} c USING (vec_id)),
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding, b.embedding) /
+                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                          sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+            FROM side a JOIN side b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20
+    """
+
+
+@query("dedup_embedding_cosine_ivf", oracle=_ivf_cosine_oracle())
+def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by IVF quantizer cell — the
+    scale-safe twin of `dedup_embedding_cosine` (which blocks on the
+    label column, quadratic per label at 100x). Candidates are pairs
+    sharing a nearest-centroid cell from the same unrolled k-means
+    quantizer as `ann_ivf_search` (`similarity.ivf_assignments`); the
+    exact cosine scoring stage is UNCHANGED from the label-blocked
+    variant.
+
+    At 100 TB: cell count K scales with corpus size (K ~ sqrt(n)
+    keeps expected cell population bounded), so blocks stay bounded
+    where label blocks grow linearly — the same argument that paired
+    `dedup_ngram_jaccard` with `dedup_ngram_jaccard_lsh`. The pair
+    join is an equi-join on cid, never all-pairs; norms are hoisted
+    per side so each candidate pair costs one dot product. Recall is
+    the IVF tradeoff: near-identical vectors quantize to the same
+    cell unless they straddle a Voronoi boundary (multi-probe
+    assignment recovers those; single-assignment keeps the oracle
+    exactly expressible)."""
+    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
+    from hadoop_wordcount_spark.operators.similarity import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, _cent = ivf_assignments(spark, sf_dir)
+    with_norm = emb.join(cells, "vec_id").select(
+        "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cid").alias("cid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
 # --- Native-expression MinHash + banded LSH (oracle-checkable) -------------
 #
 # Unlike the pyspark.ml MinHashLSH variant above (seeded random affine
@@ -586,16 +660,14 @@ def _band_pairs(base: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_minhash_banded", oracle=_ORACLE_MINHASH)
-def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + banded LSH + exact-Jaccard verification,
-    all in built-in expressions (md5 / array lambdas) — deterministic
-    AND oracle-checkable, unlike seeded ML LSH.
-
-    Plan at scale: signature computation is a shuffle-free projection;
-    the only shuffle is the band-key self-join (candidates ∝ true
-    near-dups, not n²); verification touches candidate pairs only.
-    """
+def _banded_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard): banded-LSH candidates verified by
+    exact shingle-Jaccard >= 0.2 — the shared pair stage behind
+    `dedup_minhash_banded`, `dedup_clusters`, and (through clusters)
+    both curation pipelines. Cached: the verified pair set is tiny
+    (∝ true near-dups), and sharing it means the band join + verify
+    joins run ONCE per session instead of once per consumer (same
+    logical plan across callers → one cache entry)."""
     base = _minhash_base(spark, sf_dir)
     cand_ids = _band_pairs(base)
     # Re-attach shingles to the (few) candidates for exact verification.
@@ -605,9 +677,25 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union_ = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union_, F.lit(1))
-    return cand.filter(jac >= 0.2).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    return (
+        cand.filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .cache()
     )
+
+
+@query("dedup_minhash_banded", oracle=_ORACLE_MINHASH)
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH + exact-Jaccard verification,
+    all in built-in expressions (md5 / array lambdas) — deterministic
+    AND oracle-checkable, unlike seeded ML LSH.
+
+    Plan at scale: signature computation is a shuffle-free projection;
+    the only shuffle is the band-key self-join (candidates ∝ true
+    near-dups, not n²); verification touches candidate pairs only.
+    The verified pair stage is shared (cached) with `dedup_clusters`.
+    """
+    return _banded_verified_pairs(spark, sf_dir)
 
 
 _ORACLE_NGRAM_LSH = """
@@ -736,7 +824,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan stays one-round deep regardless of iteration count — a
     deep component cannot build a 20-deep lineage.
     """
-    pairs = q_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _banded_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()

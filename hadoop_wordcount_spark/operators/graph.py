@@ -70,7 +70,7 @@ def _oracle_pagerank() -> str:
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         r0 AS (SELECT word, CAST(1 AS DOUBLE) / nn.n AS r
                FROM nodes CROSS JOIN nn),{",".join(iters)}
-        SELECT word, round(r, 6) AS pagerank FROM {prev}
+        SELECT word, round(r, 4) AS pagerank FROM {prev}
     """
 
 
@@ -83,7 +83,9 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ONE declarative plan. Dangling nodes (words never followed
     by anything) leak their mass — the standard simplification, and
     the oracle applies the identical convention, so the check is
-    exact to 6 decimals.
+    exact to 4 decimals (coarse enough that order-dependent double
+    partial-sum ulp noise cannot flip a rounding boundary — the same
+    granularity convention as the other double aggregates).
 
     Scale shape: the edge list aggregates once (vocabulary² bound,
     heavily skew-concentrated in practice — head-word skew is the
@@ -143,4 +145,4 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return ranks.select("word", F.round("r", 6).alias("pagerank"))
+    return ranks.select("word", F.round("r", 4).alias("pagerank"))

@@ -241,13 +241,16 @@ IVF_ITERS = 3    # fixed k-means rounds (deterministic)
 IVF_NPROBE = 2   # cells probed per query
 
 
-def _ivf_oracle() -> str:
-    """Unrolled long-format k-means + cell-pruned search in DuckDB SQL,
-    mirroring q_ann_ivf_search exactly: same init (vec_id < K), same
-    round-4 quantization of distances and centroid means, same
-    (distance, cid) tiebreak."""
-    sql = f"""
-        WITH ev AS (
+def _ivf_assign_ctes() -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) for the unrolled
+    long-format k-means quantizer in DuckDB SQL, mirroring
+    `ivf_assignments` exactly: same init (vec_id < K), same round-4
+    quantization of distances and centroid means, same (distance, cid)
+    tiebreak. The final inverted file is CTE ``a{IVF_ITERS}``. Shared
+    by the `ann_ivf_search` oracle and the IVF-blocked dedup oracle in
+    `operators/dedup.py` so both engines always train the identical
+    quantizer."""
+    sql = f"""ev AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings),
@@ -270,7 +273,16 @@ def _ivf_oracle() -> str:
             SELECT a.cid, e.pos, round(avg(e.val), 4) AS cval
             FROM ev e JOIN a{i} a USING (vec_id) GROUP BY a.cid, e.pos)"""
             prev = f"c{i + 1}"
-    sql += f""",
+    return sql, prev
+
+
+def _ivf_oracle() -> str:
+    """Unrolled k-means + cell-pruned search in DuckDB SQL — the
+    quantizer CTEs come from `_ivf_assign_ctes` (shared with the
+    IVF-blocked dedup oracle)."""
+    ctes, prev = _ivf_assign_ctes()
+    sql = f"""
+        WITH {ctes},
         probe AS (SELECT pos, val FROM ev WHERE vec_id = {QUERY_VEC_ID}),
         pc AS (
             SELECT cid FROM (
@@ -294,13 +306,28 @@ def _ivf_oracle() -> str:
     return sql
 
 
-@query("ann_ivf_search", oracle=_ivf_oracle())
-def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end IVF ANN: train a coarse quantizer (fixed-round
-    k-means, deterministic init = vec_id < {K}) entirely in DataFrame
-    ops, assign every vector to its nearest centroid (the inverted
-    file), then answer the query by probing only the {NPROBE} nearest
-    cells and exact-rescoring candidates with cosine.
+def _ivf_d2(a, b) -> "F.Column":
+    """Squared L2 distance, quantized to 4 decimals so double-summation
+    ulp noise cannot flip an assignment across engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF coarse quantizer (fixed-round k-means,
+    deterministic init = vec_id < K) entirely in DataFrame ops and
+    return ``(inverted_file, centroids)`` — ``inverted_file`` is
+    (vec_id, cid), ``centroids`` is (cid, cv: array<double>).
+
+    Shared by `ann_ivf_search` (cell-pruned query answering) and
+    `dedup_embedding_cosine_ivf` (cell-blocked pair generation); both
+    oracles train the identical quantizer via `_ivf_assign_ctes`.
 
     Scale shape per stage, at 100 TB:
     - assignment: |V| x K rows via crossJoin(broadcast(centroids)) —
@@ -312,32 +339,19 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       exchange carries K x d rows regardless of corpus size. Each
       round's centroid table is localCheckpoint-ed (it is tiny) so the
       iterative lineage stays flat — same discipline as dedup_clusters.
-    - search: centroid ranking is driver-free (orderBy-limit over K
-      rows); candidates come from an equi-join on cid — the classic
-      IVF recall/cost dial (nprobe/K of the data scanned, here 1/4).
     Distances and centroid means are quantized to 4 decimals on BOTH
     engines so double-summation ulp noise cannot flip an assignment;
-    ranking ties break on cid. The planner sees plain joins/agg —
-    AQE right-sizes every exchange."""
+    ties break on cid."""
     emb = _emb(spark, sf_dir)
     # Cache the double-cast vectors: every k-means round (assign +
     # update) and the final assignment re-read them — one scan, not 8.
+    # Same logical plan across callers → one shared cache entry.
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).cache()
     cent = vecs.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     ).localCheckpoint()
-
-    def d2(a, b) -> "F.Column":
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            4,
-        )
 
     def assign(cent_df: DataFrame) -> DataFrame:
         # argmin as min(struct(d2, cid)): struct ordering compares d2
@@ -347,7 +361,7 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # map partition instead of all |V| x K distance rows that a
         # window argmin would sort post-shuffle.
         best = F.struct(
-            d2(F.col("v"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
+            _ivf_d2(F.col("v"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
         )
         return (
             vecs.crossJoin(F.broadcast(cent_df))
@@ -373,12 +387,29 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    inverted_file = assign(cent)
+    return assign(cent), cent
+
+
+@query("ann_ivf_search", oracle=_ivf_oracle())
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN: train a coarse quantizer and build the
+    inverted file (`ivf_assignments` — see its docstring for the
+    per-stage 100 TB cost shape), then answer the query by probing
+    only the {NPROBE} nearest cells and exact-rescoring candidates
+    with cosine.
+
+    Search stage at scale: centroid ranking is driver-free
+    (orderBy-limit over K rows); candidates come from an equi-join on
+    cid — the classic IVF recall/cost dial (nprobe/K of the data
+    scanned, here 1/4). The planner sees plain joins/agg — AQE
+    right-sizes every exchange."""
+    emb = _emb(spark, sf_dir)
+    inverted_file, cent = ivf_assignments(spark, sf_dir)
 
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     top_cells = (
-        cent.select("cid", d2(F.col("cv"), qcol).alias("d2"))
+        cent.select("cid", _ivf_d2(F.col("cv"), qcol).alias("d2"))
         .orderBy("d2", "cid")
         .limit(IVF_NPROBE)
         .select("cid")
