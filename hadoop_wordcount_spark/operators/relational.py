@@ -1256,7 +1256,32 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+# (column, is_double): doubles are rendered through DECIMAL(18,2)
+# rather than a raw string cast — Spark prints doubles >= 1e7 in
+# scientific notation ('1.0E7') while DuckDB prints plain
+# ('10000000.0'), so a raw cast diverges once the value crosses that
+# threshold at larger scale factors. The decimal path is
+# threshold-free and renders identically in both engines.
+_PROFILE_COLS = (
+    ("o_orderkey", False),
+    ("o_custkey", False),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+)
+
+
+def _profile_minmax_spark(c: str, is_double: bool, agg_fn) -> "F.Column":
+    v = agg_fn(c)
+    if is_double:
+        v = v.cast("decimal(18,2)")
+    return v.cast("string")
+
+
+def _profile_minmax_sql(c: str, is_double: bool, fn: str) -> str:
+    inner = f"{fn}({c})"
+    if is_double:
+        inner = f"CAST({inner} AS DECIMAL(18,2))"
+    return f"CAST({inner} AS VARCHAR)"
 
 
 @query(
@@ -1266,10 +1291,10 @@ _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         f"""SELECT '{c}' AS col_name,
                    CAST(count(*) - count({c}) AS BIGINT) AS n_null,
                    CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-                   CAST(min({c}) AS VARCHAR) AS min_s,
-                   CAST(max({c}) AS VARCHAR) AS max_s
+                   {_profile_minmax_sql(c, dbl, "min")} AS min_s,
+                   {_profile_minmax_sql(c, dbl, "max")} AS max_s
             FROM orders"""
-        for c in _PROFILE_COLS
+        for c, dbl in _PROFILE_COLS
     ) + """
     """,
 )
@@ -1280,28 +1305,70 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     new drop of data.
 
     One aggregation pass PER COLUMN over the same scan (column
-    pruning keeps each scan to its own column); at 100 TB you fold
-    the exact distincts into one pass of approx_count_distinct
-    sketches per column — same output shape, one scan total. min/max
-    string casts make the report schema-stable across column types
-    (numerics compare numerically BEFORE the cast, so min_s/max_s are
-    the true extremes rendered as text)."""
+    pruning keeps each scan to its own column) — exact distincts
+    can't share one pass. `profile_table_sketch` is the 100 TB form:
+    approx_count_distinct sketches fold the whole report into ONE
+    aggregation over one scan. min/max string casts make the report
+    schema-stable across column types (numerics compare numerically
+    BEFORE the cast, so min_s/max_s are the true extremes rendered as
+    text; doubles render via DECIMAL so the text is engine-stable at
+    any magnitude)."""
     o = _t(spark, sf_dir, "orders")
     parts = []
-    for c in _PROFILE_COLS:
+    for c, dbl in _PROFILE_COLS:
         parts.append(
             o.agg(
                 F.lit(c).alias("col_name"),
                 (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
                 F.countDistinct(c).alias("n_distinct"),
-                F.min(c).cast("string").alias("min_s"),
-                F.max(c).cast("string").alias("max_s"),
+                _profile_minmax_spark(c, dbl, F.min).alias("min_s"),
+                _profile_minmax_spark(c, dbl, F.max).alias("max_s"),
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query("profile_table_sketch")  # approximate (HLL) — rows-only driver check
+def q_profile_table_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `profile_table`: the whole per-column report
+    (null count, approx-distinct, min/max) computed in ONE aggregation
+    over ONE scan — approx_count_distinct (HyperLogLog++, default 5%
+    rsd) replaces the exact DISTINCT that forced a pass per column.
+
+    The single wide Aggregate emits one row of 4x4 measures; a
+    shuffle-free explode unpivots it to the same (col_name, n_null,
+    n_distinct, min_s, max_s) shape as the exact twin. At 100 TB this
+    is one map-side-combined pass over the table regardless of column
+    count; the exact twin's N passes each rescan the table. HLL
+    estimates aren't SQL-reproducible in DuckDB → rows-only driver
+    check; the pytest bound vs the exact twin is the correctness gate
+    (pattern: `value_percentiles`/`_exact`)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, dbl in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null__{c}"),
+            F.approx_count_distinct(c).alias(f"nd__{c}"),
+            _profile_minmax_spark(c, dbl, F.min).alias(f"min__{c}"),
+            _profile_minmax_spark(c, dbl, F.max).alias(f"max__{c}"),
+        ]
+    one = o.agg(*aggs)
+    profiles = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"null__{c}").alias("n_null"),
+                F.col(f"nd__{c}").alias("n_distinct"),
+                F.col(f"min__{c}").alias("min_s"),
+                F.col(f"max__{c}").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(profiles).alias("p")).select("p.*")
 
 
 @query(

@@ -36,86 +36,56 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # Verification-priority order. The driver's correctness harness walks
-# ``queries()`` in iteration order under a budget (rounds 1 and 2 each
-# stopped at exactly 50 entries), so queries that most need a
-# hard-signal row this round must iterate FIRST. Round 3: the four
-# queries neither round ever reached, then queries that are new or
-# gained an oracle this round, then implementations touched this
-# round, then the set last verified in round 1 (re-confirmation), with
-# the round-2-green set falling past the budget (just verified).
+# ``queries()`` in iteration order under a budget (each round checks
+# ~50 entries), so queries that most need a hard-signal row this round
+# must iterate FIRST. Round 4: new queries, then queries whose
+# implementation is touched this round, then the 71 queries whose last
+# driver row is r01/r02 (stale) — ordered with dependents of the
+# round-3 shared-code refactors (``tokens_col``, the MinHash
+# signature, ``load_table``) first — with the round-3-green set
+# falling past the budget (just verified). ``tpch_q18_like`` is
+# deliberately placed far from the streaming entries: r03's one >1.3x
+# driver-bench ratio was adjacent to the streaming block in run order.
 _PRIORITY: list[str] = [
-    # -- never driver-checked (r1+r2 budget truncation) ---------------
-    "events_resample",
-    "trailing_window_sum",
-    "streaming_foreach_batch",
-    "pipeline_train_corpus",
-    # -- new or oracle-upgraded this round ----------------------------
-    "dedup_ngram_jaccard_lsh",
-    "dedup_simhash_pairs",
-    "unigram_logprob",
-    "events_rollup_multires",
-    "pack_sequences",
-    "doc_chunk_windows",
-    "decontaminate_vs_eval",
-    "inverted_index",
-    "bm25_topk",
-    "funnel_conversion",
-    "pagerank_bigram",
-    "python_datasource_scan",
-    "event_props_variant",
-    "map_in_arrow_scale",
-    "sql_pipe_q6",
-    "outlier_filter_p99",
-    "zorder_layout",
-    "streaming_quality_gate",
-    "window_dedup_latest",
-    "profile_table",
-    "bigram_logprob",
-    "value_percentiles_exact",
-    "repeated_spans_verified",
-    "dedup_simhash",
-    "streaming_dedup",
-    # -- implementation touched this round (re-verify) ----------------
-    "colocated_join",
-    "bucketed_join",
-    "udtf_split_sentences",
-    "dedup_minhash",
-    "dedup_minhash_banded",
-    "repeated_spans",
+    # -- new in round 4 (need first driver rows) ----------------------
+    "dedup_embedding_cosine_ivf",
+    "profile_table_sketch",
+    # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
-    "pipeline_curate",
-    # -- last verified in round 1 (re-confirm under budget) -----------
-    "word_count",
-    "word_count_sorted",
-    "top_k_words",
-    "distinct_words",
-    "approx_distinct_words",
-    "grep_filter",
-    "union_corpora",
-    "words_intersect",
-    "words_except",
-    "topk_words_per_doc",
-    "text_source_wordcount",
-    "wc_tokens",
-    "join_wordcount_docs",
+    "dedup_minhash_banded",
+    "dedup_ngram_jaccard_lsh",
+    "profile_table",
+    "pagerank_bigram",
+    # -- stale (no r03 row): tokens_col / MinHash / load_table
+    #    dependents first, per round-3 verdict ------------------------
     "text_stats",
+    "tfidf",
+    "dedup_exact",
+    "sim_search_topk",
+    "agg_multi",
     "lang_id_heuristic",
     "quality_score",
     "token_count_regex",
     "doc_fingerprint",
-    "tfidf",
     "bigram_counts",
     "repeated_ngrams",
     "fuzzy_match_words",
-    "dedup_exact",
+    "doc_rolling_hash",
+    "dedup_ngram_jaccard",
     "dedup_anti_join",
     "dedup_embedding_cosine",
-    "multimodal_meta",
-    "multimodal_decode",
-    "frame_sample",
-    "multimodal_resize",
+    "embedding_norms",
+    "sim_search_lsh",
+    "knn_block_join",
+    "embedding_centroids",
+    "ann_ivf_search",
+    "dataset_split",
+    "stratified_sample",
+    "group_zscore_pandas",
     "pandas_udf_scale",
-    "agg_multi",
+    "tpch_q18_like",
+    "tpch_q5_like",
+    "sql_tpch_q3",
     "orders_by_month",
     "grouping_rollup",
     "cube_agg",
@@ -126,8 +96,41 @@ _PRIORITY: list[str] = [
     "semi_join_customers",
     "anti_join_customers",
     "range_join_lineitem",
+    "outer_join_nations",
+    "skew_salted_join",
+    "merge_upsert",
     "window_topk_orders",
-    # -- round-2 green follows in registration order ------------------
+    "rank_dense_ntile",
+    "batch_sessionize",
+    # -- stale, likely past the ~50 budget (r05 rotation leads here) --
+    "running_event_value",
+    "lag_event_gap",
+    "asof_last_error",
+    "event_props_json",
+    "event_props_struct",
+    "scalar_functions_mix",
+    "map_ops_mix",
+    "unpivot_status",
+    "array_ops_mix",
+    "value_percentiles",
+    "salted_aggregation",
+    "stats_aggregates",
+    "value_histogram",
+    "multimodal_meta",
+    "multimodal_decode",
+    "frame_sample",
+    "multimodal_resize",
+    "sink_roundtrip_csv",
+    "sink_roundtrip_json",
+    "sink_partitioned_parquet",
+    "sink_roundtrip_orc",
+    "streaming_event_counts",
+    "streaming_sliding_windows",
+    "streaming_session_windows",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "streaming_wordcount",
+    # -- round-3 green follows in registration order ------------------
 ]
 
 

@@ -67,6 +67,7 @@ def main() -> None:
     ops = [
         "word_count", "dedup_exact", "text_stats_agg",
         "repeated_spans", "dedup_minhash_banded", "dedup_clusters",
+        "dedup_simhash_pairs", "pagerank_bigram", "decontaminate_vs_eval",
     ]
     times: dict[str, dict[int, float]] = {o: {} for o in ops}
     docs_at: dict[int, int] = {}
@@ -106,7 +107,10 @@ def main() -> None:
                 .alias("nt")
             ).agg(F.sum("nt"), F.avg("nt"))
         ))
-        for q in ("repeated_spans", "dedup_minhash_banded", "dedup_clusters"):
+        for q in (
+            "repeated_spans", "dedup_minhash_banded", "dedup_clusters",
+            "dedup_simhash_pairs", "pagerank_bigram", "decontaminate_vs_eval",
+        ):
             timed(q, lambda q=q: _noop(registry.QUERIES[q](spark, path)))
         # dedup_minhash_banded caches its featurized base per logical
         # plan; drop it between factors so each measurement pays its
@@ -125,6 +129,8 @@ def main() -> None:
         my = sum(y for _, y in pts) / n
         denom = sum((x - mx) ** 2 for x, _ in pts) or 1e-9
         lsq = sum((x - mx) * (y - my) for x, y in pts) / denom
+        if n < 2:  # single factor: no slope to take
+            return round(lsq, 2), round(lsq, 2)
         (x1, y1), (x2, y2) = pts[-2], pts[-1]
         return round(lsq, 2), round((y2 - y1) / (x2 - x1), 2)
 
