@@ -35,15 +35,22 @@ def main() -> None:
     failures: dict[str, str] = {}
 
     # Warm the JVM/codegen once so query timings measure the engine,
-    # not first-call classloading. Same treatment for the Python
-    # data source path: its first use pays ~10s of one-time worker
-    # spawn + registration (session-fixed, not per-row).
-    registry.QUERIES["word_count"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    registry.QUERIES["python_datasource_scan"](spark, SF_DIR).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # not first-call classloading — one warmer per engine family with
+    # meaningful one-time setup: relational codegen (word_count), the
+    # Python data source path (~10s one-time worker spawn +
+    # registration), the Arrow/pandas worker pool, the streaming
+    # state-store machinery, and the ML-pipeline classes. Each query
+    # still pays its own per-run cost inside the timed loop below.
+    for warm in (
+        "word_count",
+        "python_datasource_scan",
+        "group_zscore_pandas",
+        "streaming_wordcount",
+        "sim_search_lsh",
+    ):
+        registry.QUERIES[warm](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     t_total = time.perf_counter()
     for name in sorted(registry.QUERIES):

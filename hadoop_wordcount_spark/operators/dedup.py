@@ -108,38 +108,81 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs >= 0.8, blocked by
     (lang, length-bucket) so the pair space is per-block quadratic,
     never global. At 100 TB, swap the blocking key for LSH bucket ids
-    (dedup_minhash) — the scoring stage is unchanged."""
+    (`dedup_ngram_jaccard_lsh` is exactly that) — the scoring stage
+    is unchanged.
+
+    Scoring representation: a broadcast vocabulary→bit-position map
+    turns each document's distinct-token set into a W x 64-bit
+    bitmask (W = ceil(|vocab|/64)), so each candidate pair costs a
+    handful of AND/OR + bit_count instructions instead of an
+    O(|A|+|B|) hash-set intersect — the int-id-dictionary idea taken
+    to its endpoint. The mapping is a bijection, so Jaccard values
+    are bit-identical to the string form and the string-based DuckDB
+    oracle hash-matches unchanged. The bitmask form assumes a
+    corpus-bounded vocabulary (fits broadcast); on an unbounded
+    100 TB vocabulary you'd keep sorted int-id ARRAYS (merge-join
+    intersect) or go straight to the LSH twin, whose verification
+    stage touches only candidate pairs."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
-    # Hash-encode tokens to int64 before the pair join: the
-    # intersect/union inner loop compares ints instead of strings —
-    # ~2x faster at sf0.1. xxhash64 is a pure per-row projection: no
-    # driver state, no vocabulary materialization, works on unbounded
-    # vocabularies at 100 TB. Collisions would need two distinct
-    # tokens in the SAME document pair to share a 64-bit hash —
-    # P < |V|^2 / 2^64 globally (≈3e-2 for a billion-token vocab, and
-    # a single collision perturbs one Jaccard score by <1/|union|) —
-    # so set sizes, and the >= 0.8 verdicts, are unchanged in
-    # practice; the oracle stays string-based and hash-matches.
-    toks = F.array_distinct(
-        F.transform(tokens_col(F.col("text")), lambda w: F.xxhash64(w))
-    )
-    s = d.select(
+    toks = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        toks.alias("toks"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
     )
+    vocab = toks.select(F.explode("toks").alias("w")).distinct()
+    # Driver-side plan literal (documented pattern): W words of 64
+    # bits sized from the vocabulary count — one tiny vocab-bounded
+    # job, same precedent as the query-vector head() reads.
+    n_vocab = vocab.count()
+    n_words = max(1, (n_vocab + 63) // 64)
+    vocab_id = vocab.select(
+        "w", (F.row_number().over(Window.orderBy("w")) - 1).alias("tid")
+    )
+    masks = (
+        toks.select("doc_id", "lang", "len_bucket", F.explode("toks").alias("w"))
+        .join(F.broadcast(vocab_id), "w")
+        .groupBy("doc_id", "lang", "len_bucket")
+        .agg(
+            *[
+                F.expr(
+                    f"bit_or(CASE WHEN tid div 64 = {w} THEN "
+                    "shiftleft(1L, CAST(tid % 64 AS INT)) ELSE 0L END)"
+                ).alias(f"m{w}")
+                for w in range(n_words)
+            ]
+        )
+    )
+    popcnt = F.aggregate(
+        F.col("m"), F.lit(0).cast("long"), lambda acc, x: acc + F.bit_count(x)
+    )
+    s = masks.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        F.array(*[f"m{w}" for w in range(n_words)]).alias("m"),
+    ).select("doc_id", "lang", "len_bucket", "m", popcnt.alias("nset"))
     a = s.alias("a")
     b = s.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union_ = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    inter = F.aggregate(
+        F.zip_with(F.col("a.m"), F.col("b.m"), lambda x, y: x.bitwiseAND(y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.bit_count(x),
+    )
+    union_ = F.aggregate(
+        F.zip_with(F.col("a.m"), F.col("b.m"), lambda x, y: x.bitwiseOR(y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.bit_count(x),
+    )
     jac = inter / F.greatest(union_, F.lit(1))
-    # Cheap necessary condition evaluated before the O(|A|+|B|) set
-    # ops: Jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t.
-    # Prunes most candidate pairs with two int comparisons.
+    # Cheap necessary condition evaluated before the popcount loop:
+    # Jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t. Prunes
+    # most candidate pairs with two int comparisons.
     size_ok = (
-        F.least(F.size("a.toks"), F.size("b.toks"))
-        >= 0.8 * F.greatest(F.size("a.toks"), F.size("b.toks"))
+        F.least(F.col("a.nset"), F.col("b.nset"))
+        >= 0.8 * F.greatest(F.col("a.nset"), F.col("b.nset"))
     )
     return (
         a.join(
@@ -618,13 +661,13 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.cache()
 
 
-def _band_pairs(base: DataFrame) -> DataFrame:
-    """Distinct candidate (doc_a, doc_b) pairs from the banded LSH
-    self-join. Bands carry ONLY (doc_id, b, band_key) — never the
+def _bands(base: DataFrame) -> DataFrame:
+    """(doc_id, b, band_key): banded projection of the MinHash
+    signatures. Bands carry ONLY the ids and band keys — never the
     shingle arrays, which would be duplicated x n_bands through the
     shuffle."""
     n_bands = _N_HASHES // _BAND_SIZE
-    bands = base.select(
+    return base.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -642,6 +685,11 @@ def _band_pairs(base: DataFrame) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.b", "band.band_key")
 
+
+def _band_pairs(base: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from the banded LSH
+    self-join."""
+    bands = _bands(base)
     a = bands.select(F.col("doc_id").alias("doc_a"), "b", "band_key")
     b_ = bands.select(
         F.col("doc_id").alias("doc_b"),
@@ -696,6 +744,98 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verified pair stage is shared (cached) with `dedup_clusters`.
     """
     return _banded_verified_pairs(spark, sf_dir)
+
+
+# Mirrors _ORACLE_MINHASH with `source` carried through the CTE chain
+# and the pair join split new-batch x corpus. If the signature scheme
+# changes, ALL THREE oracle copies (_ORACLE_MINHASH, _ORACLE_NGRAM_LSH,
+# _ORACLE_INCREMENTAL) must change together (DEVNOTES).
+_INCREMENTAL_SRC = "src1"
+_ORACLE_INCREMENTAL = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                   w -> w <> '') AS tk
+        FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' ')))
+               END AS shingles
+        FROM toks),
+    sig AS (
+        SELECT doc_id, source, shingles,
+               list_transform(range(0, 8),
+                   k -> list_min(list_transform(shingles,
+                            s -> substr(md5((k // 4) || ':' || s),
+                                        CAST(1 + 8 * (k % 4) AS INT), 8))))
+                   AS sig
+        FROM sh),
+    bands AS (
+        SELECT doc_id, source, shingles, b,
+               md5(sig[2*b + 1] || sig[2*b + 2]) AS band_key
+        FROM sig, unnest(range(0, 4)) AS t(b)),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS dup_of,
+               n.shingles AS sh_n, o.shingles AS sh_o
+        FROM bands n JOIN bands o
+          ON n.b = o.b AND n.band_key = o.band_key
+        WHERE n.source = '{_INCREMENTAL_SRC}' AND o.source <> '{_INCREMENTAL_SRC}')
+    SELECT new_doc, dup_of,
+           round(len(list_intersect(sh_n, sh_o)) * 1.0 /
+                 greatest(len(list_distinct(sh_n || sh_o)), 1), 4) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(sh_n, sh_o)) * 1.0 /
+          greatest(len(list_distinct(sh_n || sh_o)), 1) >= 0.2
+"""
+
+
+@query("dedup_incremental", oracle=_ORACLE_INCREMENTAL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: near-dup matches of an incoming
+    batch (source = '{src}') AGAINST the standing corpus (every other
+    source) — the nightly-drop shape of production dedup, where you
+    never re-pair the whole corpus, only new x existing.
+
+    Same banded-MinHash machinery as `dedup_minhash_banded` (shared
+    cached signature base), but the band join is one-sided: new-batch
+    bands against corpus bands, so candidates scale with the BATCH
+    size times collision rate, not the corpus pair space. At 100 TB
+    the corpus side is a stored band index (band_key-partitioned);
+    the daily job shuffles only the new batch's bands plus matching
+    index entries, and exact-Jaccard verification touches candidates
+    only. Output: (new_doc, dup_of, jaccard >= 0.2) — the batch rows
+    to drop or link before appending."""
+    base = _minhash_base(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    bands = _bands(base).join(src, "doc_id")
+    newb = bands.filter(F.col("source") == _INCREMENTAL_SRC).select(
+        F.col("doc_id").alias("new_doc"), "b", "band_key"
+    )
+    oldb = bands.filter(F.col("source") != _INCREMENTAL_SRC).select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("b").alias("b2"),
+        F.col("band_key").alias("band_key2"),
+    )
+    cand = (
+        newb.join(
+            oldb,
+            (F.col("b") == F.col("b2")) & (F.col("band_key") == F.col("band_key2")),
+        )
+        .select("new_doc", "dup_of")
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    sh_n = base.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_n"))
+    sh_o = base.select(F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_o"))
+    pairs = cand.join(sh_n, "new_doc").join(sh_o, "dup_of")
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union_ = F.size(F.array_union("sh_n", "sh_o"))
+    jac = inter / F.greatest(union_, F.lit(1))
+    return pairs.filter(jac >= 0.2).select(
+        "new_doc", "dup_of", F.round(jac, 4).alias("jaccard")
+    )
 
 
 _ORACLE_NGRAM_LSH = """

@@ -76,6 +76,78 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture_sample",
+    oracle="""
+        WITH counts AS (
+            SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        mn AS (SELECT min(n_s) AS n_min FROM counts),
+        rates AS (
+            SELECT source,
+                   sqrt(CAST(n_min AS DOUBLE) / n_s) AS rate,
+                   CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_s) * 65536)
+                        AS BIGINT) AS t
+            FROM counts CROSS JOIN mn),
+        thr AS (
+            SELECT source, rate,
+                   CASE WHEN t >= 65536 THEN 'g'
+                        ELSE lpad(lower(hex(t)), 4, '0') END AS thr_hex
+            FROM rates),
+        sampled AS (
+            SELECT d.source, r.rate, d.text
+            FROM documents d JOIN thr r USING (source)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr_hex)
+        SELECT source, round(min(rate), 4) AS rate,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                    AS BIGINT) AS n_tokens
+        FROM sampled GROUP BY source
+    """,
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (T = 0.5): downsample each
+    source at rate (n_min / n_s)^0.5 so over-represented sources are
+    pulled toward the mixing proportions actually used for
+    pretraining corpora, deterministically. Membership is an md5
+    4-hex-prefix threshold per source — reproducible on any cluster
+    layout, and composable with `dataset_split`'s buckets.
+
+    Engine-parity note: rate -> threshold goes through
+    floor(rate * 65536); /, sqrt and *2^16 are IEEE-correctly-rounded
+    in both engines on bit-identical inputs, so the boundary integer
+    (hence the sampled row SET, not just its size) is exactly
+    reproducible — no seeded-RNG drift. Output reports the realized
+    per-source doc and token budgets.
+
+    At 100 TB: source counts are a pre-aggregated metadata lookup
+    (here one tiny groupBy, broadcast back); the sampling predicate
+    itself is a scan-level projection+filter — no shuffle touches
+    document bodies, and the only exchange is the final per-source
+    budget aggregate (|sources| rows, map-side combined)."""
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_s"))
+    t = F.floor(rate * 65536).cast("long")
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        rate.alias("rate"),
+        F.when(t >= 65536, "g")
+        .otherwise(F.lpad(F.lower(F.hex(t)), 4, "0"))
+        .alias("thr_hex"),
+    )
+    sampled = d.join(F.broadcast(thr), "source").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("thr_hex")
+    )
+    return sampled.groupBy("source").agg(
+        F.round(F.min("rate"), 4).alias("rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
     "stratified_sample",
     oracle=f"""
         SELECT lang, doc_id, n_chars

@@ -50,6 +50,8 @@ _PRIORITY: list[str] = [
     # -- new in round 4 (need first driver rows) ----------------------
     "dedup_embedding_cosine_ivf",
     "profile_table_sketch",
+    "corpus_mixture_sample",
+    "dedup_incremental",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",

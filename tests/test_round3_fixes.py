@@ -4,9 +4,10 @@
   input (the belt-and-braces variant only removes hash-collision false
   positives, VERDICT r2 next-step #9) and must still find the planted
   shared passage.
-- dedup_ngram_jaccard's xxhash64 token encoding must preserve distinct
-  set sizes vs the string sets on the fixture corpus (ADVICE r2 #1 —
-  a 64-bit in-document collision would silently perturb Jaccard).
+- dedup_ngram_jaccard's token-set encoding (round 3: xxhash64 ids;
+  round 4: broadcast-vocabulary bitmasks) must compute exactly the
+  string-set Jaccard — checked pair-by-pair against a brute-force
+  string-set computation on the fixture corpus.
 - streaming_foreach_batch must return an empty (not raising) frame
   when the source produces zero micro-batches (ADVICE r2 #3).
 - dedup_minhash (demoted ML demo) must only ever touch its
@@ -67,20 +68,44 @@ def test_repeated_spans_verified_finds_planted_passage(spark, tmp_path):
     assert out == {(1, 2): 15}
 
 
-def test_ngram_jaccard_hash_sets_equal_string_sets(spark):
-    """xxhash64 token encoding may not collapse distinct tokens within
-    any document: hashed-set size == string-set size, doc by doc."""
+def test_ngram_jaccard_matches_string_set_brute_force(spark):
+    """The encoded scoring (vocab-bitmask popcounts) must equal the
+    straightforward string-set Jaccard, pair by pair — any encoding
+    bug (id collision, mask-width truncation) perturbs a score."""
     from hadoop_wordcount_spark.operators.wordcount import tokens_col
 
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    }
     d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    toks = tokens_col(F.col("text"))
-    diff = d.select(
-        F.size(F.array_distinct(toks)).alias("n_str"),
-        F.size(
-            F.array_distinct(F.transform(toks, lambda w: F.xxhash64(w)))
-        ).alias("n_hash"),
-    ).filter(F.col("n_str") != F.col("n_hash"))
-    assert diff.count() == 0
+    s = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lb"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.greatest(
+        F.size(F.array_union("a.toks", "b.toks")), F.lit(1)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .collect()
+    }
+    assert got == want
 
 
 def test_foreach_batch_empty_source_returns_empty(spark, tmp_path):

@@ -83,6 +83,40 @@ def test_banded_pair_stage_is_shared_and_cached(spark):
     )
 
 
+def test_corpus_mixture_sample_rates(spark):
+    """Mixture rates must be (n_min/n_s)^0.5: the smallest source
+    keeps everything (rate 1.0), larger sources downsample, and the
+    realized sample size tracks rate * n_s."""
+    d = load_table(spark, SF_SMALL, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(sizes.values())
+    rows = registry.QUERIES["corpus_mixture_sample"](spark, SF_SMALL).collect()
+    assert {r["source"] for r in rows} == set(sizes)
+    for r in rows:
+        expected = (n_min / sizes[r["source"]]) ** 0.5
+        assert abs(r["rate"] - round(expected, 4)) <= 1e-9
+        assert 0 < r["n_docs"] <= sizes[r["source"]]
+    assert any(r["rate"] == 1.0 for r in rows)
+
+
+def test_dedup_incremental_is_one_sided(spark):
+    """Every returned match pairs a src1 (new-batch) doc with a
+    non-src1 (corpus) doc — never corpus x corpus or batch x batch."""
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    for r in registry.QUERIES["dedup_incremental"](spark, SF_SMALL).collect():
+        assert srcs[r["new_doc"]] == "src1"
+        assert srcs[r["dup_of"]] != "src1"
+        assert r["jaccard"] >= 0.2
+
+
 def test_ivf_cosine_recall_vs_exact_label_blocking(spark):
     """The IVF-cell-blocked top-20 must consist of genuinely
     high-similarity pairs: every returned pair's cosine must be >=
