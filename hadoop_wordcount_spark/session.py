@@ -43,7 +43,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 48g on the 128 GiB bench host: the single local-mode JVM
+        # holds execution memory for 32 concurrent tasks PLUS every
+        # session-lifetime shared cache, broadcast, and streaming
+        # memory-sink across a 125-query sweep — at 8g that pressure
+        # showed up as multi-second GC storms striking random bands of
+        # consecutive bench queries (2-8x inflation, unreproducible in
+        # a fresh session). Override with SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
