@@ -9,7 +9,7 @@ lines — SURVEY.md §2.3); mandated by the north star. Ladder:
 - n-gram Jaccard: exact near-dup scoring over blocked candidate pairs.
 - MinHash+LSH: shingle → minhash signature → banded bucket join —
   the sub-quadratic scale path (pyspark.ml MinHashLSH).
-- SimHash: 32-bit per-doc sketch via per-bit majority vote.
+- SimHash: 60-bit per-doc sketch via per-bit majority vote.
 
 100 TB notes: exact/fingerprint dedup is one shuffle on a short key.
 MinHash-LSH cost is O(docs x bands) with bucket-join fan-out
@@ -261,8 +261,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE chain: md5-hex fold to a 32-bit token hash, per-bit
-# majority vote, bit reassembly — DuckDB twin of _simhash_table.
+# Shared CTE chain: md5-hex fold to a 60-bit token hash (15 hex
+# chars — the widest md5 prefix whose fold stays inside signed
+# BIGINT in both engines), per-bit majority vote, bit reassembly —
+# DuckDB twin of _simhash_table.
 _ORACLE_SIMHASH_CTES = f"""
         tok AS (
             SELECT doc_id,
@@ -272,14 +274,14 @@ _ORACLE_SIMHASH_CTES = f"""
         h AS (
             SELECT doc_id,
                    list_reduce(list_transform(
-                       string_split_regex(substr(md5(w), 1, 8), ''),
+                       string_split_regex(substr(md5(w), 1, 15), ''),
                        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
                        (a, d) -> a * 16 + d) AS h
             FROM tok),
         votes AS (
             SELECT doc_id, t.b AS b,
                    sum(CASE WHEN ((h >> t.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-            FROM h, unnest(range(0, 32)) AS t(b)
+            FROM h, unnest(range(0, 60)) AS t(b)
             GROUP BY doc_id, t.b),
         sh AS (
             SELECT doc_id,
@@ -291,26 +293,30 @@ _ORACLE_SIMHASH_CTES = f"""
 
 
 def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit per-document SimHash — per-bit
-    majority vote over distinct-token hashes. Token hash = first 8
+    """(doc_id, simhash): 60-bit per-document SimHash — per-bit
+    majority vote over distinct-token hashes. Token hash = first 15
     hex digits of md5 (stable across engines/releases, unlike murmur
-    variants). Cached: feeds both the sketch query and both sides of
-    the pairs self-join."""
+    variants; 15 hex = 60 bits, the widest md5 prefix that folds
+    inside signed 64-bit in BOTH engines — 16 would overflow the
+    cast). 60 bits support 4 x 15-bit pigeonhole bands, keeping
+    banded chance collisions at n^2/32768 per band instead of the
+    n^2/256 a 32-bit sketch allows. Cached: feeds both the sketch
+    query and both sides of the pairs self-join."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens_col(norm_text(F.col("text"))))).alias("w")
     )
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     tok = tok.select("doc_id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(32)
+        for b in range(60)
     ]
     voted = tok.groupBy("doc_id").agg(*votes)
     simhash = None
-    for b in range(32):
+    for b in range(60):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
     return voted.select("doc_id", simhash.cast("long").alias("simhash")).cache()
@@ -320,12 +326,12 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=f"""
         WITH {_ORACLE_SIMHASH_CTES}
-        SELECT doc_id, simhash, simhash % 65536 AS band_lo FROM sh
+        SELECT doc_id, simhash, simhash % 32768 AS band_lo FROM sh
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) per document: per-bit majority vote over token
-    hashes, emitted as the sketch value plus a 16-bit band key usable
+    """SimHash(60-bit) per document: per-bit majority vote over token
+    hashes, emitted as the sketch value plus a 15-bit band key usable
     for banded near-dup joins (`dedup_simhash_pairs` is the full
     blocked join).
 
@@ -333,11 +339,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 conditional sums → bit reassembly. One shuffle (groupBy doc).
     Fully oracle-checked: the md5 bit math is engine-portable, so the
     DuckDB twin reproduces the identical sketch (hex digits folded to
-    the same 32-bit int, same per-bit majority, same reassembly).
+    the same 60-bit int, same per-bit majority, same reassembly).
     """
     sh = _simhash_table(spark, sf_dir)
     return sh.select(
-        "doc_id", "simhash", (F.col("simhash") % (1 << 16)).alias("band_lo")
+        "doc_id", "simhash", (F.col("simhash") % (1 << 15)).alias("band_lo")
     )
 
 
@@ -347,7 +353,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_ORACLE_SIMHASH_CTES},
         bands AS (
             SELECT doc_id, simhash, t.b AS b,
-                   (simhash >> (CAST(t.b AS INT) * 8)) & 255 AS bkey
+                   (simhash >> (CAST(t.b AS INT) * 15)) & 32767 AS bkey
             FROM sh, unnest(range(0, 4)) AS t(b)),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -360,18 +366,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: Hamming distance <= 3 over the 32-bit
+    """SimHash near-dup PAIRS: Hamming distance <= 3 over the 60-bit
     sketches, candidates blocked by the pigeonhole bands — split the
-    sketch into 4 disjoint 8-bit blocks; any pair within Hamming 3
+    sketch into 4 disjoint 15-bit blocks; any pair within Hamming 3
     shares at least one block EXACTLY (3 flipped bits can ruin at most
     3 of 4 blocks), so the band equi-join has guaranteed recall, never
     an all-pairs scan. This completes the SimHash story: sketch
     (`dedup_simhash`) → blocked join → verified pairs.
 
-    At 100 TB: candidates are ~n²/2^bits per band by chance plus true
-    near-dups; widen the sketch to 64 bits with 4x16-bit bands (same
-    plan, chance collisions 1/65536 per band) — 32-bit keeps the
-    DuckDB twin's integer math comfortably inside BIGINT here. One
+    At 100 TB: chance candidates are ~n²/2^15 per band plus true
+    near-dups. The round-3 32-bit/8-bit-band version went measurably
+    quadratic at 80k docs (n²/256 band collisions; scale probe alpha
+    2.3) — 15-bit bands cut chance collisions 128x, and 15 hex md5
+    chars (60 bits) is the widest fold that stays inside signed
+    BIGINT in BOTH engines, keeping the oracle exact. One
     aggregation shuffle for sketches (cached, shared across both
     sides), one equi-join shuffle on (block, key); xor+bit_count
     verification is codegen'd integer math on candidates only.
@@ -385,8 +393,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftright(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), 15 * b)
+                        .bitwiseAND(F.lit(32767))
                         .alias("bkey"),
                     )
                     for b in range(4)

@@ -73,7 +73,8 @@ def test_no_cartesian_in_pair_joins(spark, sf_dir):
     for name in ("dedup_ngram_jaccard", "knn_block_join", "dedup_minhash_banded",
                  "dedup_embedding_cosine", "dedup_ngram_jaccard_lsh",
                  "dedup_simhash_pairs", "repeated_spans_verified",
-                 "decontaminate_vs_eval", "bm25_topk", "unigram_logprob"):
+                 "decontaminate_vs_eval", "bm25_topk", "unigram_logprob",
+                 "dedup_incremental", "dedup_embedding_cosine_ivf"):
         df = registry.QUERIES[name](spark, sf_dir)
         assert_not_in_plan(df, "CartesianProduct")
 

@@ -118,7 +118,14 @@ def main() -> None:
         spark.catalog.clearCache()
         print(f"{n}x: docs={docs_at[n]} " + " ".join(
             f"{o}={times[o][n]}s" for o in ops
-        ))
+        ), flush=True)
+        _write_md(factors[: factors.index(n) + 1], ops, times, docs_at, base_n)
+
+
+def _write_md(factors, ops, times, docs_at, base_n) -> None:
+    """Write SCALING.md for the factors measured so far — called after
+    every factor so an interrupted probe still leaves a full report
+    for its completed prefix."""
 
     def fit_alpha(ts: dict[int, float]) -> tuple[float, float]:
         """(least-squares exponent over all points, last-step slope)."""
@@ -173,7 +180,7 @@ def main() -> None:
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
         f.write("\n".join(rows) + "\n")
-    print("SCALING.md written")
+    print(f"SCALING.md written ({len(factors)} factors)", flush=True)
 
 
 if __name__ == "__main__":
