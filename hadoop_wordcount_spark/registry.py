@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "profile_table_sketch",
     "corpus_mixture_sample",
     "dedup_incremental",
+    "streaming_stateful_counter_rocksdb",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",

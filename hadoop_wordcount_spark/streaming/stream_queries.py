@@ -231,26 +231,20 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counted, output_mode="complete")
 
 
-@query(
-    "streaming_stateful_counter",
-    oracle="""
-        SELECT event_type,
-               count(*) AS n,
-               round(sum(value), 3) AS sum_value,
-               CAST(max(event_id) AS BIGINT) AS max_event_id
-        FROM events GROUP BY event_type
-    """,
-)
-def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator via applyInPandasWithState —
-    the arbitrary-state API (the modern analog of hand-rolled Reducer
-    state): per event_type, a GroupState struct accumulates
-    (count, sum, max_id) across micro-batches.
+_STATEFUL_COUNTER_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 3) AS sum_value,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+"""
 
-    State is O(1) per key; Arrow batches flow per group per batch.
-    One availableNow pass over the fixture settles to the batch
-    aggregate, which makes even this custom operator oracle-checkable.
-    """
+
+def _stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pipeline behind `streaming_stateful_counter` and its
+    RocksDB-backed twin — per event_type, a GroupState struct
+    accumulates (count, sum, max_id) across micro-batches via
+    applyInPandasWithState."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -286,6 +280,49 @@ def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n", "sum_value", "max_event_id")
     )
+
+
+@query("streaming_stateful_counter", oracle=_STATEFUL_COUNTER_ORACLE)
+def q_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    the arbitrary-state API (the modern analog of hand-rolled Reducer
+    state): per event_type, a GroupState struct accumulates
+    (count, sum, max_id) across micro-batches.
+
+    State is O(1) per key; Arrow batches flow per group per batch.
+    One availableNow pass over the fixture settles to the batch
+    aggregate, which makes even this custom operator oracle-checkable.
+    """
+    return _stateful_counter(spark, sf_dir)
+
+
+@query("streaming_stateful_counter_rocksdb", oracle=_STATEFUL_COUNTER_ORACLE)
+def q_streaming_stateful_counter_rocksdb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same stateful pipeline under the RocksDB state store
+    provider — the backend you actually run at 100 TB, where keyed
+    state outgrows the default HDFS-backed in-memory provider (state
+    lives off-heap in RocksDB with incremental checkpointing, so
+    state size is bounded by disk, not executor heap). The provider
+    is pinned into this query's own checkpoint at start; the session
+    conf is restored afterwards. rocksdbjni ships inside Spark — no
+    extra jars — so unlike transformWithStateInPandas (blocked on the
+    container's broken protobuf) this runs here, and its settled
+    output is held to the SAME oracle as the default-provider twin:
+    identical results, different state backend."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _stateful_counter(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 @query(

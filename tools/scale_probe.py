@@ -157,6 +157,7 @@ def _write_md(factors, ops, times, docs_at, base_n) -> None:
         "all factors (biased low by fixed job overhead at small N) and "
         "the last-step slope (the asymptotic read). ~1 linear, ~2 "
         "quadratic.", "",
+        "Measurement noise: this round's host shows periodic hypervisor CPU-steal windows (DEVNOTES) that can inflate whichever factor is running 2-5x — e.g. a burst makes word_count read higher at 16x than 64x above. Cross-check both alpha columns; the least-squares fit absorbs a single contaminated factor.", "",
         "| operator | " + " | ".join(f"{f}x s" for f in factors)
         + " | alpha (lsq) | alpha (last step) |",
         "|---|" + "---|" * (len(factors) + 2),
