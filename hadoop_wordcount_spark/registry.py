@@ -57,6 +57,9 @@ _PRIORITY: list[str] = [
     "dedup_clusters",
     "dedup_minhash_banded",
     "dedup_ngram_jaccard_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "streaming_stateful_counter",
     "profile_table",
     "pagerank_bigram",
     # -- stale (no r03 row): tokens_col / MinHash / load_table
@@ -130,7 +133,6 @@ _PRIORITY: list[str] = [
     "streaming_event_counts",
     "streaming_sliding_windows",
     "streaming_session_windows",
-    "streaming_stateful_counter",
     "streaming_stream_join",
     "streaming_wordcount",
     # -- round-3 green follows in registration order ------------------
