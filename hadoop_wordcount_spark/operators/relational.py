@@ -1636,6 +1636,54 @@ def funnel_stages(e: DataFrame) -> DataFrame:
 
 
 @query(
+    "event_path_mining",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+                   lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e2
+            FROM events)
+        SELECT event_type || ' > ' || e1 || ' > ' || e2 AS path,
+               count(*) AS n
+        FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: the 20 most common 3-step event-type
+    sequences across all users — the journey-analysis primitive
+    behind funnel DISCOVERY (funnel_conversion checks one known
+    funnel; this surfaces which paths exist and how often).
+
+    Per-user event n-grams via two LEADs over (ts, event_id) — the
+    unique event_id tiebreak makes same-timestamp ordering, and hence
+    the mined paths, engine-stable. One shuffle on user_id for the
+    window; the path count aggregates map-side (the path alphabet is
+    |event_types|^3-bounded, tiny regardless of corpus size) and
+    top-20 is a TakeOrderedAndProject k-heap, so at 100 TB the only
+    full-data exchange is the per-user window everything downstream
+    is combiner-sized."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+    return (
+        steps.select(
+            F.concat_ws(" > ", "event_type", "e1", "e2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@query(
     "trailing_window_sum",
     oracle="""
         WITH e AS (

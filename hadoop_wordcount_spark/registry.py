@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "corpus_mixture_sample",
     "dedup_incremental",
     "streaming_stateful_counter_rocksdb",
+    "event_path_mining",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
