@@ -1028,6 +1028,73 @@ _ORACLE_CLUSTERS_CTE = """
 
 
 @query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_CLUSTERS_CTE},
+        q AS (
+            SELECT doc_id,
+                   round(ln(1 + n_tok) * (n_dis * 1.0 / greatest(n_tok, 1)), 4)
+                       AS score
+            FROM (SELECT doc_id,
+                         len(list_filter(string_split(text, ' '), w -> w <> ''))
+                             AS n_tok,
+                         len(list_distinct(list_filter(string_split(text, ' '),
+                             w -> w <> ''))) AS n_dis
+                  FROM documents)),
+        j AS (SELECT c.cluster_id, q.doc_id, q.score
+              FROM clusters c JOIN q USING (doc_id)),
+        r AS (SELECT cluster_id, doc_id, score,
+                     row_number() OVER (
+                         PARTITION BY cluster_id
+                         ORDER BY score DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM j)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               doc_id AS rep_doc_id,
+               score AS rep_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: for each
+    duplicate cluster, keep the HIGHEST-quality member (log-length x
+    lexical diversity, `quality_score`'s exact formula) instead of
+    `dedup_clusters`/`pipeline_curate`'s min-doc_id winner — what a
+    production curation pipeline actually ships when near-dups differ
+    in quality (one copy is truncated, one is clean).
+
+    The argmax is `max(struct(score, -doc_id))` — the module's
+    map-side argmin/argmax convention: the shuffle carries one
+    partial per cluster instead of every member row a window sort
+    would move, and the (rounded score, lowest doc_id) tiebreak is
+    engine-stable. Composes two verified operators (clusters +
+    quality scores) and stays end-to-end oracle-checked through the
+    recursive-CTE fixpoint."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    score = F.round(F.log(1 + n_tok) * (n_dis / F.greatest(n_tok, F.lit(1))), 4)
+    scored = d.select("doc_id", score.alias("score")).join(clusters, "doc_id")
+    best = F.max(
+        F.struct(F.col("score").alias("score"), (-F.col("doc_id")).alias("neg_id"))
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("b"))
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (-F.col("b.neg_id")).cast("long").alias("rep_doc_id"),
+            F.col("b.score").alias("rep_score"),
+            "n_members",
+        )
+    )
+
+
+
+@query(
     "pipeline_curate",
     oracle=f"""
         WITH RECURSIVE {_ORACLE_CLUSTERS_CTE},

@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "dedup_incremental",
     "streaming_stateful_counter_rocksdb",
     "event_path_mining",
+    "dedup_cluster_representatives",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
