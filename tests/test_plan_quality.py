@@ -62,9 +62,12 @@ def test_wordcount_partial_aggregation(spark, sf_dir):
 
 def test_topk_is_ordered_limit_not_global_sort(spark, sf_dir):
     """top_k_words must plan as TakeOrderedAndProject (per-partition
-    k-heap), never a full global sort feeding a limit."""
-    df = registry.QUERIES["top_k_words"](spark, sf_dir)
-    assert_in_plan(df, "TakeOrderedAndProject")
+    k-heap), never a full global sort feeding a limit. Same property
+    for event_path_mining's top-20 (its only full-data exchange must
+    be the per-user window, not a global sort)."""
+    for name in ("top_k_words", "event_path_mining"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_in_plan(df, "TakeOrderedAndProject")
 
 
 def test_no_cartesian_in_pair_joins(spark, sf_dir):
