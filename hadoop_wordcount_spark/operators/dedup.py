@@ -754,6 +754,50 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _banded_verified_pairs(spark, sf_dir)
 
 
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH pairs AS (
+            {_ORACLE_MINHASH.strip()}
+        ),
+        j AS (
+            SELECT least(da.source, db.source) AS src_lo,
+                   greatest(da.source, db.source) AS src_hi
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b)
+        SELECT src_lo, src_hi, count(*) AS n_pairs
+        FROM j GROUP BY src_lo, src_hi
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: how many near-dup pairs
+    (banded MinHash, Jaccard >= 0.2) link each pair of sources — the
+    report that tells a corpus owner which feeds overlap before they
+    pay for dedup, and the provenance signal for licensing review.
+    Pair direction is normalized (least/greatest) so each source pair
+    appears once.
+
+    Reuses the shared cached verified-pair stage; the only work on
+    top is two doc_id->source lookups (broadcastable: pairs are tiny
+    by construction) and a |sources|^2-bounded aggregate. At 100 TB
+    the pair set is ∝ true near-dups, so this audit costs almost
+    nothing beyond the dedup you were already running."""
+    pairs = _banded_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        joined.select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # Mirrors _ORACLE_MINHASH with `source` carried through the CTE chain
 # and the pair join split new-batch x corpus. If the signature scheme
 # changes, ALL THREE oracle copies (_ORACLE_MINHASH, _ORACLE_NGRAM_LSH,

@@ -291,6 +291,30 @@ def q_topk_words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_frequency_spectrum",
+    oracle=f"""
+        WITH wc AS (
+            SELECT word, count(*) AS freq FROM ({_ORACLE_TOKENS}) GROUP BY word)
+        SELECT freq, count(*) AS n_words
+        FROM wc GROUP BY freq
+    """,
+)
+def q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many distinct words occur exactly
+    k times — the Zipf/Good-Turing spectrum used to sanity-check a
+    corpus (a spectrum that lost its long tail means dedup ate real
+    content; a bloated head means boilerplate survived).
+
+    Two cascaded aggregations, both map-side combined; the second's
+    input is |vocab| rows and its output |distinct frequencies| —
+    at 100 TB the only full-data exchange is word_count's own."""
+    wc = word_count(_docs(spark, sf_dir), text_col="text")
+    return wc.groupBy(F.col("count").alias("freq")).agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+
+
+@query(
     "text_source_wordcount",
     oracle=f"SELECT word, count(*) AS count FROM ({_ORACLE_TOKENS}) GROUP BY word",
 )

@@ -55,6 +55,8 @@ _PRIORITY: list[str] = [
     "streaming_stateful_counter_rocksdb",
     "event_path_mining",
     "dedup_cluster_representatives",
+    "token_frequency_spectrum",
+    "source_overlap_matrix",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
