@@ -235,6 +235,75 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
 
 
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                       AS sc
+            FROM v),
+        q AS (
+            SELECT vec_id, sc, v,
+                   list_transform(v, x -> CAST(round(x * 127 / sc, 0) AS INT))
+                       AS qv
+            FROM s)
+        SELECT vec_id, round(sc, 6) AS scale,
+               qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
+               round(list_sum(list_transform(range(1, len(v) + 1),
+                     i -> (v[i] - qv[i] * sc / 127) * (v[i] - qv[i] * sc / 127)))
+                     / len(v), 8) AS mse
+        FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage move that
+    makes a 100 TB embedding store 4x smaller (and ANN memory-bound
+    instead of IO-bound): scale = max|x|, q_i = round(x_i*127/scale),
+    reported with the per-vector reconstruction MSE (the quality
+    metric that decides whether int8 is acceptable for your recall
+    target). Emits the scale, the first 4 quantized values (schema-
+    stable spot-check), and the MSE.
+
+    Shuffle-free scan-level projection — at 100 TB this runs at IO
+    speed. Engine parity: /, *, abs, and round are IEEE-identical on
+    bit-identical inputs in both engines, so the quantized INTEGERS
+    match exactly; the MSE accumulates the same values in the same
+    array order and is rounded to 8 decimals (error terms are exact
+    squares of identical doubles, so the fold streams are
+    bit-identical too)."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v"))
+    sc = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    d = d.select("vec_id", "v", sc.alias("sc"))
+    qv = F.transform(
+        "v", lambda x: F.round(x * 127 / F.col("sc"), 0).cast("int")
+    )
+    d = d.select("vec_id", "v", "sc", qv.alias("qv"))
+    err = F.zip_with(
+        "v",
+        "qv",
+        lambda x, qi: (x - qi * F.col("sc") / 127) * (x - qi * F.col("sc") / 127),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.size("v")
+    return d.select(
+        "vec_id",
+        F.round("sc", 6).alias("scale"),
+        F.element_at("qv", 1).alias("q1"),
+        F.element_at("qv", 2).alias("q2"),
+        F.element_at("qv", 3).alias("q3"),
+        F.element_at("qv", 4).alias("q4"),
+        F.round(mse, 8).alias("mse"),
+    )
+
+
 # --- IVF (inverted-file) ANN -----------------------------------------------
 IVF_K = 8        # coarse centroids
 IVF_ITERS = 3    # fixed k-means rounds (deterministic)

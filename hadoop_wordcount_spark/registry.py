@@ -57,6 +57,7 @@ _PRIORITY: list[str] = [
     "dedup_cluster_representatives",
     "token_frequency_spectrum",
     "source_overlap_matrix",
+    "embedding_quantize_int8",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
