@@ -465,6 +465,71 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_novelty",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split({NORM_TEXT_SQL}, ' '), w -> w <> '') AS t
+            FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' ')))) AS gram
+            FROM tk WHERE len(t) >= 3),
+        df AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               round(avg(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+        FROM sh s JOIN df d USING (gram)
+        GROUP BY s.doc_id
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-token
+    shingles that appear in NO other document — the inverse of the
+    boilerplate signal (`repeated_ngrams` finds the shared grams;
+    this scores each doc by how much of it is its own). Low-novelty
+    docs are template/boilerplate candidates even when no single pair
+    crosses a dedup threshold.
+
+    Plan: per-doc distinct shingle explode (shuffle-free) → document
+    frequency via one partial+final count on the gram → join the
+    shingle stream back on the gram key → per-doc mean. Two shuffles
+    total, both on the gram key; at 100 TB hash grams to 16 bytes
+    before the exchange (dedup_exact's trick) and the df side stays
+    key+count only — document bodies never move. The 0/1 mean is an
+    exact integer sum in double, so round(.,4) is engine-stable."""
+    d = _docs(spark, sf_dir)
+    t = tokens_col(norm_text(F.col("text")))
+    sh = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 2),
+                        lambda i: F.array_join(F.slice("t", i, 3), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 # repeated_spans parameters. Two independent 31-bit Karp-Rabin hash
 # families => a 62-bit effective window key; each family's fold keeps
 # every product inside int64 (acc < 2^31, base < 2^20). Window keys

@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "token_frequency_spectrum",
     "source_overlap_matrix",
     "embedding_quantize_int8",
+    "doc_novelty",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
