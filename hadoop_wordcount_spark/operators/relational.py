@@ -928,6 +928,60 @@ def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q10_like",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                              AS BIGINT)) / 100.0, 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue report: top 20
+    customers by lost revenue (returnflag 'R') for one quarter, with
+    the nation dim attached. The quarter predicate pushes to the
+    orders scan, the returnflag predicate to the lineitem scan
+    (PushedFilters both), nation broadcasts, and the only big shuffle
+    is orders⋈lineitem on the order key followed by a map-side-
+    combined customer aggregate; top-20 is a k-heap with the unique
+    c_custkey tiebreak.
+
+    Money is summed as integer CENTS (per-row round to cent, SUM as
+    long): per-row cent values are bit-identical across engines, and
+    integer addition is order-independent, so per-customer revenue —
+    summing hundreds of terms in engine-specific partial-agg order —
+    cannot drift a last-ulp across the final 2-decimal rounding
+    boundary the way a double sum measurably did at sf0.01."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "tpch_q18_like",
     oracle="""
         SELECT o_orderkey, round(o_totalprice, 2) AS total,

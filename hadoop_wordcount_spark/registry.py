@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "source_overlap_matrix",
     "embedding_quantize_int8",
     "doc_novelty",
+    "tpch_q10_like",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
