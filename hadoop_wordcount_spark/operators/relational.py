@@ -816,7 +816,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_tpch_q3",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
                CAST(year(o_orderdate) AS BIGINT) AS order_yr
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -837,7 +837,7 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100e0, 2) AS revenue,
                CAST(year(o_orderdate) AS BIGINT) AS order_yr
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -854,7 +854,7 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice * l_discount), 2) AS revenue
+               round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
         FROM lineitem
         WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
         GROUP BY l_returnflag
@@ -876,7 +876,7 @@ def q_sql_pipe_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         |> WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
         |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
-                     round(sum(l_extendedprice * l_discount), 2) AS revenue
+                     round(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) / 100e0, 2) AS revenue
            GROUP BY l_returnflag
     """)
 
@@ -885,7 +885,7 @@ def q_sql_pipe_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_like",
     oracle="""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -921,7 +921,13 @@ def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue")
         )
     )
