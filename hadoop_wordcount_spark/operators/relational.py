@@ -934,6 +934,60 @@ def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey, CAST(min(year(o_orderdate)) AS BIGINT) AS cohort_yr
+            FROM orders GROUP BY o_custkey),
+        act AS (
+            SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS order_yr
+            FROM orders),
+        m AS (
+            SELECT f.cohort_yr, a.order_yr, count(*) AS n_active
+            FROM firsts f JOIN act a USING (o_custkey)
+            GROUP BY f.cohort_yr, a.order_yr),
+        sz AS (
+            SELECT cohort_yr, n_active AS cohort_size
+            FROM m WHERE order_yr = cohort_yr)
+        SELECT m.cohort_yr, m.order_yr, m.n_active,
+               round(m.n_active * 1.0 / s.cohort_size, 4) AS retention
+        FROM m JOIN sz s USING (cohort_yr)
+    """,
+)
+def q_customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order year,
+    tracked by the share still ordering in each later year — the
+    engagement report every analytics stack ships, here over the
+    orders fact.
+
+    Plan: one groupBy(custkey) for first-order year (map-side min),
+    one distinct over (custkey, year) — both shuffles on the customer
+    key, so AQE can reuse the exchange — then a |years|^2-bounded
+    matrix aggregate and a broadcast join against the tiny
+    cohort-size table. Retention divides two small exact integers, so
+    round(.,4) is engine-stable."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("order_yr")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("order_yr").alias("cohort_yr"))
+    act = o.distinct()
+    m = (
+        act.join(firsts, "o_custkey")
+        .groupBy("cohort_yr", "order_yr")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sz = m.filter(F.col("order_yr") == F.col("cohort_yr")).select(
+        "cohort_yr", F.col("n_active").alias("cohort_size")
+    )
+    return m.join(F.broadcast(sz), "cohort_yr").select(
+        "cohort_yr",
+        "order_yr",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+@query(
     "tpch_q10_like",
     oracle="""
         SELECT c_custkey, c_name, n_name,

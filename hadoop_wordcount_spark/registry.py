@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "doc_novelty",
     "tpch_q10_like",
+    "customer_cohort_retention",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
