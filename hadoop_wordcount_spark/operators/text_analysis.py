@@ -112,6 +112,46 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_confusion",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('{_SW_LIST_SQL}'))) * 1.0
+                   / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1)
+                   AS ratio
+            FROM documents)
+        SELECT lang,
+               CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred,
+               count(*) AS n
+        FROM scored GROUP BY lang, pred
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix for the stopword-ratio
+    language identifier: labeled lang x predicted {en, other} with
+    counts — the report that tells you the heuristic's per-language
+    error rates BEFORE you filter a corpus with it (`lang_id_
+    heuristic` scores docs; this aggregates its mistakes).
+
+    Same shuffle-free scoring expression, then one |langs| x 2
+    -bounded map-side-combined aggregate — at 100 TB the exchange
+    carries a handful of rows."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, w))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    pred = F.when(ratio >= 0.05, "en").otherwise("other")
+    return (
+        d.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "quality_score",
     oracle=f"""
         WITH t AS (

@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "doc_novelty",
     "tpch_q10_like",
     "customer_cohort_retention",
+    "lang_id_confusion",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
