@@ -165,6 +165,89 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_CHUNK = 16  # non-overlapping dedup window (tokens)
+
+
+@query(
+    "chunk_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {_DEDUP_CHUNK})) AS start
+            FROM t WHERE len(toks) >= 1),
+        c AS (
+            SELECT doc_id,
+                   start // {_DEDUP_CHUNK} AS chunk_idx,
+                   md5(array_to_string(
+                       list_slice(toks, start + 1, start + {_DEDUP_CHUNK}), ' '))
+                       AS fingerprint
+            FROM s),
+        r AS (
+            SELECT fingerprint, doc_id, chunk_idx,
+                   row_number() OVER (
+                       PARTITION BY fingerprint
+                       ORDER BY doc_id, chunk_idx) AS rn,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_copies
+            FROM c)
+        SELECT fingerprint, doc_id AS keep_doc_id,
+               CAST(chunk_idx AS BIGINT) AS keep_chunk_idx,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM r WHERE rn = 1 AND n_copies >= 2
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: fingerprint NON-overlapping
+    {_DEDUP_CHUNK}-token windows and report every chunk duplicated
+    across the corpus with its keep-winner — the granularity that
+    catches boilerplate shared between otherwise-distinct documents
+    (doc-level dedup sees nothing; `repeated_ngrams` flags grams but
+    doesn't pick winners). The non-overlapping stride means a chunk
+    can't collide with its own neighbor.
+
+    Plan: shuffle-free chunk explode (the `doc_chunk_windows` shape),
+    one shuffle on the 16-byte fingerprint; the keep-winner is
+    min(struct(doc_id, chunk_idx)) — a MAP-SIDE argmin partial per
+    fingerprint, never a window sort — so chunk bodies don't move,
+    only fingerprints and winner ids. At 100 TB this is the same cost
+    envelope as `dedup_exact` with ~n_tokens/{_DEDUP_CHUNK} keys."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_DEDUP_CHUNK))
+        ).alias("start"),
+    )
+    c = s.select(
+        "doc_id",
+        F.expr(f"start div {_DEDUP_CHUNK}").alias("chunk_idx"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start") + 1, _DEDUP_CHUNK), " ")
+        ).alias("fingerprint"),
+    )
+    keep = F.min(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("chunk_idx").alias("chunk_idx"))
+    )
+    return (
+        c.groupBy("fingerprint")
+        .agg(keep.alias("k"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "fingerprint",
+            F.col("k.doc_id").alias("keep_doc_id"),
+            F.col("k.chunk_idx").cast("long").alias("keep_chunk_idx"),
+            "n_copies",
+        )
+    )
+
+
 @query(
     "decontaminate_vs_eval",
     oracle=f"""

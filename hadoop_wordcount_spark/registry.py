@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "tpch_q10_like",
     "customer_cohort_retention",
     "lang_id_confusion",
+    "chunk_dedup",
     # -- implementation touched in round 4 (re-verify) ----------------
     "dedup_clusters",
     "dedup_minhash_banded",
