@@ -38,114 +38,63 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # Verification-priority order. The driver's correctness harness walks
 # ``queries()`` in iteration order under a budget (each round checks
 # ~50 entries), so queries that most need a hard-signal row this round
-# must iterate FIRST. Round 4: new queries, then queries whose
-# implementation is touched this round, then the 71 queries whose last
-# driver row is r01/r02 (stale) — ordered with dependents of the
-# round-3 shared-code refactors (``tokens_col``, the MinHash
-# signature, ``load_table``) first — with the round-3-green set
-# falling past the budget (just verified). ``tpch_q18_like`` is
-# deliberately placed far from the streaming entries: r03's one >1.3x
-# driver-bench ratio was adjacent to the streaming block in run order.
+# must iterate FIRST. Round 5 rotation (per round-4 verdict item 1):
+# new round-5 queries first, then ALL 43 queries whose last green
+# driver row is r01/r02 — the streaming, window/lag, sink,
+# scalar/map/array, multimodal, and join families. After this round no
+# query's driver row should be more than two rounds old. Families are
+# interleaved (streaming entries spread out, not a contiguous block)
+# so a bursty host steal-window cannot contaminate a whole family at
+# once (see DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
-    # -- new in round 4 (need first driver rows) ----------------------
-    "dedup_embedding_cosine_ivf",
-    "profile_table_sketch",
-    "corpus_mixture_sample",
-    "dedup_incremental",
-    "streaming_stateful_counter_rocksdb",
-    "event_path_mining",
-    "dedup_cluster_representatives",
-    "token_frequency_spectrum",
-    "source_overlap_matrix",
-    "embedding_quantize_int8",
-    "doc_novelty",
-    "tpch_q10_like",
-    "customer_cohort_retention",
-    "lang_id_confusion",
-    "chunk_dedup",
-    # -- implementation touched in round 4 (re-verify) ----------------
-    "dedup_clusters",
-    "dedup_minhash_banded",
-    "dedup_ngram_jaccard_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "streaming_stateful_counter",
-    "profile_table",
-    "pagerank_bigram",
-    # -- stale (no r03 row): tokens_col / MinHash / load_table
-    #    dependents first, per round-3 verdict ------------------------
-    "text_stats",
-    "tfidf",
-    "dedup_exact",
-    "sim_search_topk",
-    "agg_multi",
-    "lang_id_heuristic",
-    "quality_score",
-    "token_count_regex",
-    "doc_fingerprint",
-    "bigram_counts",
-    "repeated_ngrams",
-    "fuzzy_match_words",
-    "doc_rolling_hash",
-    "dedup_ngram_jaccard",
-    "dedup_anti_join",
-    "dedup_embedding_cosine",
-    "embedding_norms",
-    "sim_search_lsh",
-    "knn_block_join",
-    "embedding_centroids",
-    "ann_ivf_search",
-    "dataset_split",
-    "stratified_sample",
-    "group_zscore_pandas",
-    "pandas_udf_scale",
-    "tpch_q18_like",
-    "tpch_q5_like",
-    "sql_tpch_q3",
+    # -- new in round 5 (need first driver rows) ----------------------
+    # (appended here as they land)
+    # -- stale: last green row r01/r02 (43 queries, full rotation) ----
+    "streaming_event_counts",
+    "window_topk_orders",
+    "sink_roundtrip_csv",
+    "scalar_functions_mix",
+    "join_orders_customer",
+    "multimodal_meta",
+    "streaming_sliding_windows",
+    "rank_dense_ntile",
+    "sink_roundtrip_json",
+    "map_ops_mix",
+    "join_multi",
+    "multimodal_decode",
+    "streaming_session_windows",
+    "running_event_value",
+    "sink_partitioned_parquet",
+    "array_ops_mix",
+    "broadcast_join_parts",
+    "multimodal_resize",
+    "streaming_stream_join",
+    "lag_event_gap",
+    "sink_roundtrip_orc",
+    "event_props_json",
+    "semi_join_customers",
+    "frame_sample",
+    "streaming_wordcount",
+    "asof_last_error",
+    "unpivot_status",
+    "event_props_struct",
+    "anti_join_customers",
+    "value_percentiles",
+    "batch_sessionize",
+    "salted_aggregation",
+    "outer_join_nations",
+    "stats_aggregates",
+    "range_join_lineitem",
+    "value_histogram",
+    "skew_salted_join",
     "orders_by_month",
+    "merge_upsert",
     "grouping_rollup",
+    "sql_tpch_q3",
     "cube_agg",
     "pivot_status",
-    "join_orders_customer",
-    "join_multi",
-    "broadcast_join_parts",
-    "semi_join_customers",
-    "anti_join_customers",
-    "range_join_lineitem",
-    "outer_join_nations",
-    "skew_salted_join",
-    "merge_upsert",
-    "window_topk_orders",
-    "rank_dense_ntile",
-    "batch_sessionize",
-    # -- stale, likely past the ~50 budget (r05 rotation leads here) --
-    "running_event_value",
-    "lag_event_gap",
-    "asof_last_error",
-    "event_props_json",
-    "event_props_struct",
-    "scalar_functions_mix",
-    "map_ops_mix",
-    "unpivot_status",
-    "array_ops_mix",
-    "value_percentiles",
-    "salted_aggregation",
-    "stats_aggregates",
-    "value_histogram",
-    "multimodal_meta",
-    "multimodal_decode",
-    "frame_sample",
-    "multimodal_resize",
-    "sink_roundtrip_csv",
-    "sink_roundtrip_json",
-    "sink_partitioned_parquet",
-    "sink_roundtrip_orc",
-    "streaming_event_counts",
-    "streaming_sliding_windows",
-    "streaming_session_windows",
-    "streaming_stream_join",
-    "streaming_wordcount",
-    # -- round-3 green follows in registration order ------------------
+    # -- last green r03/r04 follows (fresh enough); registration order
+    # fills the remainder ---------------------------------------------
 ]
 
 
