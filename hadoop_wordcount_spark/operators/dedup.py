@@ -33,6 +33,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# Bitmask Jaccard scoring is only safe while W = ceil(|vocab|/64)
+# keeps rows narrow and the bit_or aggregate list inside codegen
+# limits: 2^16 vocab → W=1024 → ~8 KB/row and 1024 agg expressions,
+# the practical ceiling. Past it, q_dedup_ngram_jaccard switches to
+# sorted xxhash64 arrays whose width tracks document length instead.
+_BITMASK_VOCAB_MAX = 65_536
+
+
 @query(
     "dedup_exact",
     oracle=f"""
@@ -111,18 +119,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_ngram_jaccard_lsh` is exactly that) — the scoring stage
     is unchanged.
 
-    Scoring representation: a broadcast vocabulary→bit-position map
-    turns each document's distinct-token set into a W x 64-bit
-    bitmask (W = ceil(|vocab|/64)), so each candidate pair costs a
-    handful of AND/OR + bit_count instructions instead of an
-    O(|A|+|B|) hash-set intersect — the int-id-dictionary idea taken
-    to its endpoint. The mapping is a bijection, so Jaccard values
-    are bit-identical to the string form and the string-based DuckDB
-    oracle hash-matches unchanged. The bitmask form assumes a
-    corpus-bounded vocabulary (fits broadcast); on an unbounded
-    100 TB vocabulary you'd keep sorted int-id ARRAYS (merge-join
-    intersect) or go straight to the LSH twin, whose verification
-    stage touches only candidate pairs."""
+    Scoring representation — two paths, chosen by vocabulary size:
+
+    - |vocab| <= _BITMASK_VOCAB_MAX: a broadcast vocabulary→bit-
+      position map turns each document's distinct-token set into a
+      W x 64-bit bitmask (W = ceil(|vocab|/64)), so each candidate
+      pair costs a handful of AND/OR + bit_count instructions. Row
+      width and agg-expression count scale with the GLOBAL vocab, so
+      this path is gated: past the threshold, W-wide rows through the
+      self-join and W bit_or aggregates would blow up both shuffle
+      width and whole-stage codegen.
+    - larger vocab: sorted arrays of per-token xxhash64 values,
+      scored with array_intersect/array_union — row width scales
+      with DOC length, not vocabulary, and no driver-side vocab job
+      or broadcast dictionary is needed. This is the 100 TB path.
+
+    Both are bijective re-codings of the token set (64-bit hash
+    collisions aside), so Jaccard values match the string-form DuckDB
+    oracle either way. At true 100 TB scale the blocked self-join
+    itself is the limit — go to `dedup_ngram_jaccard_lsh`, whose
+    verification touches only candidate pairs."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
@@ -133,49 +149,64 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
     )
     vocab = toks.select(F.explode("toks").alias("w")).distinct()
-    # Driver-side plan literal (documented pattern): W words of 64
-    # bits sized from the vocabulary count — one tiny vocab-bounded
-    # job, same precedent as the query-vector head() reads.
+    # Driver-side plan literal (documented pattern): one tiny
+    # vocab-bounded job to pick the scoring representation, same
+    # precedent as the query-vector head() reads.
     n_vocab = vocab.count()
-    n_words = max(1, (n_vocab + 63) // 64)
-    vocab_id = vocab.select(
-        "w", (F.row_number().over(Window.orderBy("w")) - 1).alias("tid")
-    )
-    masks = (
-        toks.select("doc_id", "lang", "len_bucket", F.explode("toks").alias("w"))
-        .join(F.broadcast(vocab_id), "w")
-        .groupBy("doc_id", "lang", "len_bucket")
-        .agg(
-            *[
-                F.expr(
-                    f"bit_or(CASE WHEN tid div 64 = {w} THEN "
-                    "shiftleft(1L, CAST(tid % 64 AS INT)) ELSE 0L END)"
-                ).alias(f"m{w}")
-                for w in range(n_words)
-            ]
+    if n_vocab <= _BITMASK_VOCAB_MAX:
+        n_words = max(1, (n_vocab + 63) // 64)
+        vocab_id = vocab.select(
+            "w", (F.row_number().over(Window.orderBy("w")) - 1).alias("tid")
         )
-    )
-    popcnt = F.aggregate(
-        F.col("m"), F.lit(0).cast("long"), lambda acc, x: acc + F.bit_count(x)
-    )
-    s = masks.select(
-        "doc_id",
-        "lang",
-        "len_bucket",
-        F.array(*[f"m{w}" for w in range(n_words)]).alias("m"),
-    ).select("doc_id", "lang", "len_bucket", "m", popcnt.alias("nset"))
-    a = s.alias("a")
-    b = s.alias("b")
-    inter = F.aggregate(
-        F.zip_with(F.col("a.m"), F.col("b.m"), lambda x, y: x.bitwiseAND(y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.bit_count(x),
-    )
-    union_ = F.aggregate(
-        F.zip_with(F.col("a.m"), F.col("b.m"), lambda x, y: x.bitwiseOR(y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.bit_count(x),
-    )
+        s = (
+            toks.select("doc_id", "lang", "len_bucket", F.explode("toks").alias("w"))
+            .join(F.broadcast(vocab_id), "w")
+            .groupBy("doc_id", "lang", "len_bucket")
+            .agg(
+                *[
+                    F.expr(
+                        f"bit_or(CASE WHEN tid div 64 = {w} THEN "
+                        "shiftleft(1L, CAST(tid % 64 AS INT)) ELSE 0L END)"
+                    ).alias(f"m{w}")
+                    for w in range(n_words)
+                ]
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "len_bucket",
+                F.array(*[f"m{w}" for w in range(n_words)]).alias("m"),
+            )
+        )
+        popcnt = F.aggregate(
+            F.col("m"), F.lit(0).cast("long"), lambda acc, x: acc + F.bit_count(x)
+        )
+        s = s.select("doc_id", "lang", "len_bucket", "m", popcnt.alias("nset"))
+        a = s.alias("a")
+        b = s.alias("b")
+        inter = F.aggregate(
+            F.zip_with(F.col("a.m"), F.col("b.m"), lambda x, y: x.bitwiseAND(y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.bit_count(x),
+        )
+        union_ = F.aggregate(
+            F.zip_with(F.col("a.m"), F.col("b.m"), lambda x, y: x.bitwiseOR(y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.bit_count(x),
+        )
+    else:
+        s = toks.select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            F.array_sort(
+                F.transform("toks", lambda w: F.xxhash64(w))
+            ).alias("m"),
+        ).withColumn("nset", F.size("m"))
+        a = s.alias("a")
+        b = s.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.m"), F.col("b.m")))
+        union_ = F.size(F.array_union(F.col("a.m"), F.col("b.m")))
     jac = inter / F.greatest(union_, F.lit(1))
     # Cheap necessary condition evaluated before the popcount loop:
     # Jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t. Prunes
@@ -565,18 +596,29 @@ def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands of 2 rows → P(candidate) = 1-(1-s^2)^4
 
-_ORACLE_MINHASH = """
+def _minhash_cte(cols: str = "") -> str:
+    """The shared DuckDB CTE chain (toks → sh → sig → bands) behind
+    every MinHash oracle. ONE template — `_ORACLE_MINHASH`,
+    `_ORACLE_NGRAM_LSH`, and `_ORACLE_INCREMENTAL` all compose their
+    tails onto this, so a signature-scheme change cannot silently
+    diverge between them (round-4 advice: consistency of the three
+    hand-duplicated copies was enforced only by a comment).
+
+    ``cols``: extra per-doc columns carried through the chain, e.g.
+    ``", source"`` for the incremental (batch x corpus) variant.
+    """
+    return f"""
     WITH toks AS (
         -- NOTE: the token SEQUENCE, not a distinct set — shingles are
         -- order-dependent, and DuckDB's list_distinct does not
         -- preserve order (Spark's array_distinct does).
-        SELECT doc_id,
+        SELECT doc_id{cols},
                list_filter(
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
                    w -> w <> '') AS tk
         FROM documents),
     sh AS (
-        SELECT doc_id,
+        SELECT doc_id{cols},
                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
                     ELSE list_distinct(list_transform(range(1, len(tk) - 1),
                              i -> array_to_string(tk[i:i+2], ' ')))
@@ -587,7 +629,7 @@ _ORACLE_MINHASH = """
         -- hash j is the min over 8-hex slice (j % 4) of digest
         -- (j // 4). 4x less hash compute than 8 independent md5s,
         -- same per-hash strength (md5 bits are uniformly mixed).
-        SELECT doc_id, shingles,
+        SELECT doc_id{cols}, shingles,
                list_transform(range(0, 8),
                    k -> list_min(list_transform(shingles,
                             s -> substr(md5((k // 4) || ':' || s),
@@ -595,9 +637,12 @@ _ORACLE_MINHASH = """
                    AS sig
         FROM sh),
     bands AS (
-        SELECT doc_id, shingles, b,
+        SELECT doc_id{cols}, shingles, b,
                md5(sig[2*b + 1] || sig[2*b + 2]) AS band_key
-        FROM sig, unnest(range(0, 4)) AS t(b)),
+        FROM sig, unnest(range(0, 4)) AS t(b))"""
+
+
+_ORACLE_MINHASH = f"""{_minhash_cte()},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.shingles AS sh_a, b.shingles AS sh_b
@@ -798,43 +843,21 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirrors _ORACLE_MINHASH with `source` carried through the CTE chain
-# and the pair join split new-batch x corpus. If the signature scheme
-# changes, ALL THREE oracle copies (_ORACLE_MINHASH, _ORACLE_NGRAM_LSH,
-# _ORACLE_INCREMENTAL) must change together (DEVNOTES).
-_INCREMENTAL_SRC = "src1"
-_ORACLE_INCREMENTAL = f"""
-    WITH toks AS (
-        SELECT doc_id, source,
-               list_filter(
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                   w -> w <> '') AS tk
-        FROM documents),
-    sh AS (
-        SELECT doc_id, source,
-               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
-                             i -> array_to_string(tk[i:i+2], ' ')))
-               END AS shingles
-        FROM toks),
-    sig AS (
-        SELECT doc_id, source, shingles,
-               list_transform(range(0, 8),
-                   k -> list_min(list_transform(shingles,
-                            s -> substr(md5((k // 4) || ':' || s),
-                                        CAST(1 + 8 * (k % 4) AS INT), 8))))
-                   AS sig
-        FROM sh),
-    bands AS (
-        SELECT doc_id, source, shingles, b,
-               md5(sig[2*b + 1] || sig[2*b + 2]) AS band_key
-        FROM sig, unnest(range(0, 4)) AS t(b)),
+# The shared CTE chain with `source` carried through and the pair
+# join split new-batch x corpus. The batch source is DERIVED from the
+# data (lexicographic max over `source`) instead of a hardcoded
+# literal, so the query can never go vacuously empty on a corpus that
+# lacks some specific source name — both engines compute the same
+# max() over the same table.
+_ORACLE_INCREMENTAL = f"""{_minhash_cte(", source")},
+    batch AS (SELECT max(source) AS src FROM documents),
     cand AS (
         SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS dup_of,
                n.shingles AS sh_n, o.shingles AS sh_o
         FROM bands n JOIN bands o
           ON n.b = o.b AND n.band_key = o.band_key
-        WHERE n.source = '{_INCREMENTAL_SRC}' AND o.source <> '{_INCREMENTAL_SRC}')
+        WHERE n.source = (SELECT src FROM batch)
+          AND o.source <> (SELECT src FROM batch))
     SELECT new_doc, dup_of,
            round(len(list_intersect(sh_n, sh_o)) * 1.0 /
                  greatest(len(list_distinct(sh_n || sh_o)), 1), 4) AS jaccard
@@ -847,9 +870,10 @@ _ORACLE_INCREMENTAL = f"""
 @query("dedup_incremental", oracle=_ORACLE_INCREMENTAL)
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: near-dup matches of an incoming
-    batch (source = '{src}') AGAINST the standing corpus (every other
-    source) — the nightly-drop shape of production dedup, where you
-    never re-pair the whole corpus, only new x existing.
+    batch (source = max(source), derived from the data) AGAINST the
+    standing corpus (every other source) — the nightly-drop shape of
+    production dedup, where you never re-pair the whole corpus, only
+    new x existing.
 
     Same banded-MinHash machinery as `dedup_minhash_banded` (shared
     cached signature base), but the band join is one-sided: new-batch
@@ -862,11 +886,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     to drop or link before appending."""
     base = _minhash_base(spark, sf_dir)
     src = _docs(spark, sf_dir).select("doc_id", "source")
+    # Driver-side plan literal (documented pattern, one tiny agg job):
+    # the incoming batch is the lexicographically-last source, same
+    # max(source) the oracle computes. Assert non-empty rather than
+    # letting an empty corpus make the query vacuously green.
+    batch_src = src.agg(F.max("source")).head()[0]
+    assert batch_src is not None, "documents table has no sources"
     bands = _bands(base).join(src, "doc_id")
-    newb = bands.filter(F.col("source") == _INCREMENTAL_SRC).select(
+    newb = bands.filter(F.col("source") == batch_src).select(
         F.col("doc_id").alias("new_doc"), "b", "band_key"
     )
-    oldb = bands.filter(F.col("source") != _INCREMENTAL_SRC).select(
+    oldb = bands.filter(F.col("source") != batch_src).select(
         F.col("doc_id").alias("dup_of"),
         F.col("b").alias("b2"),
         F.col("band_key").alias("band_key2"),
@@ -890,32 +920,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_NGRAM_LSH = """
-    WITH toks AS (
-        SELECT doc_id,
-               list_filter(
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
-                   w -> w <> '') AS tk
-        FROM documents),
-    sh AS (
-        SELECT doc_id,
-               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
-                             i -> array_to_string(tk[i:i+2], ' ')))
-               END AS shingles
-        FROM toks),
-    sig AS (
-        SELECT doc_id,
-               list_transform(range(0, 8),
-                   k -> list_min(list_transform(shingles,
-                            s -> substr(md5((k // 4) || ':' || s),
-                                        CAST(1 + 8 * (k % 4) AS INT), 8))))
-                   AS sig
-        FROM sh),
-    bands AS (
-        SELECT doc_id, b,
-               md5(sig[2*b + 1] || sig[2*b + 2]) AS band_key
-        FROM sig, unnest(range(0, 4)) AS t(b)),
+_ORACLE_NGRAM_LSH = f"""{_minhash_cte()},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b

@@ -93,14 +93,18 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE lpad(lower(hex(t)), 4, '0') END AS thr_hex
             FROM rates),
         sampled AS (
-            SELECT d.source, r.rate, d.text
+            SELECT d.source, d.text
             FROM documents d JOIN thr r USING (source)
-            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr_hex)
-        SELECT source, round(min(rate), 4) AS rate,
-               count(*) AS n_docs,
-               CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
-                    AS BIGINT) AS n_tokens
-        FROM sampled GROUP BY source
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr_hex),
+        realized AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                        AS BIGINT) AS n_tokens
+            FROM sampled GROUP BY source)
+        SELECT t.source, round(t.rate, 4) AS rate,
+               COALESCE(a.n_docs, 0) AS n_docs,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM thr t LEFT JOIN realized a USING (source)
     """,
 )
 def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,13 +141,24 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lpad(F.lower(F.hex(t)), 4, "0"))
         .alias("thr_hex"),
     )
-    sampled = d.join(F.broadcast(thr), "source").filter(
+    sampled = d.join(F.broadcast(thr.select("source", "thr_hex")), "source").filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("thr_hex")
     )
-    return sampled.groupBy("source").agg(
-        F.round(F.min("rate"), 4).alias("rate"),
+    realized = sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    # Left-join realized budgets back onto the per-source threshold
+    # table: a source whose rate floors to zero (or that samples to
+    # zero docs) must still REPORT, with a zero budget — otherwise the
+    # output can't distinguish "fully dropped" from "not present".
+    return thr.select("source", F.round("rate", 4).alias("rate")).join(
+        realized, "source", "left"
+    ).select(
+        "source",
+        "rate",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
     )
 
 

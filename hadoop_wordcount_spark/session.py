@@ -25,6 +25,31 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_memory() -> str:
+    """min(48g, ~40% of host RAM), floor 2g.
+
+    48g suits the 128 GiB bench host (32 concurrent local-mode tasks
+    + session-lifetime caches/broadcasts; at 8g that pressure caused
+    multi-second GC storms striking random bands of consecutive bench
+    queries). But a fixed 48g default would let the heap outgrow
+    physical memory on smaller dev/CI hosts (cgroup limits, laptops)
+    and get OOM-killed where a small cap merely forced GC — so derive
+    from MemTotal and only go big when the host actually is.
+    Override with SPARK_DRIVER_MEMORY.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    mem_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    return f"{max(2, min(48, int(mem_gib * 0.4)))}g"
+
+
 def get_spark(
     app_name: str = "hadoop_wordcount_spark",
     master: str | None = None,
@@ -43,14 +68,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # 48g on the 128 GiB bench host: the single local-mode JVM
-        # holds execution memory for 32 concurrent tasks PLUS every
-        # session-lifetime shared cache, broadcast, and streaming
-        # memory-sink across a 125-query sweep — at 8g that pressure
-        # showed up as multi-second GC storms striking random bands of
-        # consecutive bench queries (2-8x inflation, unreproducible in
-        # a fresh session). Override with SPARK_DRIVER_MEMORY.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -103,17 +103,21 @@ def test_corpus_mixture_sample_rates(spark):
 
 
 def test_dedup_incremental_is_one_sided(spark):
-    """Every returned match pairs a src1 (new-batch) doc with a
-    non-src1 (corpus) doc — never corpus x corpus or batch x batch."""
+    """Every returned match pairs a new-batch doc (source =
+    max(source), derived from the data — round-5 advice fix, no
+    hardcoded source name) with a corpus doc from any OTHER source —
+    never corpus x corpus or batch x batch."""
     srcs = {
         r["doc_id"]: r["source"]
         for r in load_table(spark, SF_SMALL, "documents")
         .select("doc_id", "source")
         .collect()
     }
-    for r in registry.QUERIES["dedup_incremental"](spark, SF_SMALL).collect():
-        assert srcs[r["new_doc"]] == "src1"
-        assert srcs[r["dup_of"]] != "src1"
+    batch_src = max(srcs.values())
+    rows = registry.QUERIES["dedup_incremental"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert srcs[r["new_doc"]] == batch_src
+        assert srcs[r["dup_of"]] != batch_src
         assert r["jaccard"] >= 0.2
 
 
