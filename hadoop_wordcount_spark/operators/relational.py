@@ -26,6 +26,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _sum_money(col) -> "F.Column":
+    """SUM a 2-decimal money column as integer CENTS.
+
+    Per-row cent values are bit-identical across engines, and integer
+    addition is order-independent — so a sum over thousands of terms
+    cannot drift a last-ulp across the final 2-decimal rounding
+    boundary under engine-specific partial-agg order (the way raw
+    double sums measurably did at sf0.01; DEVNOTES round 4). Pair
+    with `_sum_money_sql` in the oracle."""
+    return F.round(F.sum(F.round(col * 100, 0).cast("long")) / 100.0, 2)
+
+
+def _sum_money_sql(expr: str) -> str:
+    """DuckDB twin of `_sum_money`."""
+    return f"round(sum(CAST(round(({expr}) * 100, 0) AS BIGINT)) / 100.0, 2)"
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------
@@ -33,11 +50,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @query(
     "agg_multi",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                  AS sum_qty,
-               round(sum(l_extendedprice), 2)                             AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+               {_sum_money_sql("l_extendedprice")}                        AS sum_base_price,
+               {_sum_money_sql("l_extendedprice * (1 - l_discount)")}     AS sum_disc_price,
                round(avg(l_quantity), 4)                                  AS avg_qty,
                round(avg(l_discount), 4)                                  AS avg_disc,
                count(*)                                                   AS count_order
@@ -64,9 +81,9 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -77,11 +94,11 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_by_month",
-    oracle="""
+    oracle=f"""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                CAST(month(o_orderdate) AS BIGINT) AS mon,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_total
+               {_sum_money_sql("o_totalprice")} AS sum_total
         FROM orders GROUP BY 1, 2
     """,
 )
@@ -94,7 +111,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("mon"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        _sum_money(F.col("o_totalprice")).alias("sum_total"),
     )
 
 
@@ -165,10 +182,10 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_orders_customer",
-    oracle="""
+    oracle=f"""
         SELECT c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               {_sum_money_sql("o_totalprice")} AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -184,16 +201,16 @@ def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _sum_money(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
 
 @query(
     "join_multi",
-    oracle="""
+    oracle=f"""
         SELECT r_name, n_name, count(*) AS n_customers,
-               round(sum(c_acctbal), 2) AS sum_acctbal
+               {_sum_money_sql("c_acctbal")} AS sum_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -212,16 +229,16 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            _sum_money(F.col("c_acctbal")).alias("sum_acctbal"),
         )
     )
 
 
 @query(
     "broadcast_join_parts",
-    oracle="""
+    oracle=f"""
         SELECT p_brand, count(*) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {_sum_money_sql("l_extendedprice * (1 - l_discount)")} AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
@@ -236,8 +253,8 @@ def q_broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
     )
@@ -689,8 +706,8 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "colocated_join",
-    oracle="""
-        SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    oracle=f"""
+        SELECT c_nationkey, count(*) AS n, {_sum_money_sql("o_totalprice")} AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_nationkey
     """,
@@ -713,7 +730,7 @@ def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _sum_money(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -738,8 +755,8 @@ def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_aggregation",
-    oracle="""
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    oracle=f"""
+        SELECT event_type, count(*) AS n, {_sum_money_sql("value")} AS sum_value
         FROM events GROUP BY event_type
     """,
 )
@@ -755,12 +772,13 @@ def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     general form that also covers collect_list-style aggregates.)"""
     e = _t(spark, sf_dir, "events")
     salted = e.withColumn("salt", (F.rand(seed=42) * 16).cast("int"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     partial = salted.groupBy("event_type", "salt").agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+        F.count(F.lit(1)).alias("pn"), F.sum(cents).alias("psum")
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("psum"), 2).alias("sum_value"),
+        F.round(F.sum("psum") / 100.0, 2).alias("sum_value"),
     )
 
 
@@ -1081,12 +1099,13 @@ def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "outer_join_nations",
-    oracle="""
+    oracle=f"""
         SELECT n_name,
                CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_customers,
                round(COALESCE(c.bal, 0.0), 2) AS total_acctbal
         FROM nation LEFT JOIN (
-            SELECT c_nationkey, count(*) AS n_cust, sum(c_acctbal) AS bal
+            SELECT c_nationkey, count(*) AS n_cust,
+                   {_sum_money_sql("c_acctbal")} AS bal
             FROM customer GROUP BY c_nationkey) c
           ON n_nationkey = c.c_nationkey
     """,
@@ -1101,7 +1120,7 @@ def q_outer_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("c_acctbal").alias("bal"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), _sum_money(F.col("c_acctbal")).alias("bal"))
     )
     return n.join(c, n.n_nationkey == c.c_nationkey, "left").select(
         "n_name",
