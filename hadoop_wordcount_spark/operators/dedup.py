@@ -1262,3 +1262,47 @@ def q_pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+_ORACLE_CONTAINMENT = f"""{_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sh_a, sh_b)) * 1.0 /
+                 greatest(least(len(sh_a), len(sh_b)), 1), 4) AS containment
+    FROM cand
+    WHERE len(list_intersect(sh_a, sh_b)) * 1.0 /
+          greatest(least(len(sh_a), len(sh_b)), 1) >= 0.4
+"""
+
+
+@query("dedup_containment", oracle=_ORACLE_CONTAINMENT)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A∩B| / min(|A|, |B|) over
+    shingle sets — the ASYMMETRIC companion to Jaccard that catches
+    doc-in-doc duplication (a clean article fully embedded in a
+    longer scrape has Jaccard ~|A|/|B| — arbitrarily low — but
+    containment ~1). Standard contamination/quote-detection scoring
+    in pretraining curation, after Broder's resemblance/containment
+    pair.
+
+    Same banded-MinHash candidate stage as `dedup_minhash_banded`
+    (shared cached signature base — one featurization per session,
+    zero new shuffles beyond the verify join); only the scoring
+    formula differs. MinHash bands estimate Jaccard, so recall for
+    extreme size-ratio pairs is bounded by their (low) Jaccard — at
+    100 TB the recall-critical variant band-joins on the SMALLER
+    side's partial signatures; here candidates and scoring stay
+    oracle-checkable end to end."""
+    base = _minhash_base(spark, sf_dir)
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = _band_pairs(base).join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter / F.greatest(F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1))
+    return pairs.filter(cont >= 0.4).select(
+        "doc_a", "doc_b", F.round(cont, 4).alias("containment")
+    )

@@ -1856,3 +1856,195 @@ def q_trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("trailing_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: TPC-H family widening (Q14 / Q16 / Q2 / Q4 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q14_like",
+    oracle=f"""
+        SELECT round(
+            100.0 * {_sum_money_sql(
+                "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            / {_sum_money_sql("l_extendedprice * (1 - l_discount)")}, 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of one month's
+    discounted revenue attributable to PROMO-type parts — conditional
+    aggregate over a fact⋈dim join. The testdata's `p_type` is a flat
+    category (no 'PROMO%' prefixes as in `Part.p_type` of real TPC-H;
+    equality replaces LIKE, same plan shape).
+
+    Plan: the date filter pushes to the lineitem scan (one month
+    survives), part broadcasts (2k rows; at 100 TB parts are still
+    ~millions — broadcastable), then a single no-grouping aggregate:
+    zero big shuffles. Both money sums go through integer cents
+    (`_sum_money`) so the ratio cannot drift a last ulp under
+    partial-agg order."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * _sum_money(promo) / _sum_money(disc), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q16_like",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size < 25
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers can furnish parts of each (brand, type, size)
+    combination, excluding one brand and one type class. The
+    reference schema has no partsupp table, so lineitem serves as the
+    observed part⋈supplier bridge (suppliers that actually shipped
+    the part); the supplier-complaint NOT IN of real Q16 has no
+    analog here.
+
+    Plan: part filters push to its scan, part broadcasts onto
+    lineitem, and COUNT(DISTINCT) expands to the standard two-phase
+    distinct aggregate — first shuffle on (brand, type, size,
+    suppkey) deduplicates with map-side partials, second on the group
+    key counts. Group cardinality is bounded by the attr combo space,
+    never by fact rows — exactly how it stays cheap at 100 TB."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") < 25)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q2_like",
+    oracle="""
+        WITH px AS (
+            SELECT l_partkey, l_suppkey,
+                   round(l_extendedprice / l_quantity, 2) AS unit_price
+            FROM lineitem WHERE l_quantity > 0),
+        m AS (
+            SELECT l_partkey, min(unit_price) AS min_price
+            FROM px GROUP BY l_partkey),
+        w AS (
+            SELECT px.l_partkey, min(px.l_suppkey) AS l_suppkey, m.min_price
+            FROM px JOIN m ON px.l_partkey = m.l_partkey
+                          AND px.unit_price = m.min_price
+            GROUP BY px.l_partkey, m.min_price)
+        SELECT p.p_partkey, p.p_name, s.s_name, w.min_price
+        FROM w
+        JOIN part p ON w.l_partkey = p.p_partkey
+        JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        WHERE p.p_size < 10
+    """,
+)
+def q_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every small part,
+    the supplier offering it at the lowest observed unit price. No
+    partsupp table exists, so unit price is derived from shipped
+    lineitems (extendedprice/quantity, 2-decimal quantized on BOTH
+    engines before comparison so the min is taken over identical
+    values).
+
+    Plan: the correlated-subquery formulation of real Q2 becomes ONE
+    map-side argmin — min(struct(unit_price, suppkey)) per partkey —
+    so the shuffle carries one partial per part instead of the
+    sorted lineitems a window row_number would move; then two
+    broadcast dim joins (part, supplier). The (price, lowest-suppkey)
+    tiebreak is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    s = _t(spark, sf_dir, "supplier")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    best = (
+        li.select("l_partkey", "l_suppkey", unit.alias("unit_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("unit_price").alias("unit_price"),
+                    F.col("l_suppkey").alias("l_suppkey"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "l_partkey",
+            F.col("b.l_suppkey").alias("l_suppkey"),
+            F.col("b.unit_price").alias("min_price"),
+        )
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "min_price")
+    )
+
+
+@query(
+    "tpch_q4_like",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count per priority
+    of one half-year's orders that had at least one LATE line item.
+    The reference lineitem carries no commit/receipt dates, so "late"
+    is adapted to shipped more than 60 days after the order date —
+    the same correlated-EXISTS decorrelating to a left-semi join.
+
+    Plan: the date filter pushes to the orders scan; the EXISTS
+    becomes one semi join on the order key (probe side stops at first
+    match, nothing from lineitem is projected through), then a
+    5-group aggregate with map-side partials. The semi join is the
+    only shuffle pair at 100 TB, and AQE can flip it to broadcast
+    when the half-year's orders fit."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -182,3 +182,65 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(hash_bucket(F.col("doc_id")) < rate_hi).select(
         "lang", "doc_id", "n_chars"
     )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                       AS n_tokens
+            FROM documents GROUP BY source),
+        sh AS (
+            SELECT source, n_docs, n_tokens,
+                   n_tokens * 1.0 / sum(n_tokens) OVER () AS share,
+                   pow(n_tokens * 1.0 / sum(n_tokens) OVER (), 0.7) AS pw
+            FROM per)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(share, 6) AS share,
+               round(pw / sum(pw) OVER (), 6) AS weight,
+               round(pw / sum(pw) OVER () / share, 4) AS epochs
+        FROM sh
+    """,
+)
+def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture weights per source: w_s ∝
+    share_s^alpha (alpha = 0.7), the standard upsampling rule for
+    low-resource sources/languages in multilingual and multi-corpus
+    pretraining (exponentiated-share sampling, as published for
+    mBERT/XLM-R-style training mixes). `epochs` = w_s/share_s is the
+    effective number of passes over each source at a 1x token budget
+    — the over/under-sampling factor the mix implies.
+
+    Plan: one groupBy(source) with map-side partials over the token
+    counts (the only corpus-sized stage), then the 20-row source
+    table normalizes via two tiny window sums — at 100 TB the heavy
+    stage is a single partial-agg scan; everything after is
+    constant-sized. Shares are integer-token ratios (exact doubles);
+    pow/normalize round to 6 before comparison."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " ", -1), lambda w: w != ""))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    pw = F.pow(share, 0.7)
+    sh = per.select(
+        "source", "n_docs", "n_tokens", share.alias("share"), pw.alias("pw")
+    )
+    weight = F.col("pw") / F.sum("pw").over(w_all)
+    return sh.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / F.col("share"), 4).alias("epochs"),
+    )

@@ -492,3 +492,63 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+def _cell_stats_oracle() -> str:
+    ctes, _prev = _ivf_assign_ctes()
+    return f"""
+        WITH {ctes},
+        norms AS (
+            SELECT vec_id,
+                   sqrt(list_dot_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings),
+        tot AS (SELECT count(*) AS n FROM embeddings)
+        SELECT a.cid, count(*) AS n_vecs,
+               round(count(*) * 1.0 / tot.n, 4) AS cell_share,
+               round(avg(n.nrm), 4) AS avg_norm
+        FROM a{IVF_ITERS} a JOIN norms n USING (vec_id) CROSS JOIN tot
+        GROUP BY a.cid, tot.n
+    """
+
+
+@query("embedding_cell_stats", oracle=_cell_stats_oracle())
+def q_embedding_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-population audit: per quantizer cell, member count,
+    share of the corpus, and mean vector norm — the balance report
+    that decides whether an ANN index is usable (one mega-cell means
+    `ann_ivf_search`/`dedup_embedding_cosine_ivf` degrade toward
+    brute force within it; empty cells waste nprobe budget). Standard
+    operational telemetry for IVF indexes.
+
+    Reuses the exact `ivf_assignments` quantizer (shared cached
+    vector scan + identical DuckDB CTE training), so the audit
+    describes precisely the index the search queries use. Plan: the
+    k-means stages as documented on `ivf_assignments`, then one
+    K-row aggregate — scale cost is the quantizer's, the audit
+    itself is free."""
+    from hadoop_wordcount_spark.functions.vectors import l2_norm
+
+    emb = _emb(spark, sf_dir)
+    cells, _cent = ivf_assignments(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        l2_norm(F.transform("embedding", lambda x: x.cast("double"))).alias("nrm"),
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cells.join(norms, "vec_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cid", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("n"), 4).alias("cell_share"),
+            "avg_norm",
+        )
+    )

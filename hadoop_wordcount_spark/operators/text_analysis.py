@@ -782,3 +782,178 @@ def q_fuzzy_match_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.filter(dist <= 2).select(
         "word", dist.cast("long").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: collocation mining + composite quality rules
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "collocations_pmi",
+    oracle="""
+        WITH tok AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        uni AS (SELECT unnest(tk) AS w FROM tok),
+        u AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+        nw AS (SELECT sum(c1) AS nw FROM u),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM tok WHERE len(tk) >= 2),
+        nb AS (SELECT count(*) AS nb FROM bi),
+        bg AS (SELECT p, count(*) AS c2 FROM bi GROUP BY p
+               HAVING count(*) >= 5)
+        SELECT bg.p AS bigram, bg.c2 AS pair_count,
+               round(ln(bg.c2 * 1.0 * nw.nw * nw.nw
+                        / (nb.nb * u1.c1 * u2.c1)), 4) AS pmi
+        FROM bg
+        JOIN u u1 ON string_split(bg.p, ' ')[1] = u1.w
+        JOIN u u2 ON string_split(bg.p, ' ')[2] = u2.w
+        CROSS JOIN nw CROSS JOIN nb
+        ORDER BY pmi DESC, bigram LIMIT 30
+    """,
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information: bigrams
+    whose co-occurrence beats the independence expectation —
+    PMI = ln(p(ab) / (p(a)p(b))) with a count>=5 support floor (the
+    classic Church-Hanks association measure; a corpus-audit staple
+    for spotting multiword terms and templated boilerplate).
+
+    Numeric discipline: PMI is evaluated as ONE log of an
+    integer-ratio — c2*Nw*Nw / (Nb*c1a*c1b) — whose numerator and
+    denominator are exact in doubles far past sf100, so both engines
+    take log of the identical value; ordering uses the ROUNDED pmi
+    (then bigram) so the limit boundary is engine-stable.
+
+    Plan: one bigram aggregate and one unigram aggregate over the
+    same token stream; the support floor shrinks the bigram table
+    to the frequent head, which then BROADCASTS onto the two unigram
+    lookups; totals attach via crossJoin(broadcast(1-row agg)); a
+    TakeOrderedAndProject closes. Nothing reshuffles the corpus."""
+    d = _docs(spark, sf_dir)
+    tokd = d.select(tokens_col(F.col("text")).alias("tk"))
+    uni = tokd.select(F.explode("tk").alias("w"))
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    nw = u.agg(F.sum("c1").alias("nw"))
+    tk = F.col("tk")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat(
+            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+        ),
+    )
+    bi = tokd.filter(F.size("tk") >= 2).select(F.explode(bigrams).alias("p"))
+    nb = bi.agg(F.count(F.lit(1)).alias("nb"))
+    bg = bi.groupBy("p").agg(F.count(F.lit(1)).alias("c2")).filter(F.col("c2") >= 5)
+    u1 = u.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = u.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = F.round(
+        F.log(
+            F.col("c2") * 1.0 * F.col("nw") * F.col("nw")
+            / (F.col("nb") * F.col("c1a") * F.col("c1b"))
+        ),
+        4,
+    )
+    return (
+        bg.join(F.broadcast(u1), F.split("p", " ").getItem(0) == F.col("w1"))
+        .join(F.broadcast(u2), F.split("p", " ").getItem(1) == F.col("w2"))
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("p").alias("bigram"),
+            F.col("c2").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "that"]
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(tk) AS n_words,
+                   round(coalesce(list_sum(list_transform(tk, w -> length(w))), 0)
+                         * 1.0 / greatest(len(tk), 1), 4) AS mean_word_len,
+                   round(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+                         * 1.0 / greatest(len(tk), 1), 4) AS frac_alpha,
+                   round(len(list_distinct(tk))
+                         * 1.0 / greatest(len(tk), 1), 4) AS frac_distinct,
+                   len(list_intersect(
+                       list_distinct(list_transform(tk, w -> lower(w))),
+                       {_STOPWORDS!r})) AS stopword_hits
+            FROM q)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+               frac_alpha, frac_distinct,
+               CAST(stopword_hits AS BIGINT) AS stopword_hits,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_word_len BETWEEN 3 AND 10
+                          AND frac_alpha >= 0.8
+                          AND frac_distinct >= 0.2
+                          AND stopword_hits >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS pass_all
+        FROM m
+    """,
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate in the style of the published
+    Gopher/MassiveText rules (Rae et al. 2021, table A1): word-count
+    bounds, mean-word-length bounds, minimum alphabetic-word
+    fraction, minimum lexical diversity, and a stop-word-presence
+    floor — each reported per document alongside the combined
+    verdict, so downstream filters can ablate single rules.
+
+    All five signals are array expressions over one tokenization —
+    zero shuffles, zero UDFs; the whole query is a projection the
+    scanner streams through, which is what makes rule-based gating
+    effectively free at 100 TB (it runs in the same pass as any
+    ingest). Flags compare the exact per-doc ratios (integer-ratio
+    doubles, engine-stable); `pass_all` is int 0/1 for a stable
+    cross-engine schema."""
+    d = _docs(spark, sf_dir)
+    tk = F.col("tk")
+    n = F.size(tk)
+    nn = F.greatest(n, F.lit(1))
+    mean_len = F.round(
+        F.aggregate(tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / nn,
+        4,
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]"))) / nn, 4
+    )
+    frac_distinct = F.round(F.size(F.array_distinct(tk)) / nn, 4)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(tk, F.lower)),
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+        )
+    )
+    m = d.select(tokens_col(F.col("text")).alias("tk"), "doc_id").select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        frac_distinct.alias("frac_distinct"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    pass_all = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("frac_distinct") >= 0.2)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return m.select("*", pass_all.cast("long").alias("pass_all"))

@@ -48,7 +48,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # once (see DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
-    # (appended here as they land)
+    "tpch_q14_like",
+    "tpch_q16_like",
+    "tpch_q2_like",
+    "tpch_q4_like",
+    "dedup_containment",
+    "collocations_pmi",
+    "quality_gopher_rules",
+    "mixture_temperature_weights",
+    "embedding_cell_stats",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",

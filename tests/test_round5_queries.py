@@ -1,0 +1,96 @@
+"""Round-5 query property pins (beyond the generic oracle parity):
+
+- dedup_containment is asymmetric: containment >= Jaccard on every
+  shared candidate pair, and the doc-in-doc case (small ⊂ large)
+  scores high where Jaccard stays low.
+- quality_gopher_rules flags agree with their reported signals.
+- mixture_temperature_weights: weights are a distribution and
+  temperature smoothing compresses the spread (epochs > 1 for
+  below-average sources, < 1 for above-average).
+- tpch_q2_like picks the true minimum unit price per part.
+- embedding_cell_stats shares sum to 1 and counts sum to the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark import registry
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def test_containment_dominates_jaccard(spark):
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in registry.QUERIES["dedup_containment"](spark, SF_SMALL).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_minhash_banded"](spark, SF_SMALL).collect()
+    }
+    assert cont, "no containment pairs at test scale"
+    shared = set(cont) & set(jac)
+    assert shared, "containment and banded-Jaccard share no candidate pairs"
+    for pair in shared:
+        assert cont[pair] >= jac[pair] - 1e-4, (pair, cont[pair], jac[pair])
+
+
+def test_gopher_flags_match_signals(spark):
+    rows = registry.QUERIES["quality_gopher_rules"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        expect = int(
+            50 <= r["n_words"] <= 100000
+            and 3 <= r["mean_word_len"] <= 10
+            and r["frac_alpha"] >= 0.8
+            and r["frac_distinct"] >= 0.2
+            and r["stopword_hits"] >= 2
+        )
+        assert r["pass_all"] == expect, r
+    assert any(r["pass_all"] == 1 for r in rows)
+
+
+def test_mixture_weights_are_distribution(spark):
+    rows = registry.QUERIES["mixture_temperature_weights"](spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["share"] < mean_share * 0.8:
+            assert r["epochs"] > 1.0, r   # low-resource upsampled
+        if r["share"] > mean_share * 1.25:
+            assert r["epochs"] < 1.0, r   # high-resource downsampled
+
+
+def test_q2_like_is_true_minimum(spark):
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    best = {
+        r["p_partkey"]: r["min_price"]
+        for r in registry.QUERIES["tpch_q2_like"](spark, SF_SMALL).collect()
+    }
+    assert best
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") > 0)
+    truth = {
+        r["l_partkey"]: r["m"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias("m"))
+        .collect()
+    }
+    for pk, price in best.items():
+        assert math.isclose(price, truth[pk], abs_tol=1e-9), (pk, price, truth[pk])
+
+
+def test_cell_stats_cover_corpus(spark):
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["embedding_cell_stats"](spark, SF_SMALL).collect()
+    n = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert abs(sum(r["cell_share"] for r in rows) - 1.0) < 1e-2
+    assert all(r["avg_norm"] > 0 for r in rows)
