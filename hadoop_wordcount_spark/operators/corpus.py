@@ -423,3 +423,104 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_TOPK)
     )
+
+
+@query(
+    "lang_mix_by_source",
+    oracle="""
+        WITH m AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                       AS n_tokens
+            FROM documents GROUP BY source, lang)
+        SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_tokens * 1.0 / sum(n_tokens) OVER (PARTITION BY source), 4)
+                   AS source_share,
+               round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS corpus_share
+        FROM m
+    """,
+)
+def q_lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition cross-tab: documents and tokens per
+    (source, language) cell, with each cell's token share within its
+    source and of the whole corpus — the first report read before
+    setting mixture weights (is a source monolingual? which languages
+    only arrive via one crawler?).
+
+    Plan: one groupBy over the token counts (map-side partials); the
+    result is |sources| x |langs| rows, so both window normalizations
+    run on a constant-bounded table — at 100 TB this is one scan
+    plus arithmetic on ~hundreds of rows. Shares are integer-token
+    ratios: exact doubles, engine-stable."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens_col(F.col("text")))
+    m = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(n_tok).alias("n_tokens")
+    )
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    return m.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_src), 4).alias(
+            "source_share"
+        ),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6).alias(
+            "corpus_share"
+        ),
+    )
+
+
+_CTX_LEN = 64  # context length for the yield report
+
+
+@query(
+    "context_length_yield",
+    oracle=f"""
+        WITH t AS (
+            SELECT len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS n_tok
+            FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_tok <= {_CTX_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fit_docs,
+               round(sum(CASE WHEN n_tok <= {_CTX_LEN} THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS fit_rate,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(least(n_tok, {_CTX_LEN})) AS BIGINT) AS kept_tokens,
+               round(sum(greatest(n_tok - {_CTX_LEN}, 0)) * 1.0 / sum(n_tok), 4)
+                   AS truncation_loss
+        FROM t
+    """,
+)
+def q_context_length_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window yield report: for a fixed training context
+    length (64 tokens here — the corpus median is ~56), how many
+    documents fit whole, and what fraction of corpus tokens a
+    truncate-at-L policy would discard — the number that decides
+    between truncation, chunking (`doc_chunk_windows`), and packing
+    (`pack_sequences`) before a training run.
+
+    Plan: one scan, one no-grouping aggregate with map-side partials
+    — at 100 TB this is the cheapest possible full-corpus statement,
+    and the report every packing decision starts from. All outputs
+    are exact integer sums/ratios."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens_col(F.col("text")))
+    t = d.select(n_tok.alias("n_tok"))
+    fit = F.when(F.col("n_tok") <= _CTX_LEN, 1).otherwise(0)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(fit).alias("fit_docs"),
+        F.round(F.sum(fit) / F.count(F.lit(1)), 4).alias("fit_rate"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.least(F.col("n_tok"), F.lit(_CTX_LEN))).alias("kept_tokens"),
+        F.round(
+            F.sum(F.greatest(F.col("n_tok") - _CTX_LEN, F.lit(0)))
+            / F.sum("n_tok"),
+            4,
+        ).alias("truncation_loss"),
+    )

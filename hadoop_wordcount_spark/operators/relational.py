@@ -2048,3 +2048,419 @@ def q_tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@query(
+    "tpch_q7_like",
+    oracle="""
+        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey <> n2.n_nationkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q_tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume between every
+    distinct (customer nation, supplier nation) pair by ship year —
+    the two-role dimension join (nation joined TWICE under different
+    aliases) that exercises alias resolution and join reordering.
+
+    Plan: the fact chain shuffles once on the order key; customer,
+    supplier, and both nation roles broadcast; the group space is
+    |nations|² x years — constant-bounded however large the fact
+    side grows. Volume goes through integer cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy(
+            "cust_nation", "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            _sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "tpch_q11_like",
+    oracle=f"""
+        WITH pv AS (
+            SELECT l_partkey,
+                   {_sum_money_sql("l_extendedprice * (1 - l_discount)")} AS val
+            FROM lineitem GROUP BY l_partkey),
+        tot AS (
+            SELECT round(sum(CAST(round(val * 100, 0) AS BIGINT)) / 100.0, 2) AS t
+            FROM pv)
+        SELECT l_partkey, val AS part_value,
+               round(val / tot.t, 6) AS value_share
+        FROM pv CROSS JOIN tot
+        WHERE val > 0.001 * tot.t
+    """,
+)
+def q_tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose traded value
+    exceeds a FRACTION of the global total — the correlated
+    HAVING-over-scalar-subquery pattern (group filter against a
+    whole-table aggregate). No partsupp table exists, so part value
+    is the lineitem discounted revenue per part.
+
+    Plan: one groupBy(partkey) with map-side partials (integer
+    cents), the one-row global total attaches via
+    crossJoin(broadcast(agg)) — no driver round trip — then a scan
+    filter. Both levels of summation stay in integer cents so the
+    0.1% threshold compares identical doubles on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    tot = pv.agg(
+        F.round(
+            F.sum(F.round(F.col("val") * 100, 0).cast("long")) / 100.0, 2
+        ).alias("t")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > 0.001 * F.col("t"))
+        .select(
+            "l_partkey",
+            F.col("val").alias("part_value"),
+            F.round(F.col("val") / F.col("t"), 6).alias("value_share"),
+        )
+    )
+
+
+@query(
+    "event_cooccurrence_lift",
+    oracle="""
+        WITH s AS (
+            SELECT DISTINCT user_id,
+                   epoch_ns(ts) // 3600000000000 AS hr, event_type
+            FROM events),
+        n AS (SELECT count(DISTINCT (user_id, hr)) AS n_slots FROM s),
+        c AS (SELECT event_type, count(*) AS c FROM s GROUP BY event_type),
+        p AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS c_ab
+            FROM s a JOIN s b
+              ON a.user_id = b.user_id AND a.hr = b.hr
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type)
+        SELECT p.type_a, p.type_b, CAST(p.c_ab AS BIGINT) AS n_cooccur,
+               round(p.c_ab * 1.0 * n.n_slots / (ca.c * cb.c), 4) AS lift
+        FROM p
+        JOIN c ca ON p.type_a = ca.event_type
+        JOIN c cb ON p.type_b = cb.event_type
+        CROSS JOIN n
+    """,
+)
+def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over event types: for every type pair, how
+    much more often they land in the same (user, hour) slot than
+    independence predicts — lift = p(ab)/(p(a)p(b)) over slots, the
+    association measure behind basket analysis and co-click audits.
+
+    Plan: one distinct over (user, hour, type) — after which the
+    slot table is |slots| x |types|-bounded — then a self-join keyed
+    on the slot (never all-pairs: candidates are within-slot only,
+    and a slot holds at most |types| rows), a pair-space aggregate
+    (|types|² rows), and broadcast attachment of the marginals. Lift
+    is an exact integer ratio — engine-stable without log math."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.expr("ts_ns div 3600000000000").alias("hr"),
+        "event_type",
+    ).distinct()
+    n = s.select("user_id", "hr").distinct().agg(
+        F.count(F.lit(1)).alias("n_slots")
+    )
+    c = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = s.select("user_id", "hr", F.col("event_type").alias("type_a"))
+    b = s.select(
+        F.col("user_id").alias("u2"),
+        F.col("hr").alias("h2"),
+        F.col("event_type").alias("type_b"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("hr") == F.col("h2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").alias("n_cooccur"),
+            F.round(
+                F.col("c_ab") * F.col("n_slots") / (F.col("c_a") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+        WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+        base AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate), mx.mxd) AS recency_days,
+                   count(*) AS frequency,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                       AS monetary
+            FROM orders CROSS JOIN mx
+            GROUP BY o_custkey, mx.mxd)
+        SELECT o_custkey,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+                   AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+                   AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+                   AS m_score
+        FROM base
+    """,
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (integer-cents lifetime spend), each quartile-scored with
+    ntile(4) — the classic marketing-analytics segmentation, 1 =
+    best quartile.
+
+    Determinism: ntile assigns by ROW POSITION, so every ORDER BY
+    carries the custkey tiebreak — without it, equal-frequency
+    customers could land in different quartiles per engine (the
+    module's windows-need-total-order invariant). Plan: one
+    groupBy(custkey) with map-side partials, then three window sorts
+    over the customer-level table (orders-of-magnitude smaller than
+    the fact table); the global max date attaches via
+    crossJoin(broadcast(agg))."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            _sum_money(F.col("o_totalprice")).alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mxd"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
+@query(
+    "tpch_q19_like",
+    oracle="""
+        SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three conjunctive brand/size/quantity clauses spanning
+    BOTH join sides — the planner test for pushing the
+    single-side parts of a disjunction below the join (Catalyst
+    extracts `p_size BETWEEN 1 AND 30`-style covers per side) while
+    evaluating the cross-side residual after it.
+
+    Plan: part broadcasts; the disjunction's part-only and
+    lineitem-only covers prune each scan; one no-grouping aggregate
+    in integer cents closes. No shuffle beyond the broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 35)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(1, 10)
+            & q.between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_like",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {_sum_money_sql("l_extendedprice * (1 - l_discount)")}
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    revenue in one quarter — the view-plus-scalar-subquery pattern
+    (real Q15 creates REVENUE as a view; here the aggregate subtree
+    is simply shared between the per-supplier table and its max,
+    which is what a view compiles to anyway).
+
+    Plan: one groupBy(suppkey) in integer cents, the 1-row max
+    attaches via crossJoin(broadcast(agg)) — Catalyst reuses the
+    aggregate exchange for both consumers — then an equality filter
+    and a broadcast supplier join. Ties (multiple max suppliers) are
+    returned on both engines, not arbitrarily broken: revenue is an
+    exact cents value, so equality is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                   AS total_price,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form ROLLUP/CUBE are
+    sugar for — `grouping_rollup`/`cube_agg` cover those): the
+    (status, priority) matrix plus each one-dimension margin,
+    WITHOUT the grand total a CUBE would add — exactly the
+    set-list a dashboard's three views need and nothing more.
+    `gid` = GROUPING bits disambiguates a NULL group value from a
+    rolled-up dimension.
+
+    Plan: one Expand (3 replicas of each row, one per set) feeding
+    ONE hash aggregate with map-side partials — 3 aggregations for
+    the price of one shuffle; money in integer cents. Expressed via
+    spark.sql because the DataFrame API has rollup/cube but no
+    general grouping-sets builder."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0D, 2)
+                   AS total_price,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """)

@@ -957,3 +957,135 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_hits") >= 2)
     )
     return m.select("*", pass_all.cast("long").alias("pass_all"))
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+            FROM documents),
+        freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        vocab AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 1000),
+        tot AS (SELECT sum(c) AS total_tokens, count(*) AS n_types FROM freq),
+        cov AS (SELECT sum(c) AS covered FROM vocab)
+        SELECT CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+               CAST(tot.n_types AS BIGINT) AS n_types,
+               CAST(cov.covered AS BIGINT) AS covered_tokens,
+               round(cov.covered * 1.0 / tot.total_tokens, 6) AS coverage,
+               round(1.0 - cov.covered * 1.0 / tot.total_tokens, 6) AS oov_rate
+        FROM tot CROSS JOIN cov
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: what fraction of all corpus tokens
+    a top-1000-by-frequency vocabulary covers, and the complementary
+    OOV rate — the first question asked when sizing a tokenizer
+    vocabulary or fixed embedding table against a corpus.
+
+    The vocabulary cut is (count DESC, word ASC) — a total order, so
+    the 1000-word set is identical on both engines even through
+    count ties at the boundary. Plan: one token-frequency aggregate
+    (the only corpus-sized stage), a TakeOrderedAndProject for the
+    vocab head, and two one-row aggregates joined by broadcast —
+    coverage of a 100 TB corpus costs one scan + one
+    vocabulary-sized shuffle."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = freq.orderBy(F.desc("c"), F.asc("w")).limit(1000)
+    tot = freq.agg(
+        F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    cov = vocab.agg(F.sum("c").alias("covered"))
+    return (
+        tot.crossJoin(F.broadcast(cov))
+        .select(
+            "total_tokens",
+            "n_types",
+            F.col("covered").alias("covered_tokens"),
+            F.round(F.col("covered") / F.col("total_tokens"), 6).alias("coverage"),
+            F.round(1.0 - F.col("covered") / F.col("total_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+_WINNOW_W = 4  # window of consecutive k-gram hashes per fingerprint pick
+
+
+@query(
+    "winnowing_fingerprint",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        kh AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                       s -> substr(md5(s), 1, 8)) AS kh
+            FROM tok WHERE len(tk) >= 3),
+        fp AS (
+            SELECT doc_id,
+                   len(kh) - {_WINNOW_W} + 1 AS n_windows,
+                   list_distinct(list_transform(
+                       range(1, len(kh) - {_WINNOW_W} + 2),
+                       j -> list_min(list_slice(kh, j, j + {_WINNOW_W} - 1)))) AS fps
+            FROM kh WHERE len(kh) >= {_WINNOW_W})
+        SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               round(len(fps) * 1.0 / n_windows, 4) AS density
+        FROM fp
+    """,
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    the MOSS algorithm): slide a window of w=4 consecutive
+    3-gram hashes and keep each window's minimum — the guarantee is
+    any shared run of w+k-1 tokens between two documents shares at
+    least one selected fingerprint, at ~2/(w+1) the storage of the
+    full hash set. Reported per doc: window count, distinct selected
+    fingerprints, and selection density — the compact signature set
+    a plagiarism/contamination index is built from.
+
+    Plan: pure array expressions over one tokenization — zero
+    shuffles, no explode (the O(n·w) window-min runs inside the
+    projection), and the 8-hex-char hash prefix keeps comparisons
+    string-ordered identically on both engines."""
+    d = _docs(spark, sf_dir)
+    tk = F.col("tk")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tk, i),
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
+        ),
+    )
+    kh = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 8))
+    base = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", kh.alias("kh"))
+        .filter(F.size("kh") >= _WINNOW_W)
+    )
+    khc = F.col("kh")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(khc) - _WINNOW_W + 1),
+            lambda j: F.array_min(F.slice(khc, j, _WINNOW_W)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        (F.size("kh") - _WINNOW_W + 1).cast("long").alias("n_windows"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.round(
+            F.size(fps) / (F.size("kh") - _WINNOW_W + 1).cast("double"), 4
+        ).alias("density"),
+    )

@@ -57,6 +57,17 @@ _PRIORITY: list[str] = [
     "quality_gopher_rules",
     "mixture_temperature_weights",
     "embedding_cell_stats",
+    "tpch_q7_like",
+    "tpch_q11_like",
+    "vocab_coverage",
+    "winnowing_fingerprint",
+    "lang_mix_by_source",
+    "context_length_yield",
+    "event_cooccurrence_lift",
+    "orders_rfm_segments",
+    "tpch_q19_like",
+    "tpch_q15_like",
+    "grouping_sets_mix",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",

@@ -94,3 +94,41 @@ def test_cell_stats_cover_corpus(spark):
     assert sum(r["n_vecs"] for r in rows) == n
     assert abs(sum(r["cell_share"] for r in rows) - 1.0) < 1e-2
     assert all(r["avg_norm"] > 0 for r in rows)
+
+
+def test_rfm_scores_are_quartiles(spark):
+    rows = registry.QUERIES["orders_rfm_segments"](spark, SF_SMALL).collect()
+    assert rows
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [r[col] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # ntile balance: quartile sizes differ by at most 1
+        sizes = [vals.count(q) for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1, (col, sizes)
+    assert all(r["recency_days"] >= 0 for r in rows)
+    assert sum(1 for _ in rows) == n
+
+
+def test_cooccurrence_lift_sane(spark):
+    rows = registry.QUERIES["event_cooccurrence_lift"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["lift"] > 0
+        assert r["n_cooccur"] >= 1
+
+
+def test_vocab_coverage_bounds(spark):
+    [r] = registry.QUERIES["vocab_coverage"](spark, SF_SMALL).collect()
+    assert 0 < r["coverage"] <= 1
+    assert abs(r["coverage"] + r["oov_rate"] - 1.0) < 1e-5
+    assert r["covered_tokens"] <= r["total_tokens"]
+
+
+def test_winnowing_density_bounds(spark):
+    rows = registry.QUERIES["winnowing_fingerprint"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_fingerprints"] <= r["n_windows"]
+        assert 0 < r["density"] <= 1

@@ -259,8 +259,9 @@ def _write_md(store: dict) -> None:
         "duplication. dedup_clusters runs right after "
         "dedup_minhash_banded at each factor, so its number is the "
         "INCREMENTAL connected-components cost on the warm banded "
-        "cache; dedup_cluster_representatives (round-4 group) runs "
-        "COLD — full banded+CC+argmax pipeline. "
+        "cache; dedup_cluster_representatives likewise reuses the "
+        "signature base dedup_incremental warms just before it — its "
+        "number is banded-pair + CC + argmax on warm features. "
         "dedup_embedding_cosine_ivf runs with IVF_K = sqrt(n_vecs) "
         "(its docstring's scale rule): single-probe IVF with exact "
         "within-cell scoring is Theta(n^1.5) at optimal K by design — "
