@@ -1306,3 +1306,47 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(cont >= 0.4).select(
         "doc_a", "doc_b", F.round(cont, 4).alias("containment")
     )
+
+
+_ORACLE_SWEEP = f"""{_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    scored AS (
+        SELECT doc_a,
+               round(len(list_intersect(sh_a, sh_b)) * 1.0 /
+                     greatest(len(list_distinct(sh_a || sh_b)), 1), 4) AS jaccard
+        FROM cand
+        WHERE len(list_intersect(sh_a, sh_b)) * 1.0 /
+              greatest(len(list_distinct(sh_a || sh_b)), 1) >= 0.2),
+    th AS (SELECT unnest(range(2, 10)) / 10.0 AS threshold)
+    SELECT th.threshold, CAST(count(s.doc_a) AS BIGINT) AS n_pairs
+    FROM th LEFT JOIN scored s ON s.jaccard >= th.threshold
+    GROUP BY th.threshold
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_ORACLE_SWEEP)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity report: how many verified near-dup
+    pairs survive each Jaccard cutoff 0.2..0.9 — the curve a curation
+    team reads before committing to a threshold (a cliff between two
+    cutoffs means the corpus has a distinct boilerplate band there;
+    a flat tail means the choice barely matters).
+
+    Reuses the shared cached `_banded_verified_pairs` stage, so the
+    sweep itself costs ONE pass over the (tiny, ∝ true-near-dup)
+    verified pair set joined against 8 broadcast threshold rows —
+    the report is effectively free once any banded consumer has run.
+    Zero-count thresholds are preserved (left join), so the report
+    always has all 8 rows."""
+    pairs = _banded_verified_pairs(spark, sf_dir)
+    th = spark.range(2, 10).select((F.col("id") / 10.0).alias("threshold"))
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs.jaccard >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(F.count("doc_a").alias("n_pairs"))
+    )

@@ -1089,3 +1089,68 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(fps) / (F.size("kh") - _WINNOW_W + 1).cast("double"), 4
         ).alias("density"),
     )
+
+
+@query(
+    "perplexity_bucket_report",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM tok WHERE len(tk) >= 2),
+        bg AS (SELECT p, count(*) AS c2 FROM bi GROUP BY p),
+        c1 AS (SELECT string_split(p, ' ')[1] AS w1, sum(c2) AS c1
+               FROM bg GROUP BY 1),
+        lp AS (
+            SELECT bi.doc_id,
+                   round(avg(ln(bg.c2 * 1.0 / c1.c1) / ln(10)), 4) AS avg_logprob
+            FROM bi
+            JOIN bg ON bi.p = bg.p
+            JOIN c1 ON string_split(bi.p, ' ')[1] = c1.w1
+            GROUP BY bi.doc_id),
+        bk AS (
+            SELECT doc_id, avg_logprob,
+                   ntile(10) OVER (ORDER BY avg_logprob, doc_id) AS bucket
+            FROM lp)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(avg_logprob), 4) AS min_logprob,
+               round(max(avg_logprob), 4) AS max_logprob,
+               round(avg(avg_logprob), 4) AS mean_logprob
+        FROM bk GROUP BY bucket
+    """,
+)
+def q_perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every document by its
+    bigram-LM fluency score (`bigram_logprob`'s exact statistic) and
+    split the corpus into 10 equal buckets — the head/middle/tail
+    partition CCNet popularized for keeping, reviewing, or dropping
+    web text by LM perplexity. The report gives each bucket's score
+    range, the thresholds a filtering run would hardcode.
+
+    Plan: the bigram-LM scoring stages as documented on
+    `bigram_logprob` (broadcast LM tables, one groupBy(doc_id)),
+    then a single global ntile sort of the doc-level table (tiny
+    next to the corpus; tie-safe via the doc_id tiebreak) and a
+    10-row aggregate. At 100 TB the ntile sort is the only added
+    stage and runs on |docs| rows, not tokens."""
+    from hadoop_wordcount_spark.operators.text_analysis import q_bigram_logprob
+
+    lp = q_bigram_logprob(spark, sf_dir)
+    bk = lp.select(
+        "avg_logprob",
+        F.ntile(10)
+        .over(Window.orderBy("avg_logprob", "doc_id"))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("avg_logprob"), 4).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 4).alias("max_logprob"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+    )

@@ -386,3 +386,54 @@ def q_join_wordcount_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cnt"), 4).alias("avg_word_freq"),
         )
     )
+
+
+@query(
+    "words_except_all",
+    oracle=(
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='en') WHERE word <> '' "
+        "EXCEPT ALL "
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='de') WHERE word <> ''"
+    ),
+)
+def q_words_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set-op semantics: en-corpus tokens minus de-corpus
+    tokens with multiplicity (EXCEPT ALL) — each de occurrence
+    cancels ONE en occurrence, so a word appearing 10x in en and 3x
+    in de survives 7 times. The bag-difference `words_except`'s
+    set-difference collapses; `exceptAll` is the API surface
+    (`intersectAll` is its dual) Spark added for exactly this.
+
+    Plan: Catalyst rewrites exceptAll to a count-per-side aggregate +
+    generate (replicate rows max(c1-c2, 0) times) — one shuffle per
+    side on the word key, no join explosion; the same shape DuckDB
+    executes. Scale-safe: state per DISTINCT word, not per
+    occurrence."""
+    docs = _docs(spark, sf_dir)
+    en = tokenize(docs.filter(F.col("lang") == "en"), "text")
+    de = tokenize(docs.filter(F.col("lang") == "de"), "text")
+    return en.exceptAll(de)
+
+
+@query(
+    "words_intersect_all",
+    oracle=(
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='en') WHERE word <> '' "
+        "INTERSECT ALL "
+        "SELECT word FROM (SELECT unnest(string_split(text,' ')) AS word "
+        "FROM documents WHERE lang='de') WHERE word <> ''"
+    ),
+)
+def q_words_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET intersection (INTERSECT ALL): each word survives
+    min(count_en, count_de) times — the multiplicity-aware dual of
+    `words_intersect`, and the other half of Spark's bag set-op API
+    (`intersectAll`). Same aggregate+generate plan shape and
+    per-distinct-word state as `words_except_all`."""
+    docs = _docs(spark, sf_dir)
+    en = tokenize(docs.filter(F.col("lang") == "en"), "text")
+    de = tokenize(docs.filter(F.col("lang") == "de"), "text")
+    return en.intersectAll(de)

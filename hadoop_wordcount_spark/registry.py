@@ -68,6 +68,11 @@ _PRIORITY: list[str] = [
     "tpch_q19_like",
     "tpch_q15_like",
     "grouping_sets_mix",
+    "words_except_all",
+    "words_intersect_all",
+    "dedup_threshold_sweep",
+    "perplexity_bucket_report",
+    "python_stream_source",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",

@@ -122,3 +122,135 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"),
         F.countDistinct("part_id").alias("n_parts"),
     )
+
+
+# --- Spark 4 Python STREAMING data source (SimpleDataSourceStreamReader) ---
+
+_STREAM_TOTAL = 2000
+_STREAM_CHUNK = 500
+
+
+class SyntheticEventStreamReader:
+    """SimpleDataSourceStreamReader for 'eventgen': a bounded,
+    deterministic event stream. Offsets are plain dicts
+    ({"pos": int}); each micro-batch advances by _STREAM_CHUNK until
+    _STREAM_TOTAL, after which latest == current and the stream is
+    drained. Content is a pure function of the row index, so replays
+    (readBetweenOffsets) are exact and the settled result is
+    oracle-checkable."""
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    @staticmethod
+    def _rows(start: int, end: int):
+        # A LIST, not a generator: the prefetching driver-side cache
+        # pickles the returned batch (generators are unpicklable).
+        return [(i, i % 10, float((i * 7) % 100)) for i in range(start, end)]
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + _STREAM_CHUNK, _STREAM_TOTAL)
+        # iter(list): the API wants an ITERATOR here; the prefetcher
+        # materializes it into a picklable cache itself.
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventStreamSource(DataSource):
+    """format name 'eventgen' (streaming): deterministic bounded
+    event stream for exercising the Spark 4 Python streaming source
+    API end to end."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return "event_id BIGINT, bucket INT, value DOUBLE"
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventStreamReader()
+
+
+_stream_registered: set[str] = set()
+
+
+def _ensure_stream_registered(spark: SparkSession) -> None:
+    key = spark.sparkContext.applicationId
+    if key not in _stream_registered:
+        spark.dataSource.register(SyntheticEventStreamSource)
+        _stream_registered.add(key)
+
+
+@query(
+    "python_stream_source",
+    oracle=f"""
+        WITH g AS (
+            SELECT range AS event_id,
+                   CAST(range % 10 AS INT) AS bucket,
+                   CAST((range * 7) % 100 AS DOUBLE) AS value
+            FROM range(0, {_STREAM_TOTAL}))
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value,
+               min(event_id) AS min_id, max(event_id) AS max_id
+        FROM g GROUP BY bucket
+    """,
+)
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python data source (Spark 4
+    `SimpleDataSourceStreamReader`): readStream over the 'eventgen'
+    source — 2000 deterministic events arriving in 500-row
+    micro-batch chunks via the offset protocol (initialOffset /
+    read(start) / readBetweenOffsets for replay) — aggregated per
+    bucket in complete mode and drained with an availableNow pass.
+    The batch twin (`python_datasource_scan`) proved custom PLANNED
+    partitions; this proves the streaming half of the same extension
+    point: offset tracking, micro-batch advance, and
+    replay-determinism, settled to the same hash-checkable aggregate
+    a batch engine computes.
+
+    At scale this is the pattern for queue-like systems with no JVM
+    connector (REST feeds, vendor SDKs): rows cross the Python
+    boundary (slow path, like every Python source), but state and
+    aggregation stay JVM-side. sf_dir is unused: this checks an
+    extension point, not a dataset."""
+    import uuid
+
+    _ensure_stream_registered(spark)
+    events = spark.readStream.format("eventgen").load()
+    agg = events.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    # availableNow snapshots the offset after ONE read() call and
+    # would drain a single chunk; a continuous trigger +
+    # processAllAvailable() drains until offsets stop advancing —
+    # which they do, at _STREAM_TOTAL (bounded stream). Same settled
+    # semantics as run_to_memory, different drain protocol.
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -220,3 +220,68 @@ def test_merge_upsert_single_key_join(spark, sf_dir):
     df = registry.QUERIES["merge_upsert"](spark, sf_dir)
     assert_not_in_plan(df, "CartesianProduct")
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+# --- round-5 queries: plan pins for their docstring scale claims ----------
+
+
+def test_q14_pushdown_and_broadcast(spark, sf_dir):
+    """tpch_q14_like: the one-month shipdate window must reach the
+    lineitem scan as PushedFilters; part joins by broadcast."""
+    df = registry.QUERIES["tpch_q14_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join(spark, sf_dir):
+    """tpch_q4_like: the EXISTS must decorrelate to a left-semi join,
+    never a full join + distinct."""
+    df = registry.QUERIES["tpch_q4_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_two_phase_distinct(spark, sf_dir):
+    """tpch_q16_like: COUNT(DISTINCT) expands to the two-aggregate
+    plan (dedup shuffle + count), with partial aggregation."""
+    df = registry.QUERIES["tpch_q16_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 3, plan
+
+
+def test_q2_argmin_is_aggregate_not_window(spark, sf_dir):
+    """tpch_q2_like: the per-part argmin must be a hash aggregate with
+    map-side partials (min(struct)), not a window sort."""
+    df = registry.QUERIES["tpch_q2_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_shuffle_free_scan_reports(spark, sf_dir):
+    """quality_gopher_rules / winnowing_fingerprint claim zero
+    shuffles: no Exchange may appear in either plan."""
+    for name in ("quality_gopher_rules", "winnowing_fingerprint"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_not_in_plan(df, "Exchange")
+
+
+def test_vocab_cut_is_ordered_limit(spark, sf_dir):
+    """vocab_coverage's top-1000 cut must be TakeOrderedAndProject,
+    not a global sort."""
+    df = registry.QUERIES["vocab_coverage"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_cooccurrence_join_is_equi(spark, sf_dir):
+    """event_cooccurrence_lift's pair stage must join on the slot key
+    (hash/sort-merge equi-join); only the tiny broadcast marginals may
+    be nested-loop."""
+    df = registry.QUERIES["event_cooccurrence_lift"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan

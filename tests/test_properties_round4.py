@@ -54,16 +54,19 @@ def test_mixture_sample_matches_python_model(spark, tmp_path_factory, data):
         thr = "g" if t >= 65536 else format(t, "04x")
         return hashlib.md5(str(doc_id).encode()).hexdigest()[:4] < thr
 
-    expect: dict[str, int] = {}
+    # Round-4 advice fix: EVERY source appears in the report, zero
+    # budgets included (a source sampling to 0 docs reports n_docs=0
+    # instead of silently vanishing).
+    expect: dict[str, int] = {s: 0 for s in sizes}
     for src, i in data:
         if kept(i, src):
-            expect[src] = expect.get(src, 0) + 1
+            expect[src] += 1
 
     got = {
         r["source"]: r["n_docs"]
         for r in registry.QUERIES["corpus_mixture_sample"](spark, path).collect()
     }
-    assert got == {s: n for s, n in expect.items() if n}
+    assert got == expect
 
 
 # ---------- event_path_mining vs Python n-gram model ----------

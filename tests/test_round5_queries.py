@@ -132,3 +132,33 @@ def test_winnowing_density_bounds(spark):
     for r in rows:
         assert 1 <= r["n_fingerprints"] <= r["n_windows"]
         assert 0 < r["density"] <= 1
+
+
+def test_stream_source_offset_protocol():
+    """The eventgen reader's offset protocol: chunked advance, bounded
+    drain, and replay determinism (readBetweenOffsets == read)."""
+    from hadoop_wordcount_spark.sources.pydatasource import (
+        SyntheticEventStreamReader,
+        _STREAM_CHUNK,
+        _STREAM_TOTAL,
+    )
+
+    r = SyntheticEventStreamReader()
+    off = r.initialOffset()
+    assert off == {"pos": 0}
+    seen = []
+    batches = 0
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if nxt == off:
+            assert rows == []
+            break
+        assert len(rows) <= _STREAM_CHUNK
+        # replay must be byte-identical
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        seen.extend(rows)
+        off = nxt
+        batches += 1
+    assert batches == _STREAM_TOTAL // _STREAM_CHUNK
+    assert [t[0] for t in seen] == list(range(_STREAM_TOTAL))
