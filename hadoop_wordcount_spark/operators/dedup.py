@@ -1350,3 +1350,44 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count("doc_a").alias("n_pairs"))
     )
+
+
+_ORACLE_DEGREE = f"""{_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    scored AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE len(list_intersect(sh_a, sh_b)) * 1.0 /
+              greatest(len(list_distinct(sh_a || sh_b)), 1) >= 0.2),
+    ends AS (
+        SELECT doc_a AS doc_id FROM scored
+        UNION ALL SELECT doc_b FROM scored),
+    deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+"""
+
+
+@query("dedup_graph_degree_report", oracle=_ORACLE_DEGREE)
+def q_dedup_graph_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree distribution: how many documents have
+    exactly k verified near-duplicates — the observability report
+    between pairs and clusters. A heavy tail (one doc with hundreds
+    of edges) is the signature of template/boilerplate hubs that
+    will chain unrelated docs into one giant cluster; production
+    pipelines read this BEFORE trusting connected components.
+
+    Reuses the shared cached `_banded_verified_pairs` stage: both
+    endpoints explode into an edge-end list (2|E| rows), then two
+    tiny aggregates — on top of any banded consumer the report is
+    free, and |E| ∝ true near-dups, never the pair space."""
+    pairs = _banded_verified_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

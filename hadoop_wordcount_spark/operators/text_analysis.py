@@ -1154,3 +1154,149 @@ def q_perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("avg_logprob"), 4).alias("max_logprob"),
         F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
     )
+
+
+@query(
+    "ngram_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        uni AS (SELECT unnest(tk) AS w FROM tok),
+        u AS (SELECT count(*) AS c FROM uni GROUP BY w),
+        nw AS (SELECT sum(c) AS n FROM u),
+        h1 AS (
+            SELECT round(-sum((c * 1.0 / nw.n) * ln(c * 1.0 / nw.n) / ln(2)), 4)
+                       AS h
+            FROM u CROSS JOIN nw GROUP BY nw.n),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM tok WHERE len(tk) >= 2),
+        b AS (SELECT count(*) AS c FROM bi GROUP BY p),
+        nb AS (SELECT sum(c) AS n FROM b),
+        h2 AS (
+            SELECT round(-sum((c * 1.0 / nb.n) * ln(c * 1.0 / nb.n) / ln(2)), 4)
+                       AS h
+            FROM b CROSS JOIN nb GROUP BY nb.n)
+        SELECT h1.h AS unigram_entropy_bits,
+               h2.h AS bigram_entropy_bits,
+               round(h2.h - h1.h, 4) AS conditional_entropy_bits,
+               round(pow(2.0, h2.h - h1.h), 2) AS bigram_perplexity
+        FROM h1 CROSS JOIN h2
+    """,
+)
+def q_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy audit of the corpus language model: unigram
+    entropy H1, bigram entropy H2, conditional entropy H(w2|w1) =
+    H2 - H1 (bits/token given one token of context) and its
+    perplexity 2^H — the information-theoretic fingerprint that
+    drops when a corpus fills with boilerplate/duplication and rises
+    with topic diversity (Shannon's classic English-entropy
+    estimate, as a corpus health metric).
+
+    Plan: one unigram and one bigram frequency aggregate over the
+    same token stream (the only corpus-sized stages; both
+    vocabulary-bounded outputs), each reduced to a 1-row entropy sum
+    with map-side partials and joined by broadcast. Probabilities
+    are exact integer ratios; entropies round to 4 before the
+    cross-engine compare."""
+    d = _docs(spark, sf_dir)
+    tokd = d.select(tokens_col(F.col("text")).alias("tk"))
+
+    def entropy(counts: DataFrame) -> DataFrame:
+        tot = counts.agg(F.sum("c").alias("n"))
+        pr = F.col("c") / F.col("n")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(F.round(-F.sum(pr * F.log2(pr)), 4).alias("h"))
+        )
+
+    uni = tokd.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tk = F.col("tk")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat(
+            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+        ),
+    )
+    bi = (
+        tokd.filter(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    h1 = entropy(uni).select(F.col("h").alias("h1"))
+    h2 = entropy(bi).select(F.col("h").alias("h2"))
+    return h1.crossJoin(F.broadcast(h2)).select(
+        F.col("h1").alias("unigram_entropy_bits"),
+        F.col("h2").alias("bigram_entropy_bits"),
+        F.round(F.col("h2") - F.col("h1"), 4).alias("conditional_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), F.col("h2") - F.col("h1")), 2).alias(
+            "bigram_perplexity"
+        ),
+    )
+
+
+@query(
+    "zipf_fit",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+            FROM documents),
+        freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        top AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+            FROM freq ORDER BY c DESC, w LIMIT 100),
+        pts AS (SELECT ln(rnk * 1.0) AS x, ln(c * 1.0) AS y FROM top),
+        m AS (SELECT avg(x) AS mx, avg(y) AS my, count(*) AS n FROM pts)
+        SELECT round(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)), 4)
+                   AS zipf_slope,
+               round(my - (sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))) * mx,
+                     4) AS ln_intercept,
+               CAST(max(n) AS BIGINT) AS n_points
+        FROM pts CROSS JOIN m GROUP BY mx, my
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of ln(frequency) against
+    ln(rank) over the top-100 words — natural text sits near -1;
+    a much flatter slope flags templated/duplicated corpora, a much
+    steeper one flags degenerate vocabulary. Complements
+    `token_frequency_spectrum` (the raw curve) with the headline
+    fitted statistic.
+
+    Plan: one token-frequency aggregate, a TakeOrderedAndProject for
+    the deterministic top-100 cut (count DESC, word — tie-safe),
+    then closed-form regression over 100 points via two tiny
+    aggregates. The rank window runs on 100 rows, not the
+    vocabulary."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("w")).limit(100)
+    pts = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my"), F.count(F.lit(1)).alias("n")
+    )
+    j = pts.crossJoin(F.broadcast(m))
+    slope = F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))) / F.sum(
+        (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+    )
+    return j.groupBy("mx", "my").agg(
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias("ln_intercept"),
+        F.max("n").alias("n_points"),
+    ).select("zipf_slope", "ln_intercept", "n_points")

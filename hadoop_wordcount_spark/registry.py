@@ -73,6 +73,9 @@ _PRIORITY: list[str] = [
     "dedup_threshold_sweep",
     "perplexity_bucket_report",
     "python_stream_source",
+    "ngram_entropy",
+    "zipf_fit",
+    "dedup_graph_degree_report",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",
