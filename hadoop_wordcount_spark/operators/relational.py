@@ -2464,3 +2464,73 @@ def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority))
     """)
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM toks WHERE len(tk) >= 2),
+        bg AS (
+            SELECT string_split(p, ' ')[1] AS w1, string_split(p, ' ')[2] AS w2,
+                   count(*) AS c
+            FROM bi GROUP BY 1, 2
+            ORDER BY c DESC, w1, w2 LIMIT 200),
+        seed AS (
+            SELECT w1 AS word FROM (SELECT w1, sum(c) AS s FROM bg GROUP BY w1)
+            ORDER BY s DESC, w1 LIMIT 1),
+        reach(word, level) AS (
+            SELECT word, 0 FROM seed
+            UNION ALL
+            SELECT bg.w2, r.level + 1
+            FROM reach r JOIN bg ON bg.w1 = r.word WHERE r.level < 3)
+        SELECT word, CAST(min(level) AS BIGINT) AS hops
+        FROM reach GROUP BY word
+    """,
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new SQL surface in Spark 4):
+    BFS reachability over the word-transition graph — hop distance
+    from the highest-out-degree word through the top-200 bigram
+    edges, depth-capped at 3. The declarative twin of the iterative
+    DataFrame loop `dedup_clusters` hand-rolls: the engine owns the
+    fixpoint, the query states only the step.
+
+    Both engines run the SAME recursion structure (tie-safe edge cut:
+    count DESC, w1, w2; min-level aggregate AFTER expansion makes
+    duplicate paths harmless). Plan: per iteration one join of the
+    frontier against the 200-row broadcast edge table — frontier
+    rows, not corpus rows, drive the cost; the corpus-sized stage is
+    the one bigram aggregate. At 100 TB recursion depth bounds the
+    iteration count exactly like dedup_clusters' convergence loop."""
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_rcte")
+    return spark.sql("""
+        WITH RECURSIVE toks AS (
+            SELECT filter(split(text, ' '), w -> w <> '') AS tk
+            FROM documents_rcte),
+        bi AS (
+            SELECT explode(transform(sequence(1, size(tk) - 1),
+                           i -> struct(element_at(tk, i) AS w1,
+                                       element_at(tk, i + 1) AS w2))) AS e
+            FROM toks WHERE size(tk) >= 2),
+        bg AS (
+            SELECT e.w1 AS w1, e.w2 AS w2, count(*) AS c
+            FROM bi GROUP BY e.w1, e.w2
+            ORDER BY c DESC, w1, w2 LIMIT 200),
+        seed AS (
+            SELECT w1 AS word FROM (SELECT w1, sum(c) AS s FROM bg GROUP BY w1)
+            ORDER BY s DESC, w1 LIMIT 1),
+        reach(word, level) AS (
+            SELECT word, 0 FROM seed
+            UNION ALL
+            SELECT bg.w2, r.level + 1
+            FROM reach r JOIN bg ON bg.w1 = r.word WHERE r.level < 3)
+        SELECT word, CAST(min(level) AS BIGINT) AS hops
+        FROM reach GROUP BY word
+    """)

@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "ngram_entropy",
     "zipf_fit",
     "dedup_graph_degree_report",
+    "sql_recursive_cte",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",
