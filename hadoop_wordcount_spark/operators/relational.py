@@ -2534,3 +2534,90 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT word, CAST(min(level) AS BIGINT) AS hops
         FROM reach GROUP BY word
     """)
+
+
+@query(
+    "batch_session_window",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events),
+        gaps AS (
+            SELECT user_id, event_id, ns,
+                   CASE WHEN ns - lag(ns) OVER w >= 1800000000000
+                        OR lag(ns) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)),
+        sess AS (
+            SELECT user_id, ns,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ns, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM gaps)
+        SELECT user_id,
+               min(ns) // 1000000000 AS session_start_s,
+               max(ns) // 1000000000 AS session_last_s,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` in BATCH mode: Spark's built-in
+    gap-based session assignment (30-minute inactivity gap) used as a
+    groupBy key over a static table — the one-liner twin of
+    `batch_sessionize`'s hand-rolled lag+cumsum idiom, and the same
+    function `streaming_session_windows` uses with state. Having both
+    formulations oracle-checked pins that they agree on boundary
+    semantics (a gap of EXACTLY the window size starts a new
+    session).
+
+    Plan: one shuffle on user_id, then Spark's dedicated
+    session-window aggregation (sort + merge within partition) —
+    no second window pass, which is precisely what the built-in
+    buys over the idiom. Outputs derive from integer nanos, not
+    the session-TZ-dependent window struct."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(
+            (F.min("ts_ns") / 1_000_000_000).cast("long").alias("session_start_s"),
+            (F.max("ts_ns") / 1_000_000_000).cast("long").alias("session_last_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_s", "session_last_s", "n_events")
+    )
+
+
+@query(
+    "event_xml_roundtrip",
+    oracle="""
+        SELECT event_id, event_type AS t, round(value, 3) AS v
+        FROM events WHERE user_id < 50
+    """,
+)
+def q_event_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML functions (Spark 4 built-in `to_xml`/`from_xml`): serialize
+    each event to an XML fragment and parse it back with a schema —
+    the lossless-roundtrip contract, oracle-checked against the
+    original columns (the oracle needs no XML support: if parsing
+    returns anything but the source values, the hash breaks). Covers
+    the third serialization surface next to JSON (`event_props_json`)
+    and VARIANT (`event_props_variant`).
+
+    Plan: two codegen'd projections (StructsToXml, XmlToStructs) —
+    shuffle-free, scan-pruned to three columns. At 100 TB this is the
+    shape of XML feed ingest: schema-on-read projection, no UDFs."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    xml = e.select(
+        "event_id",
+        F.to_xml(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.round("value", 3).alias("v"),
+            )
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "event_id", F.from_xml("x", "t STRING, v DOUBLE").alias("p")
+    )
+    return parsed.select("event_id", "p.t", "p.v")

@@ -77,6 +77,8 @@ _PRIORITY: list[str] = [
     "zipf_fit",
     "dedup_graph_degree_report",
     "sql_recursive_cte",
+    "batch_session_window",
+    "event_xml_roundtrip",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",
