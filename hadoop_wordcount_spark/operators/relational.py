@@ -2621,3 +2621,79 @@ def q_event_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.from_xml("x", "t STRING, v DOUBLE").alias("p")
     )
     return parsed.select("event_id", "p.t", "p.v")
+
+
+@query(
+    "orders_abc_pareto",
+    oracle=f"""
+        WITH pv AS (
+            SELECT l_partkey,
+                   {_sum_money_sql("l_extendedprice * (1 - l_discount)")} AS val
+            FROM lineitem GROUP BY l_partkey),
+        tot AS (
+            SELECT round(sum(CAST(round(val * 100, 0) AS BIGINT)) / 100.0, 2) AS t
+            FROM pv),
+        ranked AS (
+            SELECT l_partkey, val,
+                   sum(val) OVER (ORDER BY val DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run
+            FROM pv),
+        cls AS (
+            SELECT l_partkey,
+                   CASE WHEN (run - val) / tot.t < 0.8 THEN 'A'
+                        WHEN (run - val) / tot.t < 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   val
+            FROM ranked CROSS JOIN tot)
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+               round(sum(CAST(round(val * 100, 0) AS BIGINT)) / 100.0, 2)
+                   AS class_value
+        FROM cls GROUP BY abc_class
+    """,
+)
+def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classed A
+    (first 80% of cumulative value), B (to 95%), C (tail) — the
+    inventory-analytics standard built on a running-share window. A
+    part is classed by the share BEFORE it (run - val), so the part
+    that crosses a boundary still belongs to the upper class — the
+    textbook convention, identical on both engines because the
+    running sum adds exact cents in a (val DESC, partkey) total
+    order.
+
+    Plan: one groupBy(partkey) in integer cents (the only
+    corpus-sized stage), then a part-level running window and a
+    3-row class aggregate; the global total attaches by broadcast.
+    The window sort runs on |parts| rows — dimension-sized, not
+    fact-sized."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    )
+    tot = pv.agg(
+        F.round(
+            F.sum(F.round(F.col("val") * 100, 0).cast("long")) / 100.0, 2
+        ).alias("t")
+    )
+    w = Window.orderBy(F.desc("val"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pv.select("l_partkey", "val", F.sum("val").over(w).alias("run"))
+    share_before = (F.col("run") - F.col("val")) / F.col("t")
+    cls = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "val",
+        F.when(share_before < 0.8, "A")
+        .when(share_before < 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum(F.round(F.col("val") * 100, 0).cast("long")) / 100.0, 2
+        ).alias("class_value"),
+    )

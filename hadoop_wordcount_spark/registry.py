@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "sql_recursive_cte",
     "batch_session_window",
     "event_xml_roundtrip",
+    "orders_abc_pareto",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",
