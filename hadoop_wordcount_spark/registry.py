@@ -39,10 +39,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # ``queries()`` in iteration order under a budget (each round checks
 # ~50 entries), so queries that most need a hard-signal row this round
 # must iterate FIRST. Round 5 rotation (per round-4 verdict item 1):
-# new round-5 queries first, then ALL 43 queries whose last green
-# driver row is r01/r02 — the streaming, window/lag, sink,
-# scalar/map/array, multimodal, and join families. After this round no
-# query's driver row should be more than two rounds old. Families are
+# the 29 round-5 queries first (they have NO driver row yet — a first
+# hash-matched row outranks refreshing an old green one), then the 43
+# queries whose last green driver row is r01/r02 — the streaming,
+# window/lag, sink, scalar/map/array, multimodal, and join families.
+# Under the ~50-row round budget that covers all new + ~21 stale; the
+# stale tail (~22, ordered oldest-family-first) rolls to round 6's
+# rotation. Families are
 # interleaved (streaming entries spread out, not a contiguous block)
 # so a bursty host steal-window cannot contaminate a whole family at
 # once (see DEVNOTES on the r04 alphabetical-block anomaly).

@@ -162,3 +162,34 @@ def test_stream_source_offset_protocol():
         batches += 1
     assert batches == _STREAM_TOTAL // _STREAM_CHUNK
     assert [t[0] for t in seen] == list(range(_STREAM_TOTAL))
+
+
+def test_recursive_cte_levels_bounded(spark):
+    rows = registry.QUERIES["sql_recursive_cte"](spark, SF_SMALL).collect()
+    assert rows
+    hops = [r["hops"] for r in rows]
+    assert all(0 <= h <= 3 for h in hops)
+    assert hops.count(0) == 1  # exactly the seed
+
+
+def test_abc_pareto_partitions_parts(spark):
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = {r["abc_class"]: r for r in
+            registry.QUERIES["orders_abc_pareto"](spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    # A carries the head of the value, C the tail
+    if "A" in rows and "C" in rows:
+        assert rows["A"]["class_value"] > rows["C"]["class_value"]
+
+
+def test_session_window_agrees_with_idiom(spark):
+    """Native session_window and the lag+cumsum idiom must produce the
+    same number of sessions and the same total event count (boundary
+    semantics pinned: >= gap starts a new session in both)."""
+    native = registry.QUERIES["batch_session_window"](spark, SF_SMALL).collect()
+    idiom = registry.QUERIES["batch_sessionize"](spark, SF_SMALL).collect()
+    assert len(native) == len(idiom)
+    assert sum(r["n_events"] for r in native) == sum(r["n_events"] for r in idiom)

@@ -89,6 +89,8 @@ ALL_OPS = [
     # round-4 additions
     "chunk_dedup", "dedup_incremental", "dedup_cluster_representatives",
     "event_path_mining", "dedup_embedding_cosine_ivf",
+    # round-5 additions
+    "dedup_containment", "winnowing_fingerprint", "event_cooccurrence_lift",
 ]
 
 
