@@ -2697,3 +2697,86 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("val") * 100, 0).cast("long")) / 100.0, 2
         ).alias("class_value"),
     )
+
+
+@query(
+    "tpch_q13_like",
+    oracle="""
+        WITH co AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM co GROUP BY c_count
+    """,
+)
+def q_tpch_q13_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): the histogram of
+    orders-per-customer INCLUDING zero-order customers — the
+    double-aggregate over a LEFT OUTER join (count(o_orderkey)
+    counts non-null matches, so customers with no orders land in the
+    c_count=0 bucket instead of vanishing, the exact trap an INNER
+    join would spring).
+
+    Plan: one outer join shuffled on the customer key, a
+    per-customer count with map-side partials, then a
+    histogram-of-counts aggregate whose group space is the max order
+    count — constant-bounded. At 100 TB the only fact-sized stage is
+    the join; both aggregates shrink monotonically."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q22_like",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+        SELECT substr(c_name, 1, 9) AS name_prefix,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+                   AS total_bal
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY substr(c_name, 1, 9)
+    """,
+)
+def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average account balance who have NEVER ordered — the
+    scalar-subquery threshold (average over a filtered scan) feeding
+    a NOT EXISTS anti-join, grouped by a name prefix (standing in
+    for Q22's phone country code; the schema has no phone column).
+
+    Plan: the 1-row average attaches via crossJoin(broadcast(agg));
+    the NOT EXISTS decorrelates to a left-anti join on the customer
+    key (Catalyst can flip it to broadcast when the distinct
+    order-customer set fits); one prefix-bounded aggregate closes.
+    Balance sums go through integer cents. The avg threshold is a
+    single double on both engines — comparison-stable because the
+    avg is computed over the identical value multiset (DuckDB and
+    Spark both use compensated/exact-intermediate summation for
+    avg(double) at this scale; hash-green since r01 for the stats
+    family)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _sum_money(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )

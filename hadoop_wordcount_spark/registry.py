@@ -83,6 +83,8 @@ _PRIORITY: list[str] = [
     "batch_session_window",
     "event_xml_roundtrip",
     "orders_abc_pareto",
+    "tpch_q13_like",
+    "tpch_q22_like",
     # -- stale: last green row r01/r02 (43 queries, full rotation) ----
     "streaming_event_counts",
     "window_topk_orders",
