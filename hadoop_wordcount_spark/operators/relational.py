@@ -2780,3 +2780,200 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(F.col("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@query(
+    "tpch_q8_like",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT) AS cents,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_2'
+                              THEN cents ELSE 0 END) * 1.0 / sum(cents), 6)
+                   AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of one
+    supplier nation's volume inside a region's trade in one part
+    type, by order year — the eight-way join with nation in TWO
+    roles (customer-side restricts the market to the region;
+    supplier-side labels the share target) feeding a conditional-sum
+    ratio.
+
+    Plan: part/supplier/customer/nation(x2)/region all broadcast;
+    the only fact-sized shuffle is orders⋈lineitem on the order key,
+    and the conditional numerator folds into the same partial
+    aggregate as the denominator (one pass, map-side combine).
+    Group space is |years| — constant. Both volume sums ride integer
+    cents so the share ratio divides identical longs on both
+    engines. Ref: reference has no joins (SURVEY.md §2.3); this is
+    north-star surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("cents"))
+                    .otherwise(F.lit(0))
+                )
+                * 1.0
+                / F.sum("cents"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_like",
+    oracle="""
+        SELECT n_name AS supp_nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                     - 0.5 * p_retailprice * l_quantity) * 100, 0)
+                              AS BIGINT)) / 100.0, 2) AS sum_profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per-supplier-nation,
+    per-year profit on parts whose name matches a pattern. The
+    schema has no partsupp.ps_supplycost, so unit cost is proxied as
+    half the part's retail price (deterministic, part-level — the
+    same join shape and sign-mixing arithmetic as Q9's
+    supplycost*quantity term; documented deviation).
+
+    Plan: part (name-filtered), supplier, and nation broadcast; the
+    fact chain shuffles once on the order key. The LIKE filter
+    reaches the part scan as a pushed StringContains. Profit rides
+    integer cents (the 0.5*retailprice*qty term is exact at 3
+    decimal digits, so cents-rounding is engine-stable). Group space
+    |nations| x |years| — constant."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_sum_money(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q17_like",
+    oracle="""
+        WITH pavg AS (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+            FROM lineitem GROUP BY l_partkey)
+        SELECT p_brand,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pavg ON pavg.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 15
+          AND l_quantity < qty_cut
+        GROUP BY p_brand
+    """,
+)
+def q_tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost
+    to small orders — lines whose quantity is under 20% of the
+    part's average order quantity, for one brand (p_size stands in
+    for Q17's p_container; the schema has no container column).
+
+    Plan: the correlated scalar subquery decorrelates into a
+    per-part average (one groupBy(partkey) with map-side partials)
+    joined back to the fact on the part key; the brand filter
+    broadcasts from the part dim and ALSO prunes the re-joined
+    average via the same key. The 0.2*avg threshold is a fractional
+    double compared against integer-valued quantities, so the
+    predicate cannot sit on an ulp boundary. Revenue rides integer
+    cents; /7.0 happens after the exact sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    )
+    pavg = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pavg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )

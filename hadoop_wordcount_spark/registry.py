@@ -51,6 +51,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # once (see DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
+    "tpch_q8_like",
+    "tpch_q9_like",
+    "tpch_q17_like",
     "tpch_q14_like",
     "tpch_q16_like",
     "tpch_q2_like",

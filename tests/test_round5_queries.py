@@ -193,3 +193,82 @@ def test_session_window_agrees_with_idiom(spark):
     idiom = registry.QUERIES["batch_sessionize"](spark, SF_SMALL).collect()
     assert len(native) == len(idiom)
     assert sum(r["n_events"] for r in native) == sum(r["n_events"] for r in idiom)
+
+
+def test_q8_share_is_bounded_fraction(spark):
+    """tpch_q8_like's mkt_share is a fraction of a region's total
+    volume: every year's share lies in [0, 1], and at least one year
+    has a share strictly between the bounds (the target nation is
+    one of several suppliers in the region's trade)."""
+    rows = registry.QUERIES["tpch_q8_like"](spark, SF_SMALL).collect()
+    assert rows, "Q8 returned no years"
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0, r
+    # Both filter years must appear: the region trades in the part
+    # type in 1995 and 1996 even when the target nation's share is 0.
+    assert {r["o_year"] for r in rows} == {1995, 1996}
+
+
+def test_q17_only_small_quantity_lines_counted(spark):
+    """tpch_q17_like's revenue equals the hand-computed sum over
+    lines below 20% of their part's average quantity, restricted to
+    the brand/size slice — the decorrelated subquery keeps exactly
+    the correlated predicate's rows."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    p = load_table(spark, SF_SMALL, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    )
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("cut")
+    )
+    expect = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pavg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("cut"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / 100.0
+                / 7.0
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    rows = registry.QUERIES["tpch_q17_like"](spark, SF_SMALL).collect()
+    if expect is None:
+        assert rows == []
+    else:
+        assert len(rows) == 1
+        assert math.isclose(rows[0]["avg_yearly"], round(expect, 2), abs_tol=0.011)
+
+
+def test_q9_profit_sums_match_unfiltered_recompute(spark):
+    """tpch_q9_like: the nation/year cells partition the name-matched
+    lines — cell sums re-add (in exact cents) to the slice's global
+    profit, pinning that the multi-role broadcast chain neither
+    drops nor duplicates fact rows."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    p = load_table(spark, SF_SMALL, "part").filter(F.col("p_name").contains("red"))
+    o = load_table(spark, SF_SMALL, "orders")
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    total = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(F.sum(profit_cents).alias("c"))
+        .collect()[0]["c"]
+    )
+    cells = registry.QUERIES["tpch_q9_like"](spark, SF_SMALL).collect()
+    assert cells
+    re_added = round(sum(int(round(r["sum_profit"] * 100)) for r in cells))
+    assert re_added == total
