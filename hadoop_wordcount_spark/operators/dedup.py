@@ -1391,3 +1391,103 @@ def q_dedup_graph_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_SEMDEDUP_TH = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup report in DuckDB: the k-means cell CTEs come from
+    `similarity._ivf_assign_ctes` (the SAME quantizer as
+    `ann_ivf_search` / `dedup_embedding_cosine_ivf`), then the
+    exists-a-lower-kept-neighbor prune rule and a per-cell rollup."""
+    from hadoop_wordcount_spark.operators.similarity import IVF_ITERS, _ivf_assign_ctes
+
+    ctes, _ = _ivf_assign_ctes()
+    return f"""
+        WITH {ctes},
+        side AS (
+            SELECT e.vec_id, e.embedding, c.cid
+            FROM embeddings e JOIN a{IVF_ITERS} c USING (vec_id)),
+        pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM side a JOIN side b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding, b.embedding) /
+                        (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                         sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                  >= {_SEMDEDUP_TH})
+        SELECT s.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+               CAST(min(CASE WHEN p.vec_id IS NULL THEN s.vec_id END) AS BIGINT)
+                   AS first_kept
+        FROM side s LEFT JOIN pruned p ON s.vec_id = p.vec_id
+        GROUP BY s.cid
+    """
+
+
+@query("semdedup_prune", oracle=_semdedup_oracle())
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning report (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): cluster embeddings with the engine's
+    shared IVF k-means quantizer, then inside each cluster prune
+    every vector that has a KEPT lower-id neighbor above the cosine
+    threshold. The keep rule here is id-dominance (a vector is
+    pruned iff ANY lower-id same-cell vector sits above the
+    threshold) — a deterministic, join-expressible variant of the
+    paper's greedy sweep; they differ only on chains where a pruned
+    vector is another's sole witness (documented deviation).
+    Output: per-cell (size, pruned count, first kept id).
+
+    Plan: quantizer training is the shared fixed-round k-means
+    (`similarity.ivf_assignments`); candidate pairs form by equi-join
+    on the cell id — never all-pairs — and the prune set is a
+    semi-join-shaped DISTINCT on the dominated side. At 100 TB with
+    K ~ sqrt(n) cells the expected block stays bounded, the same
+    envelope as `dedup_embedding_cosine_ivf`; the rollup is
+    cell-count-sized."""
+    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
+    from hadoop_wordcount_spark.operators.similarity import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, _cent = ivf_assignments(spark, sf_dir)
+    side = emb.join(cells, "vec_id").select(
+        "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    a = side.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cid").alias("cid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 4
+    )
+    pruned = (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(sim >= _SEMDEDUP_TH)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        side.join(pruned, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count("is_pruned").cast("long").alias("n_pruned"),
+            F.min(
+                F.when(F.col("is_pruned").isNull(), F.col("vec_id"))
+            ).cast("long").alias("first_kept"),
+        )
+    )

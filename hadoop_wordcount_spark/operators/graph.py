@@ -146,3 +146,100 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("word", F.round("r", 4).alias("pagerank"))
+
+
+_TRI_EDGE_CUT = 200
+
+
+@query(
+    "bigram_triangle_count",
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM toks WHERE len(tk) >= 2),
+        bg AS (
+            SELECT string_split(p, ' ')[1] AS w1, string_split(p, ' ')[2] AS w2,
+                   count(*) AS c
+            FROM bi GROUP BY 1, 2
+            ORDER BY c DESC, w1, w2 LIMIT {_TRI_EDGE_CUT}),
+        ue AS (
+            SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+            FROM bg WHERE w1 <> w2),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM ue e1
+            JOIN ue e2 ON e2.a = e1.b
+            JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pernode AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM pernode GROUP BY node
+    """,
+)
+def q_bigram_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the word-transition graph — the
+    clustering-coefficient numerator of graph analytics, run on the
+    same tie-safe top-200 bigram edge cut as `sql_recursive_cte`.
+    Edges are canonicalized undirected (least/greatest, self-loops
+    dropped); a triangle x<y<z is found once via the ordered
+    two-hop + closing-edge join and credited to all three corners.
+
+    Plan: the corpus-sized stage is the one bigram aggregate; the
+    edge cut is a 200-row TakeOrdered, so both triangle joins run on
+    a broadcast-sized table. At 100 TB the general pattern holds
+    with the ordered-edge join (each edge joined only a->b with
+    a < b), which bounds the intermediate to sum-of-degrees(a) —
+    the standard distributed triangle enumeration; an unbounded edge
+    set would instead shuffle-partition on the join key, same
+    shape. Absent from the reference (no joins — SURVEY.md §2.3)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(tokens_col(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
+    bi = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.w1", "e.w2")
+    bg = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(_TRI_EDGE_CUT)
+    )
+    ue = (
+        bg.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+    )
+    e1 = ue.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ue.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = ue.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(F.broadcast(e2), F.col("y") == F.col("y2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select("x", "y", "z")
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return pernode.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

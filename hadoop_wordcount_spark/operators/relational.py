@@ -2977,3 +2977,76 @@ def q_tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+        pc AS (SELECT l_partkey, count(*) AS n FROM op GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_both
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey)
+        SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+               round(n_both * n.n_orders * 1.0 / (ca.n * cb.n), 4) AS lift
+        FROM pairs
+        JOIN pc ca ON ca.l_partkey = part_a
+        JOIN pc cb ON cb.l_partkey = part_b
+        CROSS JOIN n
+        ORDER BY n_both DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same
+    order, ranked by support, with the association lift
+    P(a,b)/(P(a)P(b)) — the classic affinity-analysis query, run on
+    the order/part bipartite projection of lineitem.
+
+    Plan: one DISTINCT projection keyed on (order, part), then the
+    pair join is an equi-join on the order key — the intermediate is
+    sum over orders of (lines choose 2), bounded because basket
+    width is bounded (TPC-H lineitem is <=7 lines/order; a 100x
+    corpus adds orders, not basket width). Per-part counts are
+    dimension-sized -> broadcast back onto the pair table; the
+    global order count attaches via crossJoin(broadcast(agg)). The
+    ORDER BY .. LIMIT compiles to TakeOrderedAndProject, so only 20
+    rows reach the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") * F.col("n_orders") * 1.0
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -244,3 +244,86 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(weight, 6).alias("weight"),
         F.round(weight / F.col("share"), 4).alias("epochs"),
     )
+
+
+@query(
+    "dsir_importance_weight",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        tok2 AS (SELECT doc_id, source, word FROM tok WHERE word <> ''),
+        tgt AS (SELECT min(source) AS t FROM documents),
+        fr AS (SELECT word, count(*) AS cr FROM tok2 GROUP BY word),
+        rs AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                      CAST(sum(cr) AS BIGINT) AS nr FROM fr),
+        ft AS (SELECT word, count(*) AS ct
+               FROM tok2 CROSS JOIN tgt WHERE source = tgt.t GROUP BY word),
+        ts AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ft)
+        SELECT t.doc_id, t.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(
+                   ln((coalesce(ft.ct, 0) + 1.0) / (ts.nt + rs.v))
+                   - ln((fr.cr + 1.0) / (rs.nr + rs.v))), 4) AS dsir_logratio
+        FROM tok2 t
+        JOIN fr ON t.word = fr.word
+        LEFT JOIN ft ON t.word = ft.word
+        CROSS JOIN rs CROSS JOIN ts
+        GROUP BY t.doc_id, t.source
+    """,
+)
+def q_dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score
+    each document by the mean per-token log-ratio of a TARGET
+    unigram distribution over the RAW corpus distribution, both with
+    add-one smoothing over the corpus vocabulary. Documents whose
+    token mix resembles the target domain score high and get
+    up-sampled; the paper hashes n-grams into buckets, here the
+    feature space is the unigram vocabulary itself (exactly
+    SQL-expressible; same estimator shape). The target domain is
+    derived from the data — min(source) — not hardcoded (per the
+    round-4 advice on `dedup_incremental`).
+
+    Plan: one token-frequency aggregation per distribution (both
+    vocabulary-sized → broadcast back onto the token stream), the
+    three scalars (V, N_raw, N_target) attach via
+    crossJoin(broadcast(agg)) — no driver round trip — then one
+    groupBy(doc_id). At 100 TB: two vocab-sized shuffles plus the
+    per-doc mean; the token stream never reshuffles in between. The
+    mean (not the paper's sum) keeps the score length-invariant and
+    matches the engine's other avg-of-log scores (`unigram_logprob`)
+    whose round(4) parity is hash-green since r03."""
+    d = load_table(spark, sf_dir, "documents")
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    tgt = d.agg(F.min("source").alias("t"))
+    fr = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    rs = fr.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    ft = (
+        tok.crossJoin(F.broadcast(tgt))
+        .filter(F.col("source") == F.col("t"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ts = ft.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+    ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+    return (
+        tok.join(F.broadcast(fr), "word")
+        .join(F.broadcast(ft), "word", "left")
+        .crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(ts))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(ratio), 4).alias("dsir_logratio"),
+        )
+    )

@@ -552,3 +552,97 @@ def q_embedding_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm",
         )
     )
+
+
+_PI_ITERS = 3
+
+
+def _power_iteration_oracle() -> str:
+    """Unrolled power iteration in DuckDB: second-moment matrix M,
+    then _PI_ITERS matrix-vector products with round-6 quantization
+    after every product AND every normalization — the same
+    fixed-point pinning as the k-means oracle, so both engines feed
+    bit-identical vectors into each next step."""
+    steps = []
+    prev = "x0"
+    for k in range(1, _PI_ITERS + 1):
+        steps.append(f"""
+        y{k} AS (
+            SELECT m.i AS pos, round(sum(m.v * {prev}.xv), 6) AS yv
+            FROM m JOIN {prev} ON m.j = {prev}.pos GROUP BY m.i),
+        n{k} AS (SELECT sqrt(sum(yv * yv)) AS nrm FROM y{k}),
+        x{k} AS (SELECT pos, round(yv / nrm, 6) AS xv
+                 FROM y{k} CROSS JOIN n{k})""")
+        prev = f"x{k}"
+    return f"""
+        WITH ev AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings),
+        m AS (
+            SELECT a.pos AS i, b.pos AS j, round(avg(a.val * b.val), 6) AS v
+            FROM ev a JOIN ev b USING (vec_id) GROUP BY a.pos, b.pos),
+        x0 AS (SELECT DISTINCT pos, CAST(1.0 AS DOUBLE) AS xv FROM ev),{",".join(steps)}
+        SELECT CAST({prev}.pos AS INT) AS pos,
+               round({prev}.xv, 4) AS eigvec,
+               round(n{_PI_ITERS}.nrm, 4) AS eigval_est
+        FROM {prev} CROSS JOIN n{_PI_ITERS}
+    """
+
+
+@query("embedding_power_iteration", oracle=_power_iteration_oracle())
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal direction of the embedding cloud by POWER ITERATION
+    over the second-moment matrix M = E[v vᵀ] — the distributed
+    linear-algebra primitive behind PCA whitening, spectral outlier
+    detection, and low-rank compression of a 100 TB embedding store.
+    Fixed _PI_ITERS matrix-vector rounds (unrolled into one DAG, like
+    the engine's k-means and PageRank), all-ones start vector,
+    round-6 quantization after every product/normalization so the
+    DuckDB oracle replays the identical fixed-point trajectory.
+    Output: the d-dimensional unit eigenvector estimate and the
+    Rayleigh-norm eigenvalue estimate.
+
+    Plan: the ONLY corpus-sized stage is building M — a self-join of
+    the exploded (vec_id, pos, val) stream on vec_id (row-local:
+    co-partitioned by construction, d² output per vector) feeding a
+    (i, j)-keyed average whose partials combine map-side, so the
+    exchange carries d² rows regardless of corpus size. Every
+    iteration afterwards is a d²-row x d-row broadcast join — driver
+    never touches data. At d=64 M is 4096 cells; d² stays
+    broadcast-sized through d ~ 2000."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val0")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    a = ev.select("vec_id", F.col("pos").alias("i"), F.col("val").alias("va"))
+    b = ev.select(
+        F.col("vec_id").alias("vid2"), F.col("pos").alias("j"),
+        F.col("val").alias("vb"),
+    )
+    m = (
+        a.join(b, F.col("vec_id") == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(F.round(F.avg(F.col("va") * F.col("vb")), 6).alias("v"))
+    )
+    x = ev.select("pos").distinct().select("pos", F.lit(1.0).alias("xv"))
+    nrm = None
+    for _ in range(_PI_ITERS):
+        y = (
+            m.join(F.broadcast(x), m.j == x.pos)
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.round(F.sum(F.col("v") * F.col("xv")), 6).alias("yv"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
+        x = y.crossJoin(F.broadcast(nrm)).select(
+            "pos", F.round(F.col("yv") / F.col("nrm"), 6).alias("xv")
+        )
+    return x.crossJoin(F.broadcast(nrm)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round("xv", 4).alias("eigvec"),
+        F.round("nrm", 4).alias("eigval_est"),
+    )

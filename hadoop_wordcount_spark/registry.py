@@ -51,6 +51,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # once (see DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
+    "semdedup_prune",
+    "dsir_importance_weight",
+    "embedding_power_iteration",
+    "bigram_triangle_count",
+    "basket_part_pairs",
     "tpch_q8_like",
     "tpch_q9_like",
     "tpch_q17_like",

@@ -272,3 +272,73 @@ def test_q9_profit_sums_match_unfiltered_recompute(spark):
     assert cells
     re_added = round(sum(int(round(r["sum_profit"] * 100)) for r in cells))
     assert re_added == total
+
+
+def test_semdedup_prune_invariants(spark):
+    """semdedup_prune: cells partition the corpus (sizes re-add to
+    n_vectors), at least one vector survives per cell (the lowest id
+    can never be dominated), the first kept id is never reported as
+    pruned, and the prune rule is non-vacuous at test scale."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["semdedup_prune"](spark, SF_SMALL).collect()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["n_pruned"] < r["n_vecs"], r
+        assert r["first_kept"] is not None, r
+    assert sum(r["n_pruned"] for r in rows) > 0
+
+
+def test_dsir_weight_prefers_target_source(spark):
+    """dsir_importance_weight: the target domain is min(source), so
+    target-source documents must score higher ON AVERAGE than the
+    rest of the corpus — the defining property of an importance
+    weight toward the target distribution."""
+    rows = registry.QUERIES["dsir_importance_weight"](spark, SF_SMALL).collect()
+    tgt = min(r["source"] for r in rows)
+    in_t = [r["dsir_logratio"] for r in rows if r["source"] == tgt]
+    out_t = [r["dsir_logratio"] for r in rows if r["source"] != tgt]
+    assert in_t and out_t
+    assert sum(in_t) / len(in_t) > sum(out_t) / len(out_t)
+
+
+def test_triangle_counts_are_consistent(spark):
+    """bigram_triangle_count: the per-node sum is 3x the number of
+    distinct triangles (each triangle credits exactly 3 corners)."""
+    rows = registry.QUERIES["bigram_triangle_count"](spark, SF_SMALL).collect()
+    total = sum(r["n_triangles"] for r in rows)
+    assert total % 3 == 0
+    assert total > 0
+
+
+def test_power_iteration_returns_unit_vector(spark):
+    """embedding_power_iteration: the eigenvector estimate has unit
+    L2 norm (to rounding), one entry per dimension, and a positive
+    eigenvalue estimate."""
+    rows = registry.QUERIES["embedding_power_iteration"](spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    nrm = math.sqrt(sum(r["eigvec"] ** 2 for r in rows))
+    assert math.isclose(nrm, 1.0, abs_tol=0.01)
+    assert rows[0]["eigval_est"] > 0
+
+
+def test_basket_lift_matches_support_counts(spark):
+    """basket_part_pairs: for every reported pair, lift equals
+    n_both * n_orders / (n_a * n_b) recomputed from the bipartite
+    projection."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    op = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.select("l_orderkey").distinct().count()
+    pc = {
+        r["l_partkey"]: r["n"]
+        for r in op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in registry.QUERIES["basket_part_pairs"](spark, SF_SMALL).collect():
+        want = r["n_both"] * n_orders / (pc[r["part_a"]] * pc[r["part_b"]])
+        assert math.isclose(r["lift"], round(want, 4), abs_tol=1e-4), r
