@@ -3050,3 +3050,60 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "orders_forecast_ma",
+    oracle=f"""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS mon,
+                   {_sum_money_sql("o_totalprice")} AS revenue
+            FROM orders GROUP BY 1),
+        f AS (
+            SELECT mon, revenue,
+                   round(avg(revenue) OVER (ORDER BY mon
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 2)
+                       AS forecast,
+                   count(*) OVER (ORDER BY mon
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_hist
+            FROM m)
+        SELECT CAST(strftime(mon, '%Y-%m') AS VARCHAR) AS mon,
+               revenue, forecast,
+               round(abs(revenue - forecast) / revenue, 4) AS abs_pct_err
+        FROM f WHERE n_hist = 3
+    """,
+)
+def q_orders_forecast_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-moving-average forecast with backtest error: each
+    month's revenue predicted as the mean of the prior 3 months, and
+    the absolute percentage error reported — the baseline every
+    demand-forecasting stack is judged against, evaluated entirely
+    in-engine (a rolling backtest, not a fit-once model).
+
+    Plan: one month-keyed aggregate (integer cents, map-side
+    partials) shrinks the fact table to |months| rows; the trailing
+    window then sorts that dimension-sized series only. The frame
+    excludes the current row (3 PRECEDING .. 1 PRECEDING), so the
+    forecast never leaks the value it predicts; months without 3
+    full history rows are dropped by the frame-count guard, not by a
+    fragile date literal. The forecast is avg of three
+    2-decimal-exact values rounded at 2 — identical on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        _sum_money(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("mon").rowsBetween(-3, -1)
+    f = m.select(
+        "mon",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("forecast"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    return f.filter(F.col("n_hist") == 3).select(
+        F.date_format("mon", "yyyy-MM").alias("mon"),
+        "revenue",
+        "forecast",
+        F.round(F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue"), 4)
+            .alias("abs_pct_err"),
+    )

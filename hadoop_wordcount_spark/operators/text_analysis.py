@@ -1300,3 +1300,133 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("my") - slope * F.col("mx"), 4).alias("ln_intercept"),
         F.max("n").alias("n_points"),
     ).select("zipf_slope", "ln_intercept", "n_points")
+
+
+@query(
+    "source_token_mi",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        tok2 AS (SELECT source, word FROM tok WHERE word <> ''),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok2),
+        jw AS (SELECT source, word, count(*) AS c_ws FROM tok2 GROUP BY 1, 2),
+        mw AS (SELECT word, count(*) AS c_w FROM tok2 GROUP BY 1),
+        ms AS (SELECT source, count(*) AS c_s FROM tok2 GROUP BY 1)
+        SELECT word,
+               round(sum((c_ws * 1.0 / nn) *
+                         ln(c_ws * 1.0 * nn / (c_w * 1.0 * c_s))), 6) AS mi
+        FROM jw JOIN mw USING (word) JOIN ms USING (source) CROSS JOIN n
+        GROUP BY word
+        ORDER BY mi DESC, word LIMIT 25
+    """,
+)
+def q_source_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature selection: the top-25 tokens whose
+    occurrence distribution is most informative about the document's
+    SOURCE — I(W;S) decomposed per token over the (token, source)
+    occurrence joint. The audit that answers "can a model tell
+    sources apart from surface vocabulary?" (high MI = source
+    fingerprint tokens → leakage risk for held-out-source evals; the
+    same statistic drives classic feature selection).
+
+    Plan: one (source, word) aggregate (the only corpus-sized
+    shuffle, map-side partials), then the word and source marginals
+    — both vocabulary/source-sized → broadcast; the corpus total
+    attaches via crossJoin(broadcast(agg)); top-25 is
+    TakeOrderedAndProject. Every ratio inside the log is a ratio of
+    exact integer counts, so both engines take ln of bit-identical
+    doubles."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
+    n = tok.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    jw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_ws"))
+    mw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    ms = tok.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    contrib = (F.col("c_ws") * 1.0 / F.col("nn")) * F.log(
+        F.col("c_ws") * 1.0 * F.col("nn") / (F.col("c_w") * 1.0 * F.col("c_s"))
+    )
+    return (
+        jw.join(F.broadcast(mw), "word")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("word")
+        .agg(F.round(F.sum(contrib), 6).alias("mi"))
+        .orderBy(F.desc("mi"), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "kl_divergence_sources",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+        tok2 AS (SELECT source, word FROM tok WHERE word <> ''),
+        cw AS (SELECT word, count(*) AS c FROM tok2 GROUP BY word),
+        vs AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                      CAST(sum(c) AS BIGINT) AS nc FROM cw),
+        sw AS (SELECT source, word, count(*) AS c_sw FROM tok2 GROUP BY 1, 2),
+        st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+        -- smoothed source distribution over the FULL corpus vocab:
+        -- grid = every (source, word), c_sw = 0 where absent
+        grid AS (
+            SELECT st.source, cw.word, st.n_s, cw.c AS c_w,
+                   coalesce(sw.c_sw, 0) AS c_sw
+            FROM st CROSS JOIN cw
+            LEFT JOIN sw ON sw.source = st.source AND sw.word = cw.word)
+        SELECT g.source, g.n_s AS n_tokens,
+               round(sum(((g.c_sw + 1.0) / (g.n_s + vs.v)) *
+                         ln(((g.c_sw + 1.0) / (g.n_s + vs.v)) /
+                            ((g.c_w + 1.0) / (vs.nc + vs.v)))), 4) AS kl
+        FROM grid g CROSS JOIN vs
+        GROUP BY g.source, g.n_s
+    """,
+)
+def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over
+    add-one-smoothed unigram distributions — the corpus-mixture
+    audit that flags which sources are vocabulary outliers (high KL
+    = domain-shifted source; the same smoothing family as
+    `dsir_importance_weight`, aggregated per source instead of per
+    document). Smoothing is over the corpus vocabulary, with the
+    full (source x vocab) grid materialized so absent words
+    contribute their smoothed mass.
+
+    Plan: one (source, word) aggregate is the only corpus-sized
+    shuffle; the grid is sources x vocab — built by crossJoin of the
+    source-total table (|sources| rows, broadcast) against the
+    vocab-sized count table, then a LEFT join to the observed pairs;
+    at 100 TB this grid is |sources| x |vocab| rows — independent of
+    corpus row count (and the natural cut point is a top-K vocab if
+    |vocab| outgrows a shuffle partition). All inputs to ln are
+    ratios of exact integers."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
+    cw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vs = cw.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("nc"),
+    )
+    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    st = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    grid = (
+        F.broadcast(st)
+        .crossJoin(cw)
+        .join(sw, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            "n_s",
+            F.col("c").alias("c_w"),
+            F.coalesce(F.col("c_sw"), F.lit(0)).alias("c_sw"),
+        )
+    )
+    p_s = (F.col("c_sw") + 1.0) / (F.col("n_s") + F.col("v"))
+    p_c = (F.col("c_w") + 1.0) / (F.col("nc") + F.col("v"))
+    return (
+        grid.crossJoin(F.broadcast(vs))
+        .groupBy("source", F.col("n_s").alias("n_tokens"))
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl"))
+    )

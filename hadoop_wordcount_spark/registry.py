@@ -52,6 +52,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
     "semdedup_prune",
+    "source_token_mi",
+    "kl_divergence_sources",
+    "orders_forecast_ma",
     "dsir_importance_weight",
     "embedding_power_iteration",
     "bigram_triangle_count",

@@ -285,3 +285,42 @@ def test_cooccurrence_join_is_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan
+
+
+def test_new_pair_family_no_cartesian(spark, sf_dir):
+    """Round-5 continuation pair/joins: SemDeDup's in-cell pair join,
+    the basket pair join, the triangle joins, and DSIR's frequency
+    joins must all stay equi-join — BroadcastNestedLoop is allowed
+    only against 1-row scalar aggregates (crossJoin(broadcast(agg))),
+    never between data-sized sides."""
+    for name in ("semdedup_prune", "basket_part_pairs",
+                 "bigram_triangle_count", "dsir_importance_weight",
+                 "embedding_power_iteration"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_q8_q9_dims_broadcast(spark, sf_dir):
+    """Q8/Q9: every dimension side broadcasts; the only shuffled join
+    is the fact chain on the order key."""
+    for name in ("tpch_q8_like", "tpch_q9_like"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3, (name, plan)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q17_decorrelated_avg_is_partial_agg(spark, sf_dir):
+    """Q17's per-part average must decorrelate into a partial/final
+    aggregate keyed on the part key, not a window sort."""
+    df = registry.QUERIES["tpch_q17_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_avg" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_basket_pairs_topk_is_ordered_limit(spark, sf_dir):
+    """basket_part_pairs' final top-20 must compile to
+    TakeOrderedAndProject, not a global sort."""
+    df = registry.QUERIES["basket_part_pairs"](spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")

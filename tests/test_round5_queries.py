@@ -342,3 +342,62 @@ def test_basket_lift_matches_support_counts(spark):
     for r in registry.QUERIES["basket_part_pairs"](spark, SF_SMALL).collect():
         want = r["n_both"] * n_orders / (pc[r["part_a"]] * pc[r["part_b"]])
         assert math.isclose(r["lift"], round(want, 4), abs_tol=1e-4), r
+
+
+def test_source_token_mi_nonnegative_total(spark):
+    """source_token_mi: per-token MI contributions to I(W;S) from the
+    top slice are positive (the top of the ranking is the informative
+    vocabulary), and the ranking is strictly ordered."""
+    rows = registry.QUERIES["source_token_mi"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 25
+    mis = [r["mi"] for r in rows]
+    assert mis == sorted(mis, reverse=True)
+    assert mis[0] > 0
+
+
+def test_kl_divergence_properties(spark):
+    """kl_divergence_sources: KL is non-negative for every source
+    (Gibbs' inequality survives add-one smoothing over a shared
+    support), and every source in the corpus is reported."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["kl_divergence_sources"](spark, SF_SMALL).collect()
+    n_sources = (
+        load_table(spark, SF_SMALL, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["kl"] >= 0, r
+        assert r["n_tokens"] > 0
+
+
+def test_forecast_ma_is_trailing_mean(spark):
+    """orders_forecast_ma: every forecast equals the mean of the three
+    chronologically preceding revenues (no leakage of the current
+    month), and only months with full history are reported."""
+    rows = sorted(
+        registry.QUERIES["orders_forecast_ma"](spark, SF_SMALL).collect(),
+        key=lambda r: r["mon"],
+    )
+    assert rows
+    # rebuild the full monthly series from the engine itself
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    m = sorted(
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("mon"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0, 2
+            ).alias("rev")
+        )
+        .collect(),
+        key=lambda r: r["mon"],
+    )
+    series = {r["mon"]: r["rev"] for r in m}
+    months = [r["mon"] for r in m]
+    for r in rows:
+        i = months.index(r["mon"])
+        assert i >= 3
+        want = round(sum(series[months[j]] for j in range(i - 3, i)) / 3, 2)
+        assert math.isclose(r["forecast"], want, abs_tol=0.011), (r, want)

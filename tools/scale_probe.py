@@ -91,6 +91,11 @@ ALL_OPS = [
     "event_path_mining", "dedup_embedding_cosine_ivf",
     # round-5 additions
     "dedup_containment", "winnowing_fingerprint", "event_cooccurrence_lift",
+    # round-5 continuation (semdedup/power-iteration run under the
+    # same IVF_K = sqrt(n_vecs) rule as dedup_embedding_cosine_ivf;
+    # expected exponents: semdedup ~1.5 by design, the rest ~1)
+    "semdedup_prune", "dsir_importance_weight",
+    "embedding_power_iteration", "bigram_triangle_count",
 ]
 
 
