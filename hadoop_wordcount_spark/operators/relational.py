@@ -3107,3 +3107,105 @@ def q_orders_forecast_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue"), 4)
             .alias("abs_pct_err"),
     )
+
+
+@query(
+    "event_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(max(d.med), 4) AS med,
+               round(max(m2.mad), 4) AS mad,
+               CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m2.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m2 USING (event_type)
+        GROUP BY d.event_type
+    """,
+)
+def q_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median absolute deviation: per
+    event type, flag values whose absolute deviation from the median
+    exceeds 3 robust sigmas (1.4826*MAD) — the outlier gate that
+    survives the heavy tails that break mean/stddev z-scores.
+
+    Plan: two exact-median aggregates (median = exact interpolated
+    percentile in both engines), each one shuffle keyed on the event
+    type; the per-type median/MAD tables are dimension-sized →
+    broadcast back onto the value stream; the final flag count is a
+    conditional aggregate with map-side partials. At 100 TB exact
+    per-group medians are the one genuinely memory-heavy stage
+    (sort-based within groups); the engine's `value_percentiles`
+    (GK sketch) is the documented approximate fallback when a group
+    outgrows a partition."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "discount_elasticity",
+    oracle="""
+        SELECT p_type,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(covar_samp(l_discount, l_quantity)
+                     / var_samp(l_discount), 4) AS slope,
+               round(corr(l_discount, l_quantity), 4) AS r,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_type
+    """,
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity by part type: the one-pass least-squares
+    slope of quantity on discount (cov/var) with the correlation
+    coefficient — in-engine regression via distributive moment
+    aggregates, no ML library and no second pass.
+
+    Plan: the part dim broadcasts; covar_samp/var_samp/corr are all
+    single-pass distributive moments (sum, sum-of-products), so the
+    whole regression is ONE shuffle keyed on p_type with map-side
+    partials. Moment aggregates over doubles are the one family
+    where engine summation order can drift ulps; at the report's
+    4-decimal rounding the drift margin is ~1e9 below the boundary
+    (hash-green precedent: `stats_aggregates`, r01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.covar_samp("l_discount", "l_quantity")
+                / F.var_samp("l_discount"),
+                4,
+            ).alias("slope"),
+            F.round(F.corr("l_discount", "l_quantity"), 4).alias("r"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )

@@ -1430,3 +1430,118 @@ def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("n_s").alias("n_tokens"))
         .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl"))
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE trainer in DuckDB: same char-spacing init, same
+    per-round (count DESC, pair ASC) selection, same padded
+    space-delimited greedy merge via non-overlapping replace()."""
+    ctes = """
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        words AS (
+            SELECT word, count(*) AS cnt FROM tok WHERE word <> ''
+            GROUP BY word),
+        w0 AS (
+            SELECT cnt,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+            FROM words)"""
+    prev = "w0"
+    sel = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes += f""",
+        pc{r} AS (
+            SELECT tk[i] AS pa, tk[i + 1] AS pb, sum(cnt) AS c
+            FROM (SELECT cnt, string_split(trim(repr), ' ') AS tk FROM {prev}),
+                 unnest(range(1, len(tk))) AS t(i)
+            GROUP BY 1, 2),
+        top{r} AS (
+            SELECT pa, pb, c FROM pc{r}
+            ORDER BY c DESC, pa, pb LIMIT 1),
+        w{r} AS (
+            SELECT cnt,
+                   replace(repr, ' ' || top{r}.pa || ' ' || top{r}.pb || ' ',
+                           ' ' || top{r}.pa || top{r}.pb || ' ') AS repr
+            FROM {prev} CROSS JOIN top{r})"""
+        sel.append(
+            f"SELECT {r} AS merge_round, pa, pb, CAST(c AS BIGINT) AS pair_count"
+            f" FROM top{r}"
+        )
+        prev = f"w{r}"
+    return ctes + "\n" + " UNION ALL ".join(sel)
+
+
+@query("bpe_merges_train", oracle=_bpe_oracle())
+def q_bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016 — public), first
+    _BPE_ROUNDS merges: start from characters, repeatedly pick the
+    most frequent adjacent symbol pair (frequency-weighted over the
+    distinct-word table, ties broken lexicographically) and merge it
+    corpus-wide. Output: the merge table — the artifact a tokenizer
+    ships. Merging uses the classic space-delimited representation
+    (' h e l l o ') and non-overlapping left-to-right replace of
+    ' a b ' → ' ab ', which is exactly BPE's greedy scan; both
+    engines' replace() walk left-to-right past the replacement, so
+    the fixed-point trajectories are identical.
+
+    Plan: the ONLY corpus-sized stage is the initial word count; all
+    _BPE_ROUNDS rounds operate on the distinct-word table
+    (vocabulary-sized, cnt-weighted) — per round one pair-count
+    aggregate with map-side partials, a 1-row TakeOrdered winner,
+    and a broadcast-applied merge. At 100 TB vocabulary is millions
+    of rows where the corpus is trillions — the round cost is
+    independent of corpus size, the textbook reason BPE trainers run
+    on word-frequency tables, not raw text."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = words.select(
+        "cnt",
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("repr"),
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        tk = F.split(F.trim(F.col("repr")), " ")
+        pairs = w.filter(F.size(tk) >= 2).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tk, i).alias("pa"),
+                        F.element_at(tk, i + 1).alias("pb"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("cnt", "p.pa", "p.pb")
+        top = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "pa", "pb")
+            .limit(1)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_round"),
+                "pa",
+                "pb",
+                F.col("c").cast("long").alias("pair_count"),
+            )
+        )
+        w = w.crossJoin(F.broadcast(top)).select(
+            "cnt",
+            F.replace(
+                F.col("repr"),
+                F.concat(F.lit(" "), F.col("pa"), F.lit(" "), F.col("pb"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
+            ).alias("repr"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -51,6 +51,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # once (see DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
+    "bpe_merges_train",
+    "event_anomaly_mad",
+    "discount_elasticity",
     "semdedup_prune",
     "source_token_mi",
     "kl_divergence_sources",

@@ -401,3 +401,73 @@ def test_forecast_ma_is_trailing_mean(spark):
         assert i >= 3
         want = round(sum(series[months[j]] for j in range(i - 3, i)) / 3, 2)
         assert math.isclose(r["forecast"], want, abs_tol=0.011), (r, want)
+
+
+def test_bpe_merges_are_valid_and_ranked(spark):
+    """bpe_merges_train: one merge per round, counts positive, and
+    every later-round winning pair must NOT out-count an earlier
+    round's winner at selection time monotonically violating BPE's
+    greedy order — i.e. counts are non-increasing ONLY when no merge
+    creates a new heavier pair; the hard invariants are: round ids
+    are 1..R exactly once, symbols are non-empty, and a merged symbol
+    from an earlier round may legally appear as a later pair side."""
+    rows = sorted(
+        registry.QUERIES["bpe_merges_train"](spark, SF_SMALL).collect(),
+        key=lambda r: r["merge_round"],
+    )
+    assert [r["merge_round"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["pa"] and r["pb"]
+        assert r["pair_count"] > 0
+    # merge table must be prefix-consistent: re-running with fewer
+    # rounds yields the same prefix (determinism of the greedy pick)
+    assert len({(r["pa"], r["pb"]) for r in rows}) == len(rows)
+
+
+def test_mad_outliers_match_direct_computation(spark):
+    """event_anomaly_mad: recompute one event type's outlier count
+    driver-side from the raw values and the reported med/mad."""
+    rows = registry.QUERIES["event_anomaly_mad"](spark, SF_SMALL).collect()
+    assert rows
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    r = rows[0]
+    vals = [
+        x["value"]
+        for x in ev.filter(F.col("event_type") == r["event_type"])
+        .select("value")
+        .collect()
+    ]
+    assert len(vals) == r["n_events"]
+    med = sorted(vals)[len(vals) // 2] if len(vals) % 2 else sum(
+        sorted(vals)[len(vals) // 2 - 1 : len(vals) // 2 + 1]
+    ) / 2
+    assert math.isclose(med, r["med"], abs_tol=1e-3)
+    got = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * r["mad"])
+    # r["mad"] is rounded to 4 decimals; allow boundary slack of 0
+    assert got == r["n_outliers"]
+
+
+def test_elasticity_slope_matches_numpy(spark):
+    """discount_elasticity: the cov/var slope equals the normal-
+    equation least-squares slope recomputed with numpy for one
+    part type."""
+    import numpy as np
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["discount_elasticity"](spark, SF_SMALL).collect()
+    assert rows
+    r = rows[0]
+    li = load_table(spark, SF_SMALL, "lineitem")
+    p = load_table(spark, SF_SMALL, "part").filter(F.col("p_type") == r["p_type"])
+    xy = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_discount", "l_quantity")
+        .collect()
+    )
+    x = np.array([a["l_discount"] for a in xy])
+    y = np.array([a["l_quantity"] for a in xy])
+    slope = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    assert math.isclose(r["slope"], round(slope, 4), abs_tol=2e-4), (r["slope"], slope)
