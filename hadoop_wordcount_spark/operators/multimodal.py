@@ -193,3 +193,82 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         schema="doc_id long, width long, height long, out_w long, out_h long",
     )
+
+
+_FRAME = 64          # samples per analysis frame
+_SILENCE_RMS = 35.0  # frames below this RMS count as 'silence'
+
+
+@query(
+    "audio_frame_energy",
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c,
+                   generate_subscripts(string_split(text, ''), 1) AS pos
+            FROM documents),
+        samp AS (
+            SELECT doc_id, (pos - 1) // {_FRAME} AS frame_no,
+                   ord(c) - 128 AS s
+            FROM ch),
+        fr AS (
+            SELECT doc_id, frame_no,
+                   sqrt(sum(s * s) * 1.0 / count(*)) AS rms
+            FROM samp GROUP BY doc_id, frame_no
+            HAVING count(*) = {_FRAME})
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               round(avg(rms), 4) AS mean_rms,
+               round(sum(CASE WHEN rms < {_SILENCE_RMS} THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 4) AS silence_ratio
+        FROM fr GROUP BY doc_id
+    """,
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: per-frame RMS energy + silence ratio
+    over the opaque payload, the speech/music pre-filter of an audio
+    training pipeline (silence-heavy clips get dropped or trimmed
+    before transcription). Payload bytes are framed at {_FRAME}
+    samples (trailing partial frame dropped), each byte read as a
+    centered 8-bit PCM sample (b - 128) — the deterministic stand-in
+    for a real audio decoder, same contract as the image stubs: the
+    kernel body swaps out, the Arrow plumbing is production-shaped.
+
+    Plan: mapInPandas over Arrow batches — numpy-vectorized
+    reshape+RMS per batch, payloads never cross to Python row by
+    row; shuffle-free (one output row per input row, computed
+    in-partition). Parity: the corpus is pure ASCII (pinned by
+    test), so the oracle's per-character code points equal the
+    utf-8 payload bytes; frame sums of squares are exact integers,
+    sqrt/avg of identical doubles round stably at 4."""
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_n, out_rms, out_sil = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = len(buf) // _FRAME
+                if n_frames == 0:
+                    continue
+                s = buf[: n_frames * _FRAME].astype(np.float64) - 128.0
+                frames = s.reshape(n_frames, _FRAME)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                out_id.append(doc_id)
+                out_n.append(n_frames)
+                out_rms.append(round(float(rms.mean()), 4))
+                out_sil.append(round(float((rms < _SILENCE_RMS).mean()), 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "n_frames": pd.Series(out_n, dtype="int64"),
+                    "mean_rms": pd.Series(out_rms, dtype="float64"),
+                    "silence_ratio": pd.Series(out_sil, dtype="float64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        energy_batches,
+        schema="doc_id long, n_frames long, mean_rms double, silence_ratio double",
+    )

@@ -52,6 +52,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
     "bpe_merges_train",
+    "audio_frame_energy",
     "event_anomaly_mad",
     "discount_elasticity",
     "semdedup_prune",

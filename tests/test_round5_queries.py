@@ -471,3 +471,43 @@ def test_elasticity_slope_matches_numpy(spark):
     y = np.array([a["l_quantity"] for a in xy])
     slope = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
     assert math.isclose(r["slope"], round(slope, 4), abs_tol=2e-4), (r["slope"], slope)
+
+
+def test_corpus_is_pure_ascii(spark):
+    """Parity precondition for audio_frame_energy (and every
+    byte-vs-codepoint oracle): utf-8 byte length equals character
+    length on every document at test scale."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    bad = d.filter(
+        F.length("text") != F.length(F.encode(F.col("text"), "utf-8"))
+    ).count()
+    assert bad == 0
+
+
+def test_audio_energy_matches_numpy_recompute(spark):
+    """audio_frame_energy: recompute one document's frame RMS ladder
+    driver-side from the raw text bytes."""
+    import numpy as np
+
+    from hadoop_wordcount_spark.operators.multimodal import _FRAME, _SILENCE_RMS
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = {r["doc_id"]: r for r in
+            registry.QUERIES["audio_frame_energy"](spark, SF_SMALL).collect()}
+    assert rows
+    doc = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") == min(rows)
+    ).collect()[0]
+    buf = np.frombuffer(doc["text"].encode(), dtype=np.uint8)
+    n_frames = len(buf) // _FRAME
+    s = buf[: n_frames * _FRAME].astype(np.float64) - 128.0
+    rms = np.sqrt((s.reshape(n_frames, _FRAME) ** 2).mean(axis=1))
+    r = rows[min(rows)]
+    assert r["n_frames"] == n_frames
+    assert math.isclose(r["mean_rms"], round(float(rms.mean()), 4), abs_tol=1e-4)
+    assert math.isclose(
+        r["silence_ratio"], round(float((rms < _SILENCE_RMS).mean()), 4),
+        abs_tol=1e-4,
+    )
