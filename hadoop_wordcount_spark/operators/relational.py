@@ -3209,3 +3209,60 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
     )
+
+
+@query(
+    "tpch_q12_like",
+    oracle="""
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
+)
+def q_tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): count
+    urgent/high-priority vs other lines per shipping class — the
+    conditional CASE-sum split that Q12 runs per shipmode. The
+    schema has no l_shipmode/commitdate/receiptdate, so the class is
+    derived lateness (ship more than 60 days after order = SLOW),
+    preserving Q12's analytical point: does slow shipping correlate
+    with priority mix? (documented deviation).
+
+    Plan: one fact-chain shuffle on the order key; the shipdate
+    year-window predicate pushes to the lineitem scan; both
+    conditional counts fold into ONE partial/final aggregate pass
+    over a 2-row group space. Date arithmetic is day-granular
+    integer math — identical on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "SLOW"
+            )
+            .otherwise("FAST")
+            .alias("ship_class"),
+            high.alias("high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

@@ -511,3 +511,20 @@ def test_audio_energy_matches_numpy_recompute(spark):
         r["silence_ratio"], round(float((rms < _SILENCE_RMS).mean()), 4),
         abs_tol=1e-4,
     )
+
+
+def test_q12_classes_partition_the_slice(spark):
+    """tpch_q12_like: high+low counts across the two classes must
+    re-add to the joined year-slice's line count, and both shipping
+    classes appear at test scale."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["tpch_q12_like"](spark, SF_SMALL).collect()
+    assert {r["ship_class"] for r in rows} == {"FAST", "SLOW"}
+    li = load_table(spark, SF_SMALL, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, SF_SMALL, "orders")
+    n = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == n
