@@ -68,6 +68,22 @@ HEADLINE = [
      "(never all-pairs), broadcast marginals"),
     ("sql_recursive_cte", "Spark 4 WITH RECURSIVE: UnionLoop fixpoint over a "
      "200-row broadcast edge table; frontier rows drive per-iteration cost"),
+    ("bpe_merges_train", "unrolled BPE trainer: corpus-sized work is ONE word "
+     "count; each merge round is a vocab-sized pair agg + 1-row "
+     "TakeOrdered winner broadcast into the next round's replace"),
+    ("semdedup_prune", "SemDeDup: shared IVF quantizer cells, in-cell "
+     "equi-join pair stage, DISTINCT dominated side, cell-sized rollup"),
+    ("embedding_power_iteration", "power iteration: the d^2-cell moment "
+     "matrix is the only corpus-sized agg (map-side partials); each "
+     "iteration is a broadcast matrix-vector product"),
+    ("dsir_importance_weight", "DSIR: two vocab-sized freq aggs broadcast "
+     "back onto the token stream; scalars attach via "
+     "crossJoin(broadcast(agg)) — no driver round trip"),
+    ("tpch_q8_like", "Q8 market share: six broadcast dims around one "
+     "order-key fact shuffle; numerator and denominator fold into one "
+     "conditional partial agg"),
+    ("audio_frame_energy", "audio RMS: numpy-vectorized mapInPandas over "
+     "Arrow batches, shuffle-free, one output row per payload"),
 ]
 
 
@@ -83,8 +99,17 @@ def main() -> None:
         "`tests/test_plan_quality.py`.\n",
     ]
     for name, note in HEADLINE:
-        plan = formatted_plan(registry.QUERIES[name](spark, sf))
-        out.append(f"## {name}\n\n{note}.\n\n```\n{plan.strip()}\n```\n")
+        plan = formatted_plan(registry.QUERIES[name](spark, sf)).strip()
+        lines = plan.splitlines()
+        # Unrolled-iteration plans (BPE, power iteration) repeat the
+        # same stage shape per round and run to thousands of lines;
+        # keep the tree + first operator details, note the rest.
+        if len(lines) > 400:
+            plan = "\n".join(lines[:400]) + (
+                f"\n... [truncated: {len(lines) - 400} more lines — "
+                "later unrolled rounds repeat the stage shape above]"
+            )
+        out.append(f"## {name}\n\n{note}.\n\n```\n{plan}\n```\n")
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written")
