@@ -71,6 +71,10 @@ def main() -> None:
         fn = registry.QUERIES[name]
         if cold:
             spark.catalog.clearCache()
+            # Also drop the trained-IVF memo — cold means cold.
+            from hadoop_wordcount_spark.operators.similarity import reset_ivf_memo
+
+            reset_ivf_memo()
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)

@@ -388,6 +388,17 @@ def _ivf_d2(a, b) -> "F.Column":
     )
 
 
+# Trained-quantizer memo: (applicationId, sf_dir, K) -> (inverted
+# file, centroids). See ivf_assignments' docstring.
+_IVF_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def reset_ivf_memo() -> None:
+    """Drop memoized quantizers (bench cold mode; tests that patch
+    IVF_K mid-session already miss on the K component of the key)."""
+    _IVF_MEMO.clear()
+
+
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Train the IVF coarse quantizer (fixed-round k-means,
     deterministic init = vec_id < K) entirely in DataFrame ops and
@@ -410,7 +421,20 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
       iterative lineage stays flat — same discipline as dedup_clusters.
     Distances and centroid means are quantized to 4 decimals on BOTH
     engines so double-summation ulp noise cannot flip an assignment;
-    ties break on cid."""
+    ties break on cid.
+
+    The trained pair is MEMOIZED per (session, sf_dir, K): five
+    queries (ann_ivf_search, dedup_embedding_cosine_ivf,
+    knn_block_join, embedding_cell_stats, semdedup_prune) share one
+    quantizer, and at 100 TB you train it once and reuse it — the
+    memo is that design in-process. `reset_ivf_memo()` drops it
+    (bench cold mode calls this so per-query costs stay honest);
+    keying on applicationId makes entries from a stopped session
+    unreachable rather than stale."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, IVF_K)
+    hit = _IVF_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     emb = _emb(spark, sf_dir)
     # Cache the double-cast vectors: every k-means round (assign +
     # update) and the final assignment re-read them — one scan, not 8.
@@ -456,7 +480,12 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             )
             .localCheckpoint()
         )
-    return assign(cent), cent
+    # Materialize the inverted file once (it is |V| (id, cid) rows —
+    # tiny next to the vectors) so every memo consumer starts from the
+    # same flat-lineage table instead of replaying the final assign.
+    result = (assign(cent).localCheckpoint(), cent)
+    _IVF_MEMO[memo_key] = result
+    return result
 
 
 @query("ann_ivf_search", oracle=_ivf_oracle())
