@@ -1081,12 +1081,20 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda j: F.array_min(F.slice(khc, j, _WINNOW_W)),
         )
     )
-    return base.select(
+    # Materialize the window-min array once per row: referencing the
+    # lambda expression twice in one projection re-evaluates the whole
+    # O(n·w) transform (no codegen CSE across lambda functions).
+    staged = base.select(
         "doc_id",
         (F.size("kh") - _WINNOW_W + 1).cast("long").alias("n_windows"),
         F.size(fps).cast("long").alias("n_fingerprints"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_windows",
+        "n_fingerprints",
         F.round(
-            F.size(fps) / (F.size("kh") - _WINNOW_W + 1).cast("double"), 4
+            F.col("n_fingerprints") / F.col("n_windows").cast("double"), 4
         ).alias("density"),
     )
 
