@@ -675,3 +675,190 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("xv", 4).alias("eigvec"),
         F.round("nrm", 4).alias("eigval_est"),
     )
+
+
+def _hard_negatives_oracle() -> str:
+    """Same-cell cross-label pairs via the shared quantizer CTEs,
+    top-20 by cosine."""
+    from hadoop_wordcount_spark.operators.dedup import _ivf_cosine_oracle  # noqa: F401
+
+    ctes, _ = _ivf_assign_ctes()
+    return f"""
+        WITH {ctes},
+        side AS (
+            SELECT e.vec_id, e.label, e.embedding, c.cid
+            FROM embeddings e JOIN a{IVF_ITERS} c USING (vec_id))
+        SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+               a.label AS anchor_label, b.label AS negative_label,
+               round(list_dot_product(a.embedding, b.embedding) /
+                     (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                      sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                   AS cos_sim
+        FROM side a JOIN side b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id AND a.label <> b.label
+        ORDER BY cos_sim DESC, anchor_id, negative_id LIMIT 20
+    """
+
+
+@query("contrastive_hard_negatives", oracle=_hard_negatives_oracle())
+def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the most
+    cosine-similar vector PAIRS whose labels DIFFER — exactly the
+    negatives that make an embedding model learn (easy negatives are
+    already far; hard ones sit across the decision boundary).
+    Candidates come from the shared (memoized) IVF quantizer cells,
+    the same blocking every other ANN op here uses: a hard negative
+    is by definition close, and close vectors co-quantize.
+
+    Plan: equi-join on the cell id with the label-mismatch predicate
+    as a join residual — never all-pairs; norms hoisted per side, one
+    dot product per candidate; TakeOrderedAndProject keeps 20 rows.
+    Same Theta(n^1.5) envelope (K ~ sqrt(n)) as the IVF dedup — and
+    the quantizer itself is amortized across all six consumers by
+    the memo."""
+    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
+
+    emb = _emb(spark, sf_dir)
+    cells, _cent = ivf_assignments(spark, sf_dir)
+    side = emb.join(cells, "vec_id").select(
+        "vec_id", "label", "cid", "embedding",
+        l2_norm(F.col("embedding")).alias("norm"),
+    )
+    a = side.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("cid").alias("cid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b"))
+            & (F.col("anchor_id") < F.col("negative_id"))
+            & (F.col("anchor_label") != F.col("negative_label")),
+        )
+        .select(
+            "anchor_id", "negative_id", "anchor_label", "negative_label",
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "anchor_id", "negative_id")
+        .limit(20)
+    )
+
+
+def _abtt_oracle() -> str:
+    """All-but-the-Top in DuckDB: the power-iteration CTE chain (same
+    fixed-point pinning as `embedding_power_iteration`) supplies the
+    top direction; vectors are then mean-centered and their
+    projection onto it removed."""
+    # Reuse the full power-iteration chain (ev, m, x0..x3, n1..n3).
+    pi = _power_iteration_oracle()
+    chain = pi.split("SELECT CAST(")[0].rstrip().rstrip(",")
+    return f"""{chain},
+        mu AS (SELECT pos, avg(val) AS mu FROM ev GROUP BY pos),
+        centered AS (
+            SELECT e.vec_id, e.pos, e.val - mu.mu AS cv
+            FROM ev e JOIN mu USING (pos)),
+        proj AS (
+            SELECT c.vec_id, round(sum(c.cv * x{_PI_ITERS}.xv), 6) AS p
+            FROM centered c JOIN x{_PI_ITERS} ON c.pos = x{_PI_ITERS}.pos
+            GROUP BY c.vec_id),
+        out AS (
+            SELECT c.vec_id, c.pos,
+                   c.cv - proj.p * x{_PI_ITERS}.xv AS ov
+            FROM centered c
+            JOIN proj USING (vec_id)
+            JOIN x{_PI_ITERS} ON c.pos = x{_PI_ITERS}.pos)
+        SELECT vec_id,
+               round(sum(CASE WHEN pos = 1 THEN ov END), 4) + 0.0 AS d1,
+               round(sum(CASE WHEN pos = 2 THEN ov END), 4) + 0.0 AS d2,
+               round(sqrt(sum(ov * ov)), 4) AS out_norm
+        FROM out GROUP BY vec_id
+    """
+
+
+@query("embedding_abtt", oracle=_abtt_oracle())
+def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top embedding post-processing (Mu & Viswanath
+    2018 — public): subtract the corpus mean, then remove each
+    vector's projection onto the top principal direction — the
+    two-line fix that makes off-the-shelf embeddings markedly more
+    isotropic (the dominant direction encodes frequency, not
+    meaning). The top direction comes from the SAME unrolled power
+    iteration as `embedding_power_iteration` (shared fixed-point
+    trajectory), composing two of the engine's linear-algebra
+    stages. Output per vector: first two processed dims + the
+    processed norm.
+
+    Plan: the d²-cell moment matrix and the d-cell mean are the only
+    corpus-sized aggregates (map-side partials); the direction is a
+    d-row broadcast; projection and removal are per-(vec, pos)
+    projections with one groupBy(vec_id) close. Nothing driver-side;
+    the quantized (round-6) projection keeps both engines on the
+    identical trajectory."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val0")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    # -- power iteration (same construction as embedding_power_iteration)
+    a = ev.select("vec_id", F.col("pos").alias("i"), F.col("val").alias("va"))
+    b = ev.select(
+        F.col("vec_id").alias("vid2"), F.col("pos").alias("j"),
+        F.col("val").alias("vb"),
+    )
+    m = (
+        a.join(b, F.col("vec_id") == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(F.round(F.avg(F.col("va") * F.col("vb")), 6).alias("v"))
+    )
+    x = ev.select("pos").distinct().select("pos", F.lit(1.0).alias("xv"))
+    for _ in range(_PI_ITERS):
+        y = (
+            m.join(F.broadcast(x), m.j == x.pos)
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.round(F.sum(F.col("v") * F.col("xv")), 6).alias("yv"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
+        x = y.crossJoin(F.broadcast(nrm)).select(
+            "pos", F.round(F.col("yv") / F.col("nrm"), 6).alias("xv")
+        )
+    # -- mean-center, project out the top direction
+    mu = ev.groupBy("pos").agg(F.avg("val").alias("mu"))
+    centered = ev.join(F.broadcast(mu), "pos").select(
+        "vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv")
+    )
+    proj = (
+        centered.join(F.broadcast(x), "pos")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("cv") * F.col("xv")), 6).alias("p"))
+    )
+    out = (
+        centered.join(F.broadcast(proj), "vec_id")
+        .join(F.broadcast(x), "pos")
+        .select(
+            "vec_id", "pos",
+            (F.col("cv") - F.col("p") * F.col("xv")).alias("ov"),
+        )
+    )
+    # `+ 0.0` normalizes IEEE negative zero (-0.0 formats differently
+    # from 0.0 and breaks the order-insensitive value hash).
+    return out.groupBy("vec_id").agg(
+        (F.round(F.sum(F.when(F.col("pos") == 1, F.col("ov"))), 4) + F.lit(0.0))
+        .alias("d1"),
+        (F.round(F.sum(F.when(F.col("pos") == 2, F.col("ov"))), 4) + F.lit(0.0))
+        .alias("d2"),
+        F.round(F.sqrt(F.sum(F.col("ov") * F.col("ov"))), 4).alias("out_norm"),
+    )

@@ -51,6 +51,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # once (see DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
     # -- new in round 5 (need first driver rows) ----------------------
+    "contrastive_hard_negatives",
+    "embedding_abtt",
     "tpch_q12_like",
     "bpe_merges_train",
     "audio_frame_energy",

