@@ -38,97 +38,95 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # Verification-priority order. The driver's correctness harness walks
 # ``queries()`` in iteration order under a budget (each round checks
 # ~50 entries), so queries that most need a hard-signal row this round
-# must iterate FIRST. Round 5 rotation (per round-4 verdict item 1):
-# the 29 round-5 queries first (they have NO driver row yet — a first
-# hash-matched row outranks refreshing an old green one), then the 43
-# queries whose last green driver row is r01/r02 — the streaming,
-# window/lag, sink, scalar/map/array, multimodal, and join families.
-# Under the ~50-row round budget that covers all new + ~21 stale; the
-# stale tail (~22, ordered oldest-family-first) rolls to round 6's
-# rotation. Families are
-# interleaved (streaming entries spread out, not a contiguous block)
-# so a bursty host steal-window cannot contaminate a whole family at
-# once (see DEVNOTES on the r04 alphabetical-block anomaly).
+# must iterate FIRST. Interleaving also spreads families out
+# (streaming entries are never a contiguous block) so a bursty host
+# steal-window cannot contaminate a whole family at once (see
+# DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
-    # -- new in round 5 (need first driver rows) ----------------------
+    # -- Round-5 verification head, ~50-row driver budget (r04 checked
+    # exactly 50). 52 queries are NEW this round; all-new-first would
+    # starve the r01/r02-stale families a third round (the r4
+    # verdict's named gap). Interleave 2 new : 1 stale so one budget
+    # pass yields first rows for the 33 highest-novelty new ops AND
+    # refreshes the 17 stalest entries (full streaming block, sinks,
+    # window/lag, multimodal, scalar/JSON). The 19 remaining new ops
+    # (mostly TPC-H shapes with strong local parity evidence) and the
+    # remaining stale block follow, rolling into round 6's budget.
     "contrastive_hard_negatives",
     "embedding_abtt",
+    "streaming_event_counts",
     "tpch_q12_like",
     "bpe_merges_train",
+    "streaming_sliding_windows",
     "audio_frame_energy",
     "event_anomaly_mad",
+    "streaming_session_windows",
     "discount_elasticity",
     "semdedup_prune",
+    "streaming_stream_join",
     "source_token_mi",
     "kl_divergence_sources",
+    "streaming_wordcount",
     "orders_forecast_ma",
     "dsir_importance_weight",
+    "sink_roundtrip_csv",
     "embedding_power_iteration",
     "bigram_triangle_count",
+    "sink_roundtrip_json",
     "basket_part_pairs",
     "tpch_q8_like",
+    "sink_roundtrip_orc",
     "tpch_q9_like",
     "tpch_q17_like",
+    "sink_partitioned_parquet",
+    "python_stream_source",
+    "sql_recursive_cte",
+    "window_topk_orders",
+    "batch_session_window",
+    "event_xml_roundtrip",
+    "rank_dense_ntile",
+    "grouping_sets_mix",
+    "dedup_containment",
+    "running_event_value",
+    "dedup_threshold_sweep",
+    "dedup_graph_degree_report",
+    "lag_event_gap",
+    "winnowing_fingerprint",
+    "collocations_pmi",
+    "multimodal_meta",
+    "quality_gopher_rules",
+    "mixture_temperature_weights",
+    "multimodal_decode",
+    "embedding_cell_stats",
+    "perplexity_bucket_report",
+    "scalar_functions_mix",
+    "orders_abc_pareto",
+    "event_props_json",
+    # -- remainder: 19 new (local-parity-backed) then stale rotation --
     "tpch_q14_like",
     "tpch_q16_like",
     "tpch_q2_like",
     "tpch_q4_like",
-    "dedup_containment",
-    "collocations_pmi",
-    "quality_gopher_rules",
-    "mixture_temperature_weights",
-    "embedding_cell_stats",
     "tpch_q7_like",
     "tpch_q11_like",
+    "tpch_q19_like",
+    "tpch_q15_like",
+    "tpch_q13_like",
+    "tpch_q22_like",
     "vocab_coverage",
-    "winnowing_fingerprint",
     "lang_mix_by_source",
     "context_length_yield",
     "event_cooccurrence_lift",
     "orders_rfm_segments",
-    "tpch_q19_like",
-    "tpch_q15_like",
-    "grouping_sets_mix",
     "words_except_all",
     "words_intersect_all",
-    "dedup_threshold_sweep",
-    "perplexity_bucket_report",
-    "python_stream_source",
     "ngram_entropy",
     "zipf_fit",
-    "dedup_graph_degree_report",
-    "sql_recursive_cte",
-    "batch_session_window",
-    "event_xml_roundtrip",
-    "orders_abc_pareto",
-    "tpch_q13_like",
-    "tpch_q22_like",
-    # -- stale: last green row r01/r02 (43 queries, full rotation) ----
-    "streaming_event_counts",
-    "window_topk_orders",
-    "sink_roundtrip_csv",
-    "scalar_functions_mix",
     "join_orders_customer",
-    "multimodal_meta",
-    "streaming_sliding_windows",
-    "rank_dense_ntile",
-    "sink_roundtrip_json",
     "map_ops_mix",
     "join_multi",
-    "multimodal_decode",
-    "streaming_session_windows",
-    "running_event_value",
-    "sink_partitioned_parquet",
-    "array_ops_mix",
-    "broadcast_join_parts",
     "multimodal_resize",
-    "streaming_stream_join",
-    "lag_event_gap",
-    "sink_roundtrip_orc",
-    "event_props_json",
-    "semi_join_customers",
     "frame_sample",
-    "streaming_wordcount",
     "asof_last_error",
     "unpivot_status",
     "event_props_struct",
@@ -147,6 +145,8 @@ _PRIORITY: list[str] = [
     "sql_tpch_q3",
     "cube_agg",
     "pivot_status",
+    "array_ops_mix",
+    "semi_join_customers",
     # -- last green r03/r04 follows (fresh enough); registration order
     # fills the remainder ---------------------------------------------
 ]
