@@ -1443,10 +1443,11 @@ def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle() -> str:
-    """Unrolled BPE trainer in DuckDB: same char-spacing init, same
-    per-round (count DESC, pair ASC) selection, same padded
-    space-delimited greedy merge via non-overlapping replace()."""
+def _bpe_ctes(word_col: str = "word") -> tuple[str, str, list[str]]:
+    """(CTE chain, final word-table name, per-round merge selects) for
+    the unrolled BPE trainer in DuckDB — ONE template shared by the
+    training and the encoding oracle, so the two can never diverge
+    on the merge trajectory (the `_minhash_cte` discipline)."""
     ctes = """
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -1454,7 +1455,7 @@ def _bpe_oracle() -> str:
             SELECT word, count(*) AS cnt FROM tok WHERE word <> ''
             GROUP BY word),
         w0 AS (
-            SELECT cnt,
+            SELECT word, cnt,
                    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
             FROM words)"""
     prev = "w0"
@@ -1470,7 +1471,7 @@ def _bpe_oracle() -> str:
             SELECT pa, pb, c FROM pc{r}
             ORDER BY c DESC, pa, pb LIMIT 1),
         w{r} AS (
-            SELECT cnt,
+            SELECT word, cnt,
                    replace(repr, ' ' || top{r}.pa || ' ' || top{r}.pb || ' ',
                            ' ' || top{r}.pa || top{r}.pb || ' ') AS repr
             FROM {prev} CROSS JOIN top{r})"""
@@ -1479,6 +1480,14 @@ def _bpe_oracle() -> str:
             f" FROM top{r}"
         )
         prev = f"w{r}"
+    return ctes, prev, sel
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE trainer in DuckDB: same char-spacing init, same
+    per-round (count DESC, pair ASC) selection, same padded
+    space-delimited greedy merge via non-overlapping replace()."""
+    ctes, _prev, sel = _bpe_ctes()
     return ctes + "\n" + " UNION ALL ".join(sel)
 
 
@@ -1503,10 +1512,25 @@ def q_bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rows where the corpus is trillions — the round cost is
     independent of corpus size, the textbook reason BPE trainers run
     on word-frequency tables, not raw text."""
+    w, merges = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the unrolled trainer; return the post-merge distinct-word
+    table (word, cnt, repr) and the per-round 1-row merge tables.
+    Shared by `bpe_merges_train` (emits the merges) and
+    `bpe_encode_stats` (encodes the corpus with the final table)."""
     d = _docs(spark, sf_dir)
     tok = d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
     words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     w = words.select(
+        "word",
         "cnt",
         F.concat(
             F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
@@ -1542,6 +1566,7 @@ def q_bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         w = w.crossJoin(F.broadcast(top)).select(
+            "word",
             "cnt",
             F.replace(
                 F.col("repr"),
@@ -1549,7 +1574,68 @@ def q_bpe_merges_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" "), F.col("pa"), F.col("pb"), F.lit(" ")),
             ).alias("repr"),
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return w, merges
+
+
+def _bpe_encode_oracle() -> str:
+    """Encoding oracle: the shared trainer CTE chain, then per-word
+    token counts from the final representation joined back onto the
+    corpus token stream, rolled up per source."""
+    ctes, prev, _sel = _bpe_ctes()
+    return f"""{ctes},
+        wtok AS (
+            SELECT word, len(string_split(trim(repr), ' ')) AS n_sym,
+                   length(word) AS n_chr
+            FROM {prev}),
+        stream AS (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(w.n_chr) AS BIGINT) AS n_chars,
+               CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens,
+               round(sum(w.n_chr) * 1.0 / sum(w.n_sym), 4) AS chars_per_token
+        FROM stream s JOIN wtok w USING (word)
+        WHERE s.word <> ''
+        GROUP BY s.source
+    """
+
+
+@query("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE: encode the corpus with the vocabulary
+    `bpe_merges_train` just learned and report per-source token
+    economics — words, characters, BPE tokens, and the
+    chars-per-token compression the tokenizer achieves (the number a
+    tokenizer is judged by, and the per-source spread is the
+    fairness audit: sources whose vocabulary the merges ignore pay
+    more tokens for the same text).
+
+    Plan: training reruns the shared vocab-sized chain
+    (`_bpe_train`), then encoding is ONE broadcast join — the final
+    word→token-count table is vocabulary-sized — onto the corpus
+    token stream, closed by a source-keyed aggregate with map-side
+    partials. The corpus-sized cost is the token scan; nothing else
+    grows with data."""
+    w, _merges = _bpe_train(spark, sf_dir)
+    wtok = w.select(
+        "word",
+        F.size(F.split(F.trim(F.col("repr")), " ")).alias("n_sym"),
+        F.length("word").alias("n_chr"),
+    )
+    d = _docs(spark, sf_dir)
+    stream = d.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    return (
+        stream.join(F.broadcast(wtok), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chr") * 1.0 / F.sum("n_sym"), 4
+            ).alias("chars_per_token"),
+        )
+    )

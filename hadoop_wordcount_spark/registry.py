@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     # window/lag, multimodal, scalar/JSON). The 19 remaining new ops
     # (mostly TPC-H shapes with strong local parity evidence) and the
     # remaining stale block follow, rolling into round 6's budget.
+    "bpe_encode_stats",
     "contrastive_hard_negatives",
     "embedding_abtt",
     "streaming_event_counts",

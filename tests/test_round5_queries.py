@@ -558,3 +558,27 @@ def test_abtt_removes_top_direction(spark):
     # centering guarantees coordinate means ~0 (rounding noise only)
     assert abs(mean_d1) < 1e-2 and abs(mean_d2) < 1e-2
     assert all(r["out_norm"] >= 0 for r in rows)
+
+
+def test_bpe_encode_compression_is_consistent(spark):
+    """bpe_encode_stats: every source shows chars_per_token >= 1
+    (merges can only shrink the symbol stream, never below one
+    char/symbol... actually >= 1 because a symbol holds >= 1 char),
+    token count is <= char count, and word totals re-add to the
+    corpus token count."""
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["bpe_encode_stats"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bpe_tokens"] <= r["n_chars"], r
+        assert r["chars_per_token"] >= 1.0, r
+    d = load_table(spark, SF_SMALL, "documents")
+    total_words = d.select(
+        F.explode(tokens_col(F.col("text"))).alias("w")
+    ).count()
+    assert sum(r["n_words"] for r in rows) == total_words
+    # the learned merges must actually compress: fewer BPE tokens
+    # than characters overall (strictly, since 6 merges fired)
+    assert sum(r["n_bpe_tokens"] for r in rows) < sum(r["n_chars"] for r in rows)
