@@ -3266,3 +3266,39 @@ def q_tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("low_line_count"),
         )
     )
+
+
+@query(
+    "shuffle_hash_join",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLED HASH join on explicit hint — the join strategy for
+    two BIG sides with one comfortably smaller: both sides shuffle
+    on the key, but the smaller builds an in-memory hash map per
+    partition instead of both sides sort-spilling (SMJ's cost). At
+    100 TB this is the right call when the build side's per-partition
+    slice fits executor memory and sort order has no downstream
+    reuse — the hint pins the strategy so a stats misestimate can't
+    silently flip it to SMJ.
+
+    Plan (pinned by test): ShuffledHashJoin, build side = orders
+    (the smaller fact), zero sorts below the join. Revenue rides
+    integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            _sum_money(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )

@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     # (mostly TPC-H shapes with strong local parity evidence) and the
     # remaining stale block follow, rolling into round 6's budget.
     "bpe_encode_stats",
+    "shuffle_hash_join",
     "contrastive_hard_negatives",
     "embedding_abtt",
     "streaming_event_counts",

@@ -324,3 +324,12 @@ def test_basket_pairs_topk_is_ordered_limit(spark, sf_dir):
     TakeOrderedAndProject, not a global sort."""
     df = registry.QUERIES["basket_part_pairs"](spark, sf_dir)
     assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_shuffle_hash_join_strategy_pinned(spark, sf_dir):
+    """The shuffle_hash hint must produce ShuffledHashJoin (not SMJ,
+    not broadcast) with no Sort below the join."""
+    df = registry.QUERIES["shuffle_hash_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

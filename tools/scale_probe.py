@@ -96,6 +96,12 @@ ALL_OPS = [
     # expected exponents: semdedup ~1.5 by design, the rest ~1)
     "semdedup_prune", "dsir_importance_weight",
     "embedding_power_iteration", "bigram_triangle_count",
+    # vocab-bounded / scan-bounded continuation ops (expected ~1):
+    # BPE rounds cost O(vocab), the replica-suffix scheme grows vocab
+    # linearly with factor; MI/KL join vocab-sized marginals onto the
+    # linear token stream; audio is a shuffle-free payload scan.
+    "bpe_merges_train", "source_token_mi", "kl_divergence_sources",
+    "audio_frame_energy", "contrastive_hard_negatives",
 ]
 
 
