@@ -3302,3 +3302,95 @@ def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(F.col("l_extendedprice")).alias("revenue"),
         )
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mon,
+               count(*) AS n_orders,
+               {_sum_money_sql("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: base state + delta = fresh.
+
+    The per-month revenue rollup is maintained as PARTIAL STATE
+    (count + integer-cent sum — both associative and commutative),
+    then a delta batch (orders >= 1999-01-01, the "new arrivals") is
+    aggregated alone and merged by re-aggregating the union of the
+    two partial-state tables. The oracle is the from-scratch rollup
+    over everything: maintained == recomputed is exactly the
+    algebraic-aggregate contract that makes incremental MV refresh
+    sound (the same partial/final split Catalyst plans inside a
+    single query, here lifted across batches).
+
+    Scale: the nightly refresh touches ONLY the delta partition plus
+    a state table whose size is the group-key cardinality (months —
+    tiny), never the historical fact table. avg/stddev maintain the
+    same way from (count, sum, sum-of-squares); only true holistic
+    aggregates (exact median) force recompute."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.col("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cutoff = "1999-01-01"
+    partial = lambda df: df.groupBy("yr", "mon").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("psum")
+    )
+    base_state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta_state = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("yr", "mon")
+        .agg(F.sum("pn").alias("n_orders"), F.sum("psum").alias("cents"))
+        .select(
+            "yr",
+            "mon",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "redact_digit_runs",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+                   AS n_digit_runs,
+               count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+                   AS n_distinct_masked
+        FROM events GROUP BY event_type
+    """,
+)
+def q_redact_digit_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction audit: mask digit runs, count what changed.
+
+    The redaction kernel for training corpora — numeric identifiers
+    replaced by a mask token — run as pure JVM-side regexp
+    expressions (regexp_replace / regexp_extract_all), never a Python
+    UDF: per event_type, how many digit runs were masked and how many
+    distinct masked shapes remain (the shape census that tells you
+    whether a field is free-text or an enum in disguise).
+
+    Scale: per-row projections + one groupBy(event_type); the
+    distinct-count is the only memory-bearing agg and its keyspace is
+    the masked-pattern space, which masking itself collapses."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.countDistinct(
+            F.regexp_replace("props", "[0-9]+", "#")
+        ).alias("n_distinct_masked"),
+    )

@@ -327,3 +327,64 @@ def q_dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(ratio), 4).alias("dsir_logratio"),
         )
     )
+
+
+@query(
+    "weighted_sample_bernoulli",
+    oracle="""
+        WITH sel AS (
+            SELECT source, n_chars,
+                   (list_reduce(list_transform(
+                        string_split_regex(
+                            substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15),
+                            ''),
+                        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                        (a, d) -> a * 16 + d) % 4096) < n_chars AS keep
+            FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS sampled_chars,
+               round(sum(n_chars) / 4096.0, 2) AS expected_sampled
+        FROM sel GROUP BY source
+    """,
+)
+def q_weighted_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted Bernoulli sample with PURE-INTEGER membership.
+
+    Each document is kept with probability proportional to its length
+    (p_i = n_chars/4096), but the test is `h mod 4096 < n_chars` — an
+    integer comparison on the portable md5-fold hash, so membership
+    is bit-identical across engines, runs, and partitionings, with no
+    float threshold anywhere (the float-free sibling of
+    `corpus_mixture_sample`'s scaled-integer thresholds). Every
+    source reports, including any whose realized sample is empty —
+    conditional aggregation over the full table, not a filter-then-
+    group (the round-4 advice on vanishing sources applied by
+    construction).
+
+    Scale: a per-row projection + one groupBy(source); no joins, no
+    driver state, reproducible on any cluster layout — and the
+    expected-vs-realized columns are the sampler's built-in audit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    keep = (h % 4096) < F.col("n_chars")
+    return (
+        d.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("sampled_chars"),
+            F.round(F.sum("n_chars") / 4096.0, 2).alias("expected_sampled"),
+        )
+    )

@@ -91,3 +91,63 @@ def q_sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
     )
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                   AS revenue
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y') = '1998'
+        GROUP BY 1
+    """,
+)
+def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning over a month-partitioned fact layout.
+
+    orders is laid out hive-partitioned by o_month (the write happens
+    once per sf into the sinks tmp area), then joined to a dimension
+    whose filter (year = 1998) only becomes a partition predicate AT
+    RUNTIME: Catalyst injects a `dynamicpruning` subquery into the
+    fact scan, so only the 12 month-directories of 1998 are read —
+    the other ~68 months' files are skipped at the source, not
+    filtered after a full scan. `test_plan_quality` pins the
+    dynamicpruning expression in the scan's PartitionFilters.
+
+    At 100 TB this is THE mechanism that makes star-schema joins
+    feasible: the dimension filter prunes fact partitions before any
+    fact I/O, composing with AQE and broadcast joins for free — the
+    declarative replacement for hand-maintained date predicates."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = _tmp("orders_by_month", sf_dir)
+    o.write.mode("overwrite").partitionBy("o_month").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("o_month")
+        .distinct()
+        .withColumn("o_year", F.substring("o_month", 1, 4))
+        .filter(F.col("o_year") == "1998")
+        .select("o_month")
+    )
+    return (
+        fact.join(dim, "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("o_month").cast("string").alias("o_month"),
+            "n_orders",
+            "revenue",
+        )
+    )

@@ -1,0 +1,297 @@
+"""Deterministic mergeable sketches: Count-Min and KMV (bottom-k).
+
+At 100 TB you cannot afford an exact pass per question. The two
+sketches here answer the two standing questions of corpus curation —
+"what are the heavy hitters?" and "how much do these sources
+overlap?" — in one map pass plus a constant-size shuffle, and both
+are MERGEABLE: per-partition sketches combine associatively, so the
+partial-aggregation Spark already does map-side IS the sketch build.
+
+Unlike the seeded sketches (`approx_distinct_words`,
+`profile_table_sketch` — rows-only entries), these two are built on
+the repo's portable md5 60-bit hash, so every counter and every
+bottom-k element is bit-identical in Spark and DuckDB: the sketches
+themselves are oracle-checkable, estimates included.
+
+Reference parity: the reference computes exact global counts only
+(`WordCount.java:30-42`, one reduce over every key). These operators
+are the scale path the reference lacks: error-bounded answers whose
+cost is independent of (CMS) or logarithmic in (KMV) the key space.
+
+Scale design:
+- CMS: the counter table is a FIXED d x w grid (4 x 256 here; widen w
+  at scale). Map-side partial aggregation compresses every partition
+  to <= d*w rows before the one shuffle, so update cost is one scan
+  regardless of corpus size; point queries broadcast the grid.
+- KMV: per-source bottom-k of a 60-bit hash. The distinct+rank shuffle
+  carries (source, hash) pairs only — shingle text never moves — and
+  the pairwise-combine stage runs on S sketches of k longs (S*k
+  values total), broadcastable for any realistic source count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_wordcount_spark.operators.wordcount import tokens_col
+from hadoop_wordcount_spark.registry import query
+from hadoop_wordcount_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Portable 60-bit hash (same construction as dedup's simhash chain):
+# first 15 hex chars of md5 folded to a signed-64-safe BIGINT in both
+# engines.
+# --------------------------------------------------------------------------
+
+
+def _h60(expr: Column) -> Column:
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_transform("
+        f"string_split_regex(substr(md5({expr}), 1, 15), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), "
+        "(a, d) -> a * 16 + d)"
+    )
+
+
+# DuckDB bigram stream (sequence bigrams, StringTokenizer fidelity) —
+# same construction as text_analysis.q_bigram_counts.
+_BIGRAMS_CTE = """
+        tok AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS bigram
+            FROM tok WHERE len(tk) >= 2)
+"""
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+        WITH {_BIGRAMS_CTE},
+        rc AS (
+            SELECT bigram, t.r AS r,
+                   {_h60_sql("CAST(t.r AS VARCHAR) || ':' || bigram")}
+                       % {_CMS_W} AS c
+            FROM bg, unnest(range(0, {_CMS_D})) AS t(r)),
+        counters AS (
+            SELECT r, c, count(*) AS cnt FROM rc GROUP BY r, c),
+        hh AS (
+            SELECT bigram, count(*) AS exact_count FROM bg GROUP BY bigram
+            ORDER BY exact_count DESC, bigram LIMIT 20),
+        cand AS (
+            SELECT hh.bigram, hh.exact_count, t.r AS r,
+                   {_h60_sql("CAST(t.r AS VARCHAR) || ':' || hh.bigram")}
+                       % {_CMS_W} AS c
+            FROM hh, unnest(range(0, {_CMS_D})) AS t(r))
+        SELECT bigram, exact_count, min(cnt) AS cms_estimate,
+               min(cnt) - exact_count AS overestimate
+        FROM cand JOIN counters USING (r, c)
+        GROUP BY bigram, exact_count
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the bigram stream, audited against exact.
+
+    Build: every bigram occurrence increments d=4 counters at
+    column h_r(bigram) mod w=256 — expressed as explode(4 structs) +
+    groupBy(r, c), which Catalyst partial-aggregates map-side down to
+    the fixed 4x256 grid before the only shuffle. Query: the top-20
+    exact heavy hitters look up min over their 4 counters (broadcast
+    hash join against the 1024-row grid); `overestimate` is the CMS
+    collision error, >= 0 by construction (one-sided error is the CMS
+    guarantee: est >= exact always, est <= exact + eps*N w.h.p.).
+
+    At 100 TB the exact side of this audit is replaced by the sketch
+    alone: update cost stays one scan into a w-wide grid whose size
+    you pick for the eps you want — independent of corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat(
+            F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+        ),
+    )
+    bg = (
+        d.select(tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+    )
+
+    def _rc(key: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (_h60(F.concat(F.lit(f"{r}:"), key)) % _CMS_W).alias("c"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+
+    counters = (
+        bg.select(F.explode(_rc(F.col("bigram"))).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hh = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("bigram"))
+        .limit(20)
+    )
+    cand = hh.select(
+        "bigram", "exact_count", F.explode(_rc(F.col("bigram"))).alias("rc")
+    ).select("bigram", "exact_count", "rc.r", "rc.c")
+    return (
+        cand.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("bigram", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "bigram",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+_KMV_K = 64
+# 2^60 as an exact double literal — hash values are uniform in
+# [0, 2^60), so DV ~= (k-1) * 2^60 / kth_smallest_hash.
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "kmv_source_overlap",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3),
+        h AS (SELECT source, s, {_h60_sql("s")} AS h FROM sh),
+        rk AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h, s) AS rn
+            FROM h),
+        sk AS (
+            SELECT source, list_sort(list(h)) AS sk
+            FROM rk WHERE rn <= {_KMV_K} GROUP BY source),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   a.sk AS ska, b.sk AS skb,
+                   list_sort(list_distinct(list_concat(a.sk, b.sk))) AS merged
+            FROM sk a JOIN sk b ON a.source < b.source),
+        est AS (
+            SELECT src_a, src_b,
+                   len(ska) AS n_a, len(skb) AS n_b,
+                   least({_KMV_K}, len(merged)) AS k_eff,
+                   len(list_filter(
+                       list_slice(merged, 1, least({_KMV_K}, len(merged))),
+                       x -> list_contains(ska, x) AND list_contains(skb, x)))
+                       AS n_inter,
+                   merged[least({_KMV_K}, len(merged))] AS kth
+            FROM pairs)
+        SELECT src_a, src_b, n_a, n_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / k_eff, 4) AS jaccard_est,
+               round((k_eff - 1) * {_TWO60!r} / kth, 1) AS union_dv_est
+        FROM est
+    """,
+)
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap from KMV (bottom-k) shingle sketches.
+
+    Per source: the k=64 smallest portable-60-bit hashes of its
+    distinct 3-token shingles. The classic KMV identities then give,
+    per source pair, from the sketches ALONE: union distinct-value
+    estimate DV ~= (k-1) * 2^60 / kth_smallest(union), and Jaccard
+    ~= |bottom-k(union) ∩ A ∩ B| / k (Beyer et al., SIGMOD'07;
+    Broder's minwise estimator). `source_overlap_matrix` answers the
+    same question exactly by moving every shingle; this answers it
+    from 20 sketches of 64 longs.
+
+    Scale: the only corpus-sized stages are the distinct (source,
+    shingle-hash) shuffle and a per-source bottom-k rank — text never
+    moves, and the rank input is already distinct hashes. The
+    pairwise stage touches S*k longs (S sources), array-combined
+    without re-shuffling; at 1000 sources that is 64k values.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        )
+    )
+    sh = (
+        d.select("source", tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    rk = sh.select("source", "s", _h60(F.col("s")).alias("h")).select(
+        "source",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "s"))
+        .alias("rn"),
+    )
+    sk = (
+        rk.filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.sk").alias("ska"),
+        F.col("b.sk").alias("skb"),
+        F.array_sort(F.array_union(F.col("a.sk"), F.col("b.sk"))).alias("merged"),
+    )
+    k_eff = F.least(F.lit(_KMV_K), F.size("merged"))
+    bottom = F.slice(F.col("merged"), 1, k_eff)
+    n_inter = F.size(
+        F.filter(
+            bottom,
+            lambda x: F.array_contains(F.col("ska"), x)
+            & F.array_contains(F.col("skb"), x),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.size("ska").alias("n_a"),
+        F.size("skb").alias("n_b"),
+        n_inter.alias("n_inter"),
+        F.round(n_inter.cast("double") / k_eff, 4).alias("jaccard_est"),
+        F.round(
+            (k_eff - 1).cast("double")
+            * F.lit(_TWO60)
+            / F.element_at(F.col("merged"), k_eff),
+            1,
+        ).alias("union_dv_est"),
+    )

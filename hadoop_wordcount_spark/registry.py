@@ -52,6 +52,13 @@ _PRIORITY: list[str] = [
     # window/lag, multimodal, scalar/JSON). The 19 remaining new ops
     # (mostly TPC-H shapes with strong local parity evidence) and the
     # remaining stale block follow, rolling into round 6's budget.
+    # Round-5 continuation batch 6 (newest — no driver row yet):
+    "heavy_hitters_cms",
+    "kmv_source_overlap",
+    "dpp_partition_pruned_join",
+    "weighted_sample_bernoulli",
+    "incremental_agg_maintenance",
+    "redact_digit_runs",
     "bpe_encode_stats",
     "shuffle_hash_join",
     "contrastive_hard_negatives",
@@ -168,6 +175,7 @@ def load_all() -> None:
         sampling,
         similarity,
         sinks,
+        sketches,
         text_analysis,
         wordcount,
     )

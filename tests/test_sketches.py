@@ -1,0 +1,100 @@
+"""Sketch quality bounds + plan pins for the sketch/layout operators
+(heavy_hitters_cms, kmv_source_overlap, weighted_sample_bernoulli,
+dpp_partition_pruned_join)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hadoop_wordcount_spark import registry
+from hadoop_wordcount_spark.operators.wordcount import tokens_col
+from hadoop_wordcount_spark.plans.inspect import formatted_plan
+from hadoop_wordcount_spark.sources.tables import load_table
+
+registry.load_all()
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """Count-Min's defining guarantee: estimate >= exact, always."""
+    rows = registry.QUERIES["heavy_hitters_cms"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, r
+        assert r.overestimate == r.cms_estimate - r.exact_count
+
+
+def test_cms_counter_lookup_broadcasts(spark, sf_dir):
+    """The 4x256 counter grid must join as the broadcast side."""
+    plan = formatted_plan(registry.QUERIES["heavy_hitters_cms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def _exact_shingle_sets(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        )
+    )
+    rows = (
+        d.select("source", tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in rows:
+        sets.setdefault(r.source, set()).add(r.s)
+    return sets
+
+def test_kmv_estimates_track_exact(spark, sf_dir):
+    """KMV Jaccard estimate within the minwise-estimator error band of
+    the exact per-pair Jaccard, and the union-DV estimate within a
+    2x band of the exact distinct-shingle union (k=64 => ~12.5%
+    relative sd; the bands are several sigmas wide)."""
+    sets = _exact_shingle_sets(spark, sf_dir)
+    est = {
+        (r.src_a, r.src_b): r
+        for r in registry.QUERIES["kmv_source_overlap"](spark, sf_dir).collect()
+    }
+    assert est, "no source pairs"
+    for (a, b), r in est.items():
+        sa, sb = sets[a], sets[b]
+        exact_j = len(sa & sb) / len(sa | sb)
+        assert 0.0 <= r.jaccard_est <= 1.0
+        # 5 sigma of sqrt(J(1-J)/k) capped below by a floor of 0.15
+        tol = max(0.15, 5 * math.sqrt(max(exact_j * (1 - exact_j), 0.01) / 64))
+        assert abs(r.jaccard_est - exact_j) <= tol, (a, b, r.jaccard_est, exact_j)
+        exact_u = len(sa | sb)
+        assert 0.4 * exact_u <= r.union_dv_est <= 2.5 * exact_u, (
+            a, b, r.union_dv_est, exact_u,
+        )
+
+
+def test_weighted_sample_realized_tracks_expected(spark, sf_dir):
+    """Corpus-wide realized sample count lands inside a generous
+    binomial band around the analytic expectation."""
+    rows = registry.QUERIES["weighted_sample_bernoulli"](spark, sf_dir).collect()
+    n_sampled = sum(r.n_sampled for r in rows)
+    expected = sum(r.expected_sampled for r in rows)
+    assert expected > 0
+    sd = math.sqrt(expected)  # binomial sd upper bound for small p
+    assert abs(n_sampled - expected) <= 6 * sd + 3, (n_sampled, expected)
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The month-partitioned fact scan must carry a dynamicpruning
+    partition filter — the runtime-pruned plan, not a full scan."""
+    df = registry.QUERIES["dpp_partition_pruned_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan, plan
