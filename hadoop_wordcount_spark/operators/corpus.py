@@ -524,3 +524,106 @@ def q_context_length_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("truncation_loss"),
     )
+
+
+@query(
+    "curriculum_shards",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, n_chars,
+                   round(ln(1 + len(list_filter(string_split(text, ' '),
+                                                w -> w <> '')))
+                         * (len(list_distinct(list_filter(
+                                string_split(text, ' '), w -> w <> ''))) * 1.0
+                            / greatest(len(list_filter(string_split(text, ' '),
+                                                       w -> w <> '')), 1)),
+                         4) AS score
+            FROM documents),
+        ph AS (
+            SELECT doc_id, n_chars, score,
+                   ntile(10) OVER (ORDER BY score DESC, doc_id) AS phase,
+                   (list_reduce(list_transform(
+                        string_split_regex(
+                            substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 15),
+                            ''),
+                        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                        (a, d) -> a * 16 + d) % 8) AS shard
+            FROM q),
+        ps AS (
+            SELECT phase, shard, count(*) AS n
+            FROM ph GROUP BY phase, shard)
+        SELECT ph.phase,
+               count(*) AS n_docs,
+               round(avg(score), 4) AS avg_score,
+               round(min(score), 4) AS min_score,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               (SELECT max(n) - min(n) FROM ps WHERE ps.phase = ph.phase)
+                   AS shard_skew
+        FROM ph GROUP BY ph.phase
+    """,
+)
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phases + deterministic shard assignment, audited.
+
+    Training curricula feed highest-quality data in late phases (or
+    early — the ORDER is the product): documents rank by the
+    `quality_score` formula, ntile(10) cuts ten equal phases over the
+    deterministic total order (score DESC, doc_id tiebreak — ntile's
+    remainder rule agrees across engines only under a total order),
+    and each doc lands in shard = md5-fold(doc_id) mod 8 — the same
+    pure-integer membership as `weighted_sample_bernoulli`, so the
+    phase x shard layout is reproducible on any cluster. Per phase:
+    size, score range, char budget, and shard skew (max-min shard
+    population — the straggler predictor for the training loader).
+
+    Scale: one global sort for ntile (rows carry 3 columns, not
+    text), one (phase, shard) agg; at 100 TB you'd range-partition the
+    sort exactly as Spark's exchange already does — no driver state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    score = F.round(
+        F.log(1 + n_tok) * (n_dis / F.greatest(n_tok, F.lit(1))), 4
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    ph = d.select(
+        "doc_id",
+        "n_chars",
+        score.alias("score"),
+        shard.alias("shard"),
+    ).select(
+        "*",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("phase"),
+    )
+    ps = ph.groupBy("phase", "shard").agg(F.count(F.lit(1)).alias("n"))
+    skew = ps.groupBy("phase").agg(
+        (F.max("n") - F.min("n")).alias("shard_skew")
+    )
+    return (
+        ph.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .join(F.broadcast(skew), "phase")
+        .select(
+            "phase", "n_docs", "avg_score", "min_score", "n_chars", "shard_skew"
+        )
+    )

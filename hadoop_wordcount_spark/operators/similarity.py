@@ -862,3 +862,95 @@ def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d2"),
         F.round(F.sqrt(F.sum(F.col("ov") * F.col("ov"))), 4).alias("out_norm"),
     )
+
+
+def _cluster_topic_oracle() -> str:
+    ctes, _ = _ivf_assign_ctes()
+    return f"""
+        WITH {ctes},
+        tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              w -> w <> '')) AS word
+            FROM documents),
+        cw AS (
+            SELECT a.cid, t.word, count(*) AS c_cw
+            FROM tok t JOIN a{IVF_ITERS} a ON t.doc_id = a.vec_id
+            GROUP BY a.cid, t.word),
+        nc AS (SELECT cid, CAST(sum(c_cw) AS BIGINT) AS n_c FROM cw GROUP BY cid),
+        gw AS (SELECT word, CAST(sum(c_cw) AS BIGINT) AS c_w FROM cw GROUP BY word),
+        tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM gw),
+        scored AS (
+            SELECT cw.cid, cw.word, cw.c_cw,
+                   round(ln(CAST(cw.c_cw * n_tot AS DOUBLE)
+                            / (n_c * c_w)), 4) AS log_lift
+            FROM cw JOIN nc USING (cid) JOIN gw USING (word) CROSS JOIN tot
+            WHERE cw.c_cw >= 5)
+        SELECT cid, word, c_cw, log_lift, rank FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY log_lift DESC, word) AS rank
+            FROM scored) WHERE rank <= 5
+    """
+
+
+@query("cluster_topic_terms", oracle=_cluster_topic_oracle())
+def q_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label embedding clusters with their characteristic TOKENS — the
+    cross-modal join (embeddings' IVF cells x documents' text) that
+    turns anonymous k-means cells into a human-readable topic report.
+
+    Score is log-lift: ln(P(word|cell) / P(word)), computed as ONE
+    log over a single division of integer products (the
+    `collocations_pmi` numerics discipline), so both engines see
+    bit-identical doubles. Top-5 terms per cell by (lift, word) with
+    a support floor of 5.
+
+    Plan: token stream joins the memoized IVF inverted file on the
+    shared id (one shuffle each side), then groupBy(cid, word); the
+    cell-size (K rows) and global-word (vocab rows) marginals attach
+    back by broadcast. At 100 TB: the only corpus-sized exchanges are
+    the id join and the (cid, word) aggregation — both map-side
+    combined; no stage is pairwise in documents or vectors.
+
+    Reference: WordCount.java:30-42 counts tokens globally; this is
+    the same aggregation conditioned on a learned partition of a
+    SECOND modality — pure extension surface.
+    """
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+    from pyspark.sql.window import Window
+
+    inv, _cent = ivf_assignments(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("word"))
+    cw = (
+        tok.join(inv, tok.doc_id == inv.vec_id)
+        .groupBy("cid", "word")
+        .agg(F.count(F.lit(1)).alias("c_cw"))
+    )
+    nc = cw.groupBy("cid").agg(F.sum("c_cw").cast("long").alias("n_c"))
+    gw = cw.groupBy("word").agg(F.sum("c_cw").cast("long").alias("c_w"))
+    tot = gw.agg(F.sum("c_w").cast("long").alias("n_tot"))
+    scored = (
+        cw.filter(F.col("c_cw") >= 5)
+        .join(F.broadcast(nc), "cid")
+        .join(F.broadcast(gw), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "word",
+            "c_cw",
+            F.round(
+                F.log(
+                    (F.col("c_cw") * F.col("n_tot")).cast("double")
+                    / (F.col("n_c") * F.col("c_w"))
+                ),
+                4,
+            ).alias("log_lift"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("log_lift"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("cid", "word", "c_cw", "log_lift", "rank")
+    )

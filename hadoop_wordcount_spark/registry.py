@@ -53,6 +53,8 @@ _PRIORITY: list[str] = [
     # (mostly TPC-H shapes with strong local parity evidence) and the
     # remaining stale block follow, rolling into round 6's budget.
     # Round-5 continuation batch 6 (newest — no driver row yet):
+    "cluster_topic_terms",
+    "curriculum_shards",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

@@ -98,3 +98,25 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     df = registry.QUERIES["dpp_partition_pruned_join"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "dynamicpruning" in plan, plan
+
+
+def test_cluster_topic_terms_plan(spark, sf_dir):
+    """Marginals must attach by broadcast; the only corpus-sized
+    exchanges are the id join and the (cid, word) agg — and the
+    crossJoin is against a broadcast single-row total, never a
+    CartesianProduct."""
+    df = registry.QUERIES["cluster_topic_terms"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_phases_are_balanced(spark, sf_dir):
+    """ntile(10) must cut near-equal phases; every phase reports a
+    non-negative shard skew bounded by its population."""
+    rows = registry.QUERIES["curriculum_shards"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r.shard_skew <= r.n_docs

@@ -102,6 +102,13 @@ ALL_OPS = [
     # linear token stream; audio is a shuffle-free payload scan.
     "bpe_merges_train", "source_token_mi", "kl_divergence_sources",
     "audio_frame_energy", "contrastive_hard_negatives",
+    # sketch/layout batch (expected ~1: CMS aggregates into a FIXED
+    # 4x256 grid; KMV's distinct-shingle shuffle is the linear term
+    # with per-source bottom-k on top; abtt/bpe_encode are
+    # moment-matrix / vocab-bounded; redact + bernoulli are pure
+    # scans with tiny group-bys)
+    "heavy_hitters_cms", "kmv_source_overlap", "embedding_abtt",
+    "bpe_encode_stats", "redact_digit_runs", "weighted_sample_bernoulli",
 ]
 
 
