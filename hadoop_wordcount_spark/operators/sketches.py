@@ -295,3 +295,147 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("union_dv_est"),
     )
+
+
+@query(
+    "kmv_distinct_per_source",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3),
+        h AS (SELECT source, s, {_h60_sql("s")} AS h FROM sh),
+        rk AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h, s) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n_exact
+            FROM h)
+        SELECT source, CAST(max(n_exact) AS BIGINT) AS n_exact,
+               CASE WHEN max(n_exact) < {_KMV_K} THEN CAST(max(n_exact) AS DOUBLE)
+                    ELSE round(({_KMV_K} - 1) * {_TWO60!r}
+                               / max(CASE WHEN rn = {_KMV_K} THEN h END), 1)
+               END AS kmv_est,
+               CASE WHEN max(n_exact) < {_KMV_K} THEN 0.0
+                    ELSE round(abs(({_KMV_K} - 1) * {_TWO60!r}
+                                   / max(CASE WHEN rn = {_KMV_K} THEN h END)
+                                   - max(n_exact)) / max(n_exact), 4)
+               END AS rel_err
+        FROM rk GROUP BY source
+    """,
+)
+def q_kmv_distinct_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality: KMV estimate vs exact.
+
+    The oracle-checkable twin of the seeded `approx_distinct_words`
+    sketch: distinct-value estimate DV ~= (k-1) * 2^60 / kth_smallest
+    from the same portable bottom-k=64 sketch `kmv_source_overlap`
+    builds — plus the exact count and the realized relative error, so
+    the output IS the sketch's accuracy audit (expected rel. sd
+    ~1/sqrt(k-1) ~ 12.6%). Sources with fewer than k distinct
+    shingles report exactly (the sketch holds the whole set).
+
+    Scale: identical to `kmv_source_overlap`'s build — one distinct
+    (source, hash) shuffle + per-source bottom-k; the exact column is
+    the audit at test scale, the estimator is what ships at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        )
+    )
+    sh = (
+        d.select("source", tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    w = Window.partitionBy("source")
+    rk = sh.select("source", "s", _h60(F.col("s")).alias("h")).select(
+        "source",
+        "h",
+        F.row_number().over(w.orderBy("h", "s")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_exact"),
+    )
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    n_exact = F.max("n_exact").cast("long")
+    est = F.when(n_exact < _KMV_K, n_exact.cast("double")).otherwise(
+        F.round(F.lit(float(_KMV_K - 1)) * F.lit(_TWO60) / kth, 1)
+    )
+    rel = F.when(n_exact < _KMV_K, F.lit(0.0)).otherwise(
+        F.round(
+            F.abs(F.lit(float(_KMV_K - 1)) * F.lit(_TWO60) / kth - n_exact)
+            / n_exact,
+            4,
+        )
+    )
+    return rk.groupBy("source").agg(
+        n_exact.alias("n_exact"), est.alias("kmv_est"), rel.alias("rel_err")
+    )
+
+
+@query(
+    "skew_key_report",
+    oracle="""
+        WITH ok AS (
+            SELECT l_orderkey AS key, count(*) AS mult FROM lineitem
+            GROUP BY l_orderkey),
+        uk AS (
+            SELECT user_id AS key, count(*) AS mult FROM events
+            GROUP BY user_id),
+        spec AS (
+            SELECT 'lineitem.l_orderkey' AS join_key, mult,
+                   count(*) AS n_keys FROM ok GROUP BY mult
+            UNION ALL
+            SELECT 'events.user_id' AS join_key, mult,
+                   count(*) AS n_keys FROM uk GROUP BY mult)
+        SELECT join_key, mult AS multiplicity, n_keys,
+               CAST(mult * n_keys AS BIGINT) AS n_rows
+        FROM spec
+    """,
+)
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key multiplicity spectrum — the pre-join skew diagnosis.
+
+    For each candidate join key, the frequency-of-frequencies of its
+    per-key row counts (`token_frequency_spectrum`'s shape applied to
+    JOIN KEYS): a heavy tail here is the early warning that a plain
+    hash join will hot-spot one reducer, i.e. the signal that routes
+    a key to `skew_salted_join`'s salting or AQE's skew-join split.
+
+    Scale: two cascaded map-side-combining aggregations per key (the
+    second one's keyspace is distinct multiplicities — tiny); nothing
+    ever shuffles more than once, and the report size is bounded by
+    the multiplicity range, not the key count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def spectrum(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).alias("mult")
+        )
+        return per_key.groupBy("mult").agg(
+            F.count(F.lit(1)).alias("n_keys")
+        ).select(
+            F.lit(label).alias("join_key"),
+            F.col("mult").alias("multiplicity"),
+            "n_keys",
+            (F.col("mult") * F.col("n_keys")).cast("long").alias("n_rows"),
+        )
+
+    return spectrum(li, "l_orderkey", "lineitem.l_orderkey").unionByName(
+        spectrum(ev, "user_id", "events.user_id")
+    )

@@ -55,6 +55,8 @@ _PRIORITY: list[str] = [
     # Round-5 continuation batch 6 (newest — no driver row yet):
     "cluster_topic_terms",
     "curriculum_shards",
+    "kmv_distinct_per_source",
+    "skew_key_report",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

@@ -120,3 +120,16 @@ def test_curriculum_phases_are_balanced(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     for r in rows:
         assert 0 <= r.shard_skew <= r.n_docs
+
+
+def test_kmv_distinct_error_bounded(spark, sf_dir):
+    """Estimator within 4 sigma (~50%) of exact for sketch-sized
+    sources, exact below k."""
+    rows = registry.QUERIES["kmv_distinct_per_source"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < 64:
+            assert r.kmv_est == float(r.n_exact)
+            assert r.rel_err == 0.0
+        else:
+            assert r.rel_err <= 0.5, (r.source, r.n_exact, r.kmv_est)
