@@ -109,6 +109,11 @@ ALL_OPS = [
     # scans with tiny group-bys)
     "heavy_hitters_cms", "kmv_source_overlap", "embedding_abtt",
     "bpe_encode_stats", "redact_digit_runs", "weighted_sample_bernoulli",
+    # cross-modal / audit batch (expected ~1: topic terms = id join +
+    # vocab-bounded agg over the sqrt-n-K quantizer; the rest are
+    # one-or-two cascaded aggs)
+    "cluster_topic_terms", "kmv_distinct_per_source", "skew_key_report",
+    "curriculum_shards",
 ]
 
 
