@@ -3394,3 +3394,115 @@ def q_redact_digit_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("props", "[0-9]+", "#")
         ).alias("n_distinct_masked"),
     )
+
+
+# CDC / dimension-history family: the change stream is events
+# re-read as a changelog on user_id — signup opens, click/view
+# update, error tombstones. ts (+ event_id tiebreak) is the total
+# change order both engines replay identically.
+_CDC_OP_SQL = """CASE event_type WHEN 'signup' THEN 'I'
+                      WHEN 'error' THEN 'D' ELSE 'U' END"""
+
+
+@query(
+    "cdc_apply_changes",
+    oracle=f"""
+        WITH ch AS (
+            SELECT user_id, ts, event_id, value,
+                   {_CDC_OP_SQL} AS op
+            FROM events),
+        last AS (
+            SELECT user_id, op, value, n_changes FROM (
+                SELECT user_id, op, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_changes
+                FROM ch) WHERE rn = 1)
+        SELECT user_id, round(value, 2) AS last_value,
+               CAST(n_changes AS BIGINT) AS n_changes
+        FROM last WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: latest-wins upsert with delete tombstones.
+
+    The MERGE-free way to materialize a snapshot from a change
+    stream: one window over (key ORDER BY change-order DESC) keeps
+    the newest change per key, and a trailing tombstone ('D') drops
+    the key entirely — exactly Delta/Iceberg's `apply_changes` /
+    CDF-merge semantics, expressed as rank-1 selection so it needs
+    one shuffle on the key, no join against the previous snapshot.
+
+    At 100 TB the nightly variant unions yesterday's snapshot
+    (version 0 changes) with today's delta before the same window —
+    cost tracks delta + keys, and AQE handles hot keys. The total
+    change order (ts, event_id) makes the result layout-independent.
+    """
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    w = W.partitionBy("user_id")
+    ch = e.select(
+        "user_id",
+        op.alias("op"),
+        "value",
+        F.row_number()
+        .over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_changes"),
+    )
+    return (
+        ch.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("last_value"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
+
+
+@query(
+    "scd2_dimension",
+    oracle="""
+        SELECT user_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS version,
+               round(value, 2) AS value,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               (lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                   AS is_current
+        FROM events
+    """,
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 build from the change stream.
+
+    Every change opens a dimension version valid [ts, next-change-ts)
+    — valid_to comes from LEAD over the per-key change order, the
+    open (current) version has valid_to NULL. This is the standard
+    warehouse history table built in ONE window pass: no self-join,
+    no driver loop, one shuffle on the dimension key; point-in-time
+    lookups then join on `valid_from <= t < valid_to` (the range-join
+    pattern `range_join_lineitem` already pins).
+    """
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.round("value", 2).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

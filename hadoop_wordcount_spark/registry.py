@@ -57,6 +57,8 @@ _PRIORITY: list[str] = [
     "curriculum_shards",
     "kmv_distinct_per_source",
     "skew_key_report",
+    "cdc_apply_changes",
+    "scd2_dimension",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

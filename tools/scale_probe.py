@@ -111,9 +111,9 @@ ALL_OPS = [
     "bpe_encode_stats", "redact_digit_runs", "weighted_sample_bernoulli",
     # cross-modal / audit batch (expected ~1: topic terms = id join +
     # vocab-bounded agg over the sqrt-n-K quantizer; the rest are
-    # one-or-two cascaded aggs)
-    "cluster_topic_terms", "kmv_distinct_per_source", "skew_key_report",
-    "curriculum_shards",
+    # one-or-two cascaded aggs). skew_key_report reads lineitem,
+    # which the replicator doesn't cover — not probed.
+    "cluster_topic_terms", "kmv_distinct_per_source", "curriculum_shards",
 ]
 
 
