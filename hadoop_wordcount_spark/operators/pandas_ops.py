@@ -194,3 +194,71 @@ def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.sentence "
         "FROM udtf_docs_in d, LATERAL split_sentences(d.text) s"
     )
+
+
+@query(
+    "cogroup_merge_asof",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+            FROM events WHERE event_type = 'purchase'),
+        c AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS us
+            FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               CAST(COALESCE((p.us - max(c.us)) // 1000000, -1) AS BIGINT)
+                   AS gap_s
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+        GROUP BY p.event_id, p.user_id, p.us
+    """,
+)
+def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — per-user merge_asof of two streams.
+
+    The third grouped-Python extension point (after grouped
+    applyInPandas and applyInPandasWithState): TWO DataFrames
+    co-shuffled on the key arrive as a pandas pair per group, here
+    purchases x clicks per user, answered with `pd.merge_asof`
+    (backward, exact-match allowed) — "seconds since the last click"
+    attribution for every purchase, -1 when no click precedes it.
+    The SQL oracle is the correlated max-<= aggregation; the
+    cogroup form exists because real attribution kernels (sessioned
+    lookback windows, multi-column nearest matches) outgrow SQL fast
+    while staying two sorted per-user arrays in pandas.
+
+    Scale: both sides shuffle ONCE on user_id (co-partitioned, no
+    join product); the kernel is O(n log n) in the per-user slice via
+    the int64 microsecond key — timestamps never round-trip through
+    Python datetimes (`lag_event_gap`'s exactness discipline).
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("ts_ns div 1000")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "us")
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "gap_s"])
+        left = left.sort_values("us")
+        if right.empty:
+            left["gap_s"] = -1
+            return left[["event_id", "user_id", "gap_s"]]
+        m = pd.merge_asof(
+            left,
+            right.sort_values("us").rename(columns={"us": "click_us"}),
+            left_on="us",
+            right_on="click_us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        gap = (m["us"] - m["click_us"]) // 1_000_000
+        m["gap_s"] = gap.fillna(-1).astype("int64")
+        return m[["event_id", "user_id", "gap_s"]]
+
+    return purchases.groupBy("user_id").cogroup(
+        clicks.groupBy("user_id")
+    ).applyInPandas(asof, schema="event_id long, user_id long, gap_s long")

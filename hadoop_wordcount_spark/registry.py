@@ -59,6 +59,8 @@ _PRIORITY: list[str] = [
     "skew_key_report",
     "cdc_apply_changes",
     "scd2_dimension",
+    "cogroup_merge_asof",
+    "python_datasource_sink",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

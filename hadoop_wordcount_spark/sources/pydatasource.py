@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from hadoop_wordcount_spark.registry import query
 
@@ -254,3 +260,122 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# --- Spark 4 Python DataSource WRITER ('jsonldir' format) -----------------
+#
+# The write-side twin of the reader above: a custom batch sink that
+# lands one JSON-lines file per task under options['path'], with the
+# full two-phase commit protocol — tasks write side files and return
+# WriterCommitMessages; the driver's commit() publishes them by
+# atomic rename (abort() removes the side files). That is exactly the
+# job-commit discipline a real external sink (object store, queue,
+# bespoke format) needs to stay exactly-once under task retries.
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, final_path: str):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        uid = uuid.uuid4().hex
+        tmp = os.path.join(self.path, f"_tmp-{uid}.jsonl")
+        final = os.path.join(self.path, f"part-{pid:05d}-{uid}.jsonl")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _JsonlCommit(tmp, final)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlDirSink(DataSource):
+    """format name 'jsonldir'; option: path (target directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)
+
+
+def _ensure_sink_registered(spark: SparkSession) -> None:
+    key = ("sink", spark.sparkContext.applicationId)
+    if key not in _registered:
+        spark.dataSource.register(JsonlDirSink)
+        _registered.add(key)
+
+
+@query(
+    "python_datasource_sink",
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def q_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents through the custom Python DataSource WRITER
+    ('jsonldir'), read the landed JSON-lines back, and aggregate —
+    the round trip proves schema, task parallelism, and the
+    two-phase commit (side file + driver rename) all flow through
+    the Spark 4 Python write path. The oracle aggregates the source
+    table directly: sink + read-back must be lossless.
+
+    Scale honesty: rows cross the Python boundary per the API's
+    contract — this is for systems WITHOUT a JVM connector; parquet
+    sinks stay on the `operators/sinks.py` JVM path. Each task
+    streams its partition to one file: no driver collect, no
+    cross-task coordination until the rename-only commit."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    _ensure_sink_registered(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks", sf_dir.strip("/").replace("/", "_"),
+        "pyds_jsonl",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    d.write.format("jsonldir").option("path", path).mode("append").save()
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        os.path.join(path, "*.jsonl")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
