@@ -84,6 +84,24 @@ HEADLINE = [
      "conditional partial agg"),
     ("audio_frame_energy", "audio RMS: numpy-vectorized mapInPandas over "
      "Arrow batches, shuffle-free, one output row per payload"),
+    ("heavy_hitters_cms", "Count-Min sketch: explode(4 structs) partial-aggs "
+     "map-side into the FIXED 4x256 grid; heavy hitters look up min over "
+     "a broadcast of the 1024-row counter table"),
+    ("kmv_source_overlap", "KMV bottom-k sketches: distinct (source, hash) "
+     "shuffle + per-source rank; the pairwise stage combines 64-long "
+     "arrays — shingle text never moves"),
+    ("cluster_topic_terms", "cross-modal cluster labeling: token stream "
+     "joins the IVF inverted file on the shared id, (cid, word) agg, "
+     "marginals attach by broadcast"),
+    ("dpp_partition_pruned_join", "Dynamic Partition Pruning: the "
+     "month-partitioned fact scan carries a dynamicpruning subquery — "
+     "only the dimension-selected directories are read"),
+    ("cdc_apply_changes", "CDC apply: rank-1 window on the (ts, event_id) "
+     "change order — one key shuffle, no snapshot join, tombstones drop "
+     "keys in the same pass"),
+    ("cogroup_merge_asof", "cogrouped applyInPandas: both streams co-"
+     "shuffled once on user_id, FlatMapCoGroupsInPandas runs the "
+     "per-user merge_asof kernel over Arrow"),
 ]
 
 
