@@ -3506,3 +3506,108 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "expectations_report",
+    oracle="""
+        SELECT 'orders.custkey_refs_customer' AS check_name,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_violations
+        UNION ALL
+        SELECT 'documents.doc_id_unique',
+               (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                FROM documents)
+        UNION ALL
+        SELECT 'events.value_non_negative',
+               (SELECT count(*) FROM events
+                WHERE value IS NULL OR value < 0)
+        UNION ALL
+        SELECT 'events.event_type_in_enum',
+               (SELECT count(*) FROM events
+                WHERE event_type NOT IN
+                      ('signup', 'click', 'view', 'purchase', 'error'))
+        UNION ALL
+        SELECT 'documents.n_chars_matches_text',
+               (SELECT count(*) FROM documents
+                WHERE n_chars <> length(text))
+        UNION ALL
+        SELECT 'lineitem.discount_in_range',
+               (SELECT count(*) FROM lineitem
+                WHERE l_discount < 0 OR l_discount > 0.5)
+    """,
+)
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations: constraint checks as ONE report.
+
+    The validation gate a pipeline runs before publishing a table —
+    referential integrity (orders→customer via LEFT ANTI join, the
+    never-broadcast-the-fact shape), key uniqueness, range, enum
+    membership, and a derived-column consistency check — each
+    reduced to a violation COUNT so the whole suite is a union of
+    scalar aggregates. This is the declarative core of
+    expectation frameworks (Delta Live Tables expectations, Great
+    Expectations) expressed as plain DataFrame ops.
+
+    Scale: each check is one scan + map-side-combined count (the
+    anti-join broadcasts the DIM key set); checks share nothing, so
+    the scheduler runs them as independent stages — and a failed
+    expectation costs a count, not a materialized quarantine copy.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def check(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    ref = check(
+        "orders.custkey_refs_customer",
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    uniq = check(
+        "documents.doc_id_unique",
+        d.agg(
+            (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("n")
+        ),
+    )
+    rng = check(
+        "events.value_non_negative",
+        e.filter(F.col("value").isNull() | (F.col("value") < 0)).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    enum = check(
+        "events.event_type_in_enum",
+        e.filter(
+            ~F.col("event_type").isin(
+                "signup", "click", "view", "purchase", "error"
+            )
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    cons = check(
+        "documents.n_chars_matches_text",
+        d.filter(F.col("n_chars") != F.length("text")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    disc = check(
+        "lineitem.discount_in_range",
+        li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return ref.unionByName(uniq).unionByName(rng).unionByName(enum).unionByName(
+        cons
+    ).unionByName(disc)

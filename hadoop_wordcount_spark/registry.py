@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "scd2_dimension",
     "cogroup_merge_asof",
     "python_datasource_sink",
+    "expectations_report",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
