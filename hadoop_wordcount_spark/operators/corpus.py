@@ -627,3 +627,156 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase", "n_docs", "avg_score", "min_score", "n_chars", "shard_skew"
         )
     )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_QVEC = 0  # query embedding = vec_id 0 (aligned with doc_id 0)
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        tok AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM tok
+            WHERE word IN ('{_TERMS_SQL}') GROUP BY doc_id, word),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        bm AS (
+            SELECT tf.doc_id,
+                   round(sum(ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                                    / (dfreq.df + 0.5))
+                             * tf.tf * {_K1 + 1}
+                             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                                 / stats.avgdl))), 4) AS s
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN dfreq ON tf.word = dfreq.word
+            CROSS JOIN stats
+            GROUP BY tf.doc_id),
+        lex AS (
+            SELECT doc_id, rank_lex FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id) AS rank_lex
+                FROM bm) WHERE rank_lex <= {_RRF_DEPTH}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+        cs AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_dot_product(e.embedding, q.qv)
+                         / (sqrt(list_dot_product(e.embedding, e.embedding))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS s
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_RRF_QVEC}),
+        sem AS (
+            SELECT doc_id, rank_sem FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id) AS rank_sem
+                FROM cs) WHERE rank_sem <= {_RRF_DEPTH}),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                   lex.rank_lex, sem.rank_sem,
+                   round(COALESCE(1.0 / ({_RRF_K} + lex.rank_lex), 0)
+                         + COALESCE(1.0 / ({_RRF_K} + sem.rank_sem), 0), 6)
+                       AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        SELECT doc_id, rank_lex, rank_sem, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 + embedding ranks fused with RRF.
+
+    The modern RAG retrieval stack in one plan: the lexical ranker
+    (Okapi BM25 over the fixed query terms, `bm25_topk`'s scorer) and
+    the semantic ranker (cosine vs the query embedding, vec_id 0)
+    each produce a depth-20 ranked list, then Reciprocal Rank Fusion
+    (Cormack et al., SIGIR'09: score = sum 1/(60 + rank)) merges them
+    — rank-based, so the two scorers' incomparable scales never mix.
+    Both ranked lists cut on pre-rounded scores with doc_id
+    tiebreaks, so the fusion input is engine-stable.
+
+    Scale: each ranker is its own bounded pipeline (term-filtered
+    postings for BM25, per-partition k-heap for cosine — swap in
+    `ann_ivf_search`'s cell pruning at real scale); the fusion joins
+    two DEPTH-row lists — trivially broadcast, cost independent of
+    corpus size.
+    """
+    from hadoop_wordcount_spark.functions.vectors import cosine
+
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tok = docs.select("doc_id", F.explode("toks").alias("word")).filter(
+        F.col("word").isin(list(_BM25_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("s"))
+    )
+    lex = (
+        bm.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+            .alias("rank_lex"),
+        )
+        .filter(F.col("rank_lex") <= _RRF_DEPTH)
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qv")
+    )
+    cs = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("s"),
+        )
+    )
+    sem = (
+        cs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+            .alias("rank_sem"),
+        )
+        .filter(F.col("rank_sem") <= _RRF_DEPTH)
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rank_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "cogroup_merge_asof",
     "python_datasource_sink",
     "expectations_report",
+    "hybrid_retrieval_rrf",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
