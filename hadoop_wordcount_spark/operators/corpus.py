@@ -576,9 +576,11 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, score range, char budget, and shard skew (max-min shard
     population — the straggler predictor for the training loader).
 
-    Scale: one global sort for ntile (rows carry 3 columns, not
-    text), one (phase, shard) agg; at 100 TB you'd range-partition the
-    sort exactly as Spark's exchange already does — no driver state.
+    Scale: the ntile runs on the DISTRIBUTED global-rank recipe
+    (`operators/ranking.py`: range exchange + parallel local ranks +
+    broadcast offsets — never a single-partition window; the 1x-64x
+    probe caught the unpartitioned form at alpha ~1.5), then one
+    (phase, shard) agg; rows carry 4 small columns, never text.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -599,16 +601,18 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 8
     )
-    ph = d.select(
-        "doc_id",
-        "n_chars",
-        score.alias("score"),
-        shard.alias("shard"),
-    ).select(
-        "*",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("phase"),
+    from hadoop_wordcount_spark.operators.ranking import global_ntile
+
+    ph = global_ntile(
+        d.select(
+            "doc_id",
+            "n_chars",
+            score.alias("score"),
+            shard.alias("shard"),
+        ),
+        [F.desc("score"), F.asc("doc_id")],
+        10,
+        out="phase",
     )
     ps = ph.groupBy("phase", "shard").agg(F.count(F.lit(1)).alias("n"))
     skew = ps.groupBy("phase").agg(
@@ -735,14 +739,14 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 4).alias("s"))
     )
-    lex = (
-        bm.select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
-            .alias("rank_lex"),
-        )
-        .filter(F.col("rank_lex") <= _RRF_DEPTH)
+    # Cut each list with orderBy+limit (TakeOrderedAndProject — a
+    # distributed k-heap), THEN rank the DEPTH-row result with a tiny
+    # window: never an unpartitioned window over the corpus.
+    lex = bm.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("rank_lex"),
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -757,14 +761,11 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("s"),
         )
     )
-    sem = (
-        cs.select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
-            .alias("rank_sem"),
-        )
-        .filter(F.col("rank_sem") <= _RRF_DEPTH)
+    sem = cs.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("rank_sem"),
     )
     fused = (
         lex.join(sem, "doc_id", "full_outer")

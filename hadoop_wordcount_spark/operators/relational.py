@@ -2298,23 +2298,28 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return base.select(
+    # Three DISTRIBUTED ntiles (customer-dimension-sized input —
+    # ranking.py's range exchange + parallel local ranks, never a
+    # single-partition window).
+    from hadoop_wordcount_spark.operators.ranking import global_ntile
+
+    r = global_ntile(
+        base, [F.asc("recency_days"), F.asc("o_custkey")], 4, out="_r"
+    )
+    r = global_ntile(
+        r, [F.desc("frequency"), F.asc("o_custkey")], 4, out="_f"
+    )
+    r = global_ntile(
+        r, [F.desc("monetary"), F.asc("o_custkey")], 4, out="_m"
+    )
+    return r.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("m_score"),
+        F.col("_r").cast("long").alias("r_score"),
+        F.col("_f").cast("long").alias("f_score"),
+        F.col("_m").cast("long").alias("m_score"),
     )
 
 
@@ -2631,18 +2636,19 @@ def q_event_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    {_sum_money_sql("l_extendedprice * (1 - l_discount)")} AS val
             FROM lineitem GROUP BY l_partkey),
         tot AS (
-            SELECT round(sum(CAST(round(val * 100, 0) AS BIGINT)) / 100.0, 2) AS t
-            FROM pv),
+            SELECT sum(CAST(round(val * 100, 0) AS BIGINT)) AS t_c FROM pv),
         ranked AS (
             SELECT l_partkey, val,
-                   sum(val) OVER (ORDER BY val DESC, l_partkey
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS run
+                   CAST(round(val * 100, 0) AS BIGINT) AS val_c,
+                   sum(CAST(round(val * 100, 0) AS BIGINT))
+                       OVER (ORDER BY val DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run_c
             FROM pv),
         cls AS (
             SELECT l_partkey,
-                   CASE WHEN (run - val) / tot.t < 0.8 THEN 'A'
-                        WHEN (run - val) / tot.t < 0.95 THEN 'B'
+                   CASE WHEN (run_c - val_c) / tot.t_c < 0.8 THEN 'A'
+                        WHEN (run_c - val_c) / tot.t_c < 0.95 THEN 'B'
                         ELSE 'C' END AS abc_class,
                    val
             FROM ranked CROSS JOIN tot)
@@ -2663,26 +2669,23 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.
 
     Plan: one groupBy(partkey) in integer cents (the only
-    corpus-sized stage), then a part-level running window and a
-    3-row class aggregate; the global total attaches by broadcast.
-    The window sort runs on |parts| rows — dimension-sized, not
-    fact-sized."""
-    from pyspark.sql import Window
+    fact-sized stage), then the DISTRIBUTED running sum over parts
+    (`operators/ranking.py`'s range exchange + parallel local
+    cumsums + broadcast offsets — never a single-partition window;
+    and the running sum itself adds integer CENTS, so partial order
+    cannot drift an ulp) and a 3-row class aggregate; the global
+    total attaches by broadcast."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
 
     li = _t(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+    ).withColumn("val_c", F.round(F.col("val") * 100, 0).cast("long"))
+    tot = pv.agg(F.sum("val_c").alias("t_c"))
+    ranked = global_cumsum(
+        pv, [F.desc("val"), F.asc("l_partkey")], "val_c", out="run_c"
     )
-    tot = pv.agg(
-        F.round(
-            F.sum(F.round(F.col("val") * 100, 0).cast("long")) / 100.0, 2
-        ).alias("t")
-    )
-    w = Window.orderBy(F.desc("val"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = pv.select("l_partkey", "val", F.sum("val").over(w).alias("run"))
-    share_before = (F.col("run") - F.col("val")) / F.col("t")
+    share_before = (F.col("run_c") - F.col("val_c")) / F.col("t_c")
     cls = ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "val",

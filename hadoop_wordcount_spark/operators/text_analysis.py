@@ -1142,20 +1142,22 @@ def q_perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the bigram-LM scoring stages as documented on
     `bigram_logprob` (broadcast LM tables, one groupBy(doc_id)),
-    then a single global ntile sort of the doc-level table (tiny
-    next to the corpus; tie-safe via the doc_id tiebreak) and a
-    10-row aggregate. At 100 TB the ntile sort is the only added
-    stage and runs on |docs| rows, not tokens."""
+    then the DISTRIBUTED ntile over the doc-level table (tie-safe
+    via the doc_id tiebreak; `operators/ranking.py`'s range exchange
+    + parallel local ranks — never a single-partition window) and a
+    10-row aggregate. At 100 TB the rank stages run on |docs| rows,
+    not tokens, and every one of them is parallel."""
     from hadoop_wordcount_spark.operators.text_analysis import q_bigram_logprob
 
+    from hadoop_wordcount_spark.operators.ranking import global_ntile
+
     lp = q_bigram_logprob(spark, sf_dir)
-    bk = lp.select(
-        "avg_logprob",
-        F.ntile(10)
-        .over(Window.orderBy("avg_logprob", "doc_id"))
-        .cast("long")
-        .alias("bucket"),
-    )
+    bk = global_ntile(
+        lp.select("avg_logprob", "doc_id"),
+        [F.asc("avg_logprob"), F.asc("doc_id")],
+        10,
+        out="b",
+    ).select("avg_logprob", F.col("b").cast("long").alias("bucket"))
     return bk.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("avg_logprob"), 4).alias("min_logprob"),
