@@ -439,3 +439,106 @@ def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectrum(li, "l_orderkey", "lineitem.l_orderkey").unionByName(
         spectrum(ev, "user_id", "events.user_id")
     )
+
+
+_BLOOM_M = 4096  # bit positions
+_BLOOM_K = 3     # hash functions
+
+
+@query(
+    "bloom_semi_join_audit",
+    oracle=f"""
+        WITH dim AS (
+            SELECT DISTINCT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+        bits AS (
+            SELECT DISTINCT
+                   {_h60_sql("CAST(t.r AS VARCHAR) || ':' || CAST(key AS VARCHAR)")}
+                       % {_BLOOM_M} AS pos
+            FROM dim, unnest(range(0, {_BLOOM_K})) AS t(r)),
+        fact AS (SELECT l_orderkey AS key FROM lineitem),
+        probe AS (
+            SELECT f.key, t.r AS r,
+                   {_h60_sql("CAST(t.r AS VARCHAR) || ':' || CAST(f.key AS VARCHAR)")}
+                       % {_BLOOM_M} AS pos
+            FROM fact f, unnest(range(0, {_BLOOM_K})) AS t(r)),
+        cand AS (
+            SELECT key FROM (
+                SELECT p.key, count(*) AS n_hit
+                FROM probe p JOIN bits USING (pos)
+                GROUP BY p.key, p.r) q
+            GROUP BY key HAVING count(*) = {_BLOOM_K}),
+        truth AS (
+            SELECT f.key FROM fact f WHERE EXISTS (
+                SELECT 1 FROM dim d WHERE d.key = f.key))
+        SELECT (SELECT count(*) FROM fact) AS n_fact_rows,
+               (SELECT count(*) FROM cand) AS n_candidate_keys,
+               (SELECT count(DISTINCT key) FROM truth) AS n_true_keys,
+               round(((SELECT count(*) FROM cand)
+                      - (SELECT count(DISTINCT key) FROM truth)) * 1.0
+                     / (SELECT count(*) FROM cand), 4) AS false_positive_share
+    """,
+)
+def q_bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built Bloom-filter semi-join pre-filter, with its audit.
+
+    Spark's runtime bloom filter never fires at local test scale (its
+    application-side threshold is 10 GB), so this op builds the SAME
+    mechanism portably: the build side (urgent orders' keys) sets
+    k=3 md5-fold bit positions in an m=4096 bloom; the probe side
+    keeps a fact key only if ALL its 3 positions are set (a broadcast
+    join against the <= m-row position set + a count-3 gate). The
+    output is the audit a planner does implicitly: candidate keys vs
+    true matching keys = the realized false-positive share (bounded
+    w.h.p. by (1 - e^(-kn/m))^k).
+
+    Scale: the bloom is a fixed <= m-row table however large the dim
+    grows (positions are DISTINCT) and broadcasts like any runtime
+    filter; the fact side never shuffles — probing is a map-side
+    explode(k positions) + broadcast hash join + per-key count gate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+
+    def positions(key: Column) -> Column:
+        return F.array(
+            *[
+                _h60(F.concat(F.lit(f"{r}:"), key.cast("string"))) % _BLOOM_M
+                for r in range(_BLOOM_K)
+            ]
+        )
+
+    bits = dim.select(F.explode(positions(F.col("key"))).alias("pos")).distinct()
+    fact_keys = li.select(F.col("l_orderkey").alias("key"))
+    probe = fact_keys.distinct().select(
+        "key", F.posexplode(positions(F.col("key"))).alias("r", "pos")
+    )
+    cand = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+    )
+    truth = fact_keys.join(F.broadcast(dim), "key", "left_semi").distinct()
+    n_fact = li.agg(F.count(F.lit(1)).alias("n_fact_rows"))
+    return (
+        n_fact.crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidate_keys")))
+        )
+        .crossJoin(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_true_keys"))))
+        .select(
+            "n_fact_rows",
+            "n_candidate_keys",
+            "n_true_keys",
+            F.round(
+                (F.col("n_candidate_keys") - F.col("n_true_keys"))
+                / F.col("n_candidate_keys"),
+                4,
+            ).alias("false_positive_share"),
+        )
+    )

@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "python_datasource_sink",
     "expectations_report",
     "hybrid_retrieval_rrf",
+    "bloom_semi_join_audit",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
