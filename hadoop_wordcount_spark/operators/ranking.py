@@ -33,6 +33,18 @@ _PID = "__rank_pid"
 _LRN = "__rank_lrn"
 _OFF = "__rank_off"
 
+# Strategy threshold, in ROWS of the rank's (caller-projected) input:
+# at or below it the plain single-partition window wins — a one-task
+# sort of a dimension-sized table costs milliseconds, while the
+# distributed recipe pays two exchanges + a cache + a broadcast of
+# fixed overhead. Above it the one-task sort is the bottleneck the
+# recipe exists to remove. The pick is made from a runtime count of
+# the projected input — the same runtime-stats philosophy as AQE and
+# autoBroadcastJoinThreshold (and the count pass is O(scan), tiny
+# next to the rank it sizes). Callers pass small_threshold=0 to pin
+# the distributed path (tests do, to exercise it at toy scale).
+SMALL_RANK_INPUT = 60_000
+
 
 def _with_partition_offsets(
     df: DataFrame, order_cols: list[Column], extra_sum: str | None = None
@@ -46,7 +58,13 @@ def _with_partition_offsets(
         _PID, F.spark_partition_id()
     )
     local = Window.partitionBy(_PID).orderBy(*order_cols)
-    r = r.withColumn(_LRN, F.row_number().over(local))
+    # Cache the ranked rows: the offsets branch AND the main branch
+    # both read them — without this, every global_* call re-evaluates
+    # its whole input twice, and CHAINED calls (orders_rfm_segments
+    # ntiles three times) multiply to 2^depth evaluations. The cached
+    # set carries only the rank's input columns (callers project
+    # first), and bench cold mode clears it per query.
+    r = r.withColumn(_LRN, F.row_number().over(local)).cache()
     aggs = [F.count(F.lit(1)).alias("_n")]
     if extra_sum is not None:
         aggs.append(F.sum(extra_sum).alias("_s"))
@@ -65,11 +83,18 @@ def _with_partition_offsets(
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list[Column], out: str = "rn"
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "rn",
+    small_threshold: int = SMALL_RANK_INPUT,
 ) -> DataFrame:
     """Exact global row_number over a total order, every stage
-    parallel. Equivalent to
+    parallel past the size threshold. Equivalent to
     ``row_number().over(Window.orderBy(*order_cols))``."""
+    if small_threshold and df.count() <= small_threshold:
+        return df.withColumn(
+            out, F.row_number().over(Window.orderBy(*order_cols))
+        )
     r = _with_partition_offsets(df, order_cols)
     return r.withColumn(out, (F.col(_LRN) + F.col(_OFF)).cast("int")).drop(
         _PID, _LRN, _OFF
@@ -77,11 +102,20 @@ def global_row_number(
 
 
 def global_ntile(
-    df: DataFrame, order_cols: list[Column], n_buckets: int, out: str = "bucket"
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out: str = "bucket",
+    small_threshold: int = SMALL_RANK_INPUT,
 ) -> DataFrame:
-    """Exact SQL ntile(n) over a total order without the
-    single-partition window: global row_number + the ntile size rule
-    (first n_total mod n buckets get one extra row)."""
+    """Exact SQL ntile(n) over a total order. Past the size threshold
+    it avoids the single-partition window: global row_number + the
+    ntile size rule (first n_total mod n buckets get one extra
+    row)."""
+    if small_threshold and df.count() <= small_threshold:
+        return df.withColumn(
+            out, F.ntile(n_buckets).over(Window.orderBy(*order_cols))
+        )
     r = _with_partition_offsets(df, order_cols)
     # n_total attaches as a broadcast scalar (an unbounded window
     # frame would itself be a single-partition window).
@@ -98,10 +132,20 @@ def global_ntile(
 
 
 def global_cumsum(
-    df: DataFrame, order_cols: list[Column], val: str, out: str = "cum"
+    df: DataFrame,
+    order_cols: list[Column],
+    val: str,
+    out: str = "cum",
+    small_threshold: int = SMALL_RANK_INPUT,
 ) -> DataFrame:
     """Exact global running sum of `val` over a total order (rows
-    unbounded-preceding through current), every stage parallel."""
+    unbounded-preceding through current), every stage parallel past
+    the size threshold."""
+    if small_threshold and df.count() <= small_threshold:
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out, F.sum(val).over(w))
     r = _with_partition_offsets(df, order_cols, extra_sum=val)
     local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0

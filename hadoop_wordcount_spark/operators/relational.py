@@ -2298,11 +2298,13 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # Three DISTRIBUTED ntiles (customer-dimension-sized input —
-    # ranking.py's range exchange + parallel local ranks, never a
-    # single-partition window).
+    # Three size-adaptive global ntiles (ranking.py): past the
+    # threshold each runs the distributed range-exchange recipe, never
+    # a single-partition window over a large input. The customer-level
+    # base is cached: all three strategy counts + ranks read it.
     from hadoop_wordcount_spark.operators.ranking import global_ntile
 
+    base = base.cache()
     r = global_ntile(
         base, [F.asc("recency_days"), F.asc("o_custkey")], 4, out="_r"
     )

@@ -30,7 +30,7 @@ def test_global_row_number_matches_window(spark, sf_dir):
     order = [F.desc("value"), F.asc("event_id")]
     got = {
         r.event_id: r.rn
-        for r in global_row_number(e, order, out="rn").collect()
+        for r in global_row_number(e, order, out="rn", small_threshold=0).collect()
     }
     want = {
         r.event_id: r.rn
@@ -47,7 +47,7 @@ def test_global_ntile_matches_window(spark, sf_dir):
         order = [F.asc("value"), F.asc("event_id")]
         got = {
             r.event_id: r.b
-            for r in global_ntile(e, order, buckets, out="b").collect()
+            for r in global_ntile(e, order, buckets, out="b", small_threshold=0).collect()
         }
         want = {
             r.event_id: r.b
@@ -66,7 +66,7 @@ def test_global_cumsum_matches_window(spark, sf_dir):
     order = [F.desc("cents"), F.asc("event_id")]
     got = {
         r.event_id: r.cum
-        for r in global_cumsum(e, order, "cents", out="cum").collect()
+        for r in global_cumsum(e, order, "cents", out="cum", small_threshold=0).collect()
     }
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     want = {
@@ -78,13 +78,17 @@ def test_global_cumsum_matches_window(spark, sf_dir):
     assert got == want
 
 
-def test_distributed_rank_consumers_use_range_exchange(spark, sf_dir):
-    """The rewritten global-rank consumers must range-partition the
-    corpus-sized rank input (the parallel path), and the hybrid
-    retrieval's list cuts must be TakeOrderedAndProject k-heaps."""
-    for name in ("curriculum_shards", "perplexity_bucket_report",
-                 "orders_rfm_segments", "orders_abc_pareto"):
-        plan = formatted_plan(registry.QUERIES[name](spark, sf_dir))
-        assert "rangepartitioning" in plan, name
+def test_distributed_rank_plan_shape(spark, sf_dir):
+    """Past the size threshold the primitives must range-partition
+    (the parallel path); at test scale the registry consumers take
+    the adaptive small-input window, and the hybrid retrieval's list
+    cuts must be TakeOrderedAndProject k-heaps either way."""
+    e = _events(spark, sf_dir)
+    plan = formatted_plan(
+        global_ntile(
+            e, [F.asc("value"), F.asc("event_id")], 10, small_threshold=0
+        )
+    )
+    assert "rangepartitioning" in plan, plan
     plan = formatted_plan(registry.QUERIES["hybrid_retrieval_rrf"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan

@@ -114,6 +114,13 @@ ALL_OPS = [
     # one-or-two cascaded aggs). skew_key_report reads lineitem,
     # which the replicator doesn't cover — not probed.
     "cluster_topic_terms", "kmv_distinct_per_source", "curriculum_shards",
+    # warehouse/retrieval batch (events- or docs+embeddings-backed;
+    # expected ~1: cdc/scd2 are one window shuffle on user_id,
+    # cogroup is one co-shuffle + linear kernel, hybrid's rankers are
+    # term-filtered postings + k-heap cuts). bloom/expectations read
+    # orders/lineitem — not replicated, not probed.
+    "cdc_apply_changes", "scd2_dimension", "cogroup_merge_asof",
+    "hybrid_retrieval_rrf",
 ]
 
 
