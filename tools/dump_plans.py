@@ -102,6 +102,12 @@ HEADLINE = [
     ("cogroup_merge_asof", "cogrouped applyInPandas: both streams co-"
      "shuffled once on user_id, FlatMapCoGroupsInPandas runs the "
      "per-user merge_asof kernel over Arrow"),
+    ("bloom_semi_join_audit", "portable Bloom pre-filter: <= m-row "
+     "position set broadcast onto the fact probe, count-k gate — the "
+     "fact side never shuffles"),
+    ("expectations_report", "data-quality gate: six independent "
+     "scalar-count checks unioned; the referential check is a "
+     "broadcast LEFT ANTI join"),
 ]
 
 
