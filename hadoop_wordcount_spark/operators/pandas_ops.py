@@ -262,3 +262,66 @@ def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.groupBy("user_id").cogroup(
         clicks.groupBy("user_id")
     ).applyInPandas(asof, schema="event_id long, user_id long, gap_s long")
+
+
+@query(
+    "grouped_agg_trimmed_mean",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events)
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_events,
+               round(avg(CASE WHEN rn > CAST(floor(n * 0.1) AS BIGINT)
+                               AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+                              THEN value END), 2) AS trimmed_mean,
+               round(avg(value), 2) AS plain_mean
+        FROM r GROUP BY event_type
+    """,
+)
+def q_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the vectorized UDAF extension point.
+
+    A 10%-trimmed mean per event_type: the robust statistic Spark has
+    no built-in for, expressed as a true aggregate function (one
+    Arrow-shipped pd.Series per group in, one scalar out) usable
+    anywhere an aggregate is — groupBy().agg here. This closes the
+    grouped-Python matrix: scalar pandas_udf, grouped-map
+    applyInPandas, GROUPED_AGG (this), cogrouped applyInPandas,
+    mapInPandas/mapInArrow, UDTF, applyInPandasWithState.
+
+    Trim rule pinned cross-engine: drop the floor(n*0.1) smallest and
+    largest VALUES (a sorted-multiset slice — tie order is
+    irrelevant), average the rest; the oracle reproduces it with a
+    rank window. round(2) absorbs numpy-pairwise vs SQL-sequential
+    summation ulps (`group_zscore_pandas`'s precedent).
+
+    Scale: one shuffle on the group key; each group streams to a
+    Python worker as Arrow batches. The plain mean rides along for
+    the outlier-sensitivity contrast (the report's actual point).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values()
+        k = int(len(s) * 0.1)
+        inner = s.iloc[k : len(s) - k] if len(s) > 2 * k else s
+        return float(inner.mean())
+
+    # A GROUPED_AGG pandas UDF cannot share one agg with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — run it in its own
+    # aggregation and join the JVM stats on the (tiny) group key.
+    robust = e.groupBy("event_type").agg(
+        F.round(trimmed_mean(F.col("value")), 2).alias("trimmed_mean")
+    )
+    plain = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 2).alias("plain_mean"),
+    )
+    return plain.join(F.broadcast(robust), "event_type").select(
+        "event_type", "n_events", "trimmed_mean", "plain_mean"
+    )

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "expectations_report",
     "hybrid_retrieval_rrf",
     "bloom_semi_join_audit",
+    "grouped_agg_trimmed_mean",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
