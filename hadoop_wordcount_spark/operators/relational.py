@@ -3616,3 +3616,49 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ref.unionByName(uniq).unionByName(rng).unionByName(enum).unionByName(
         cons
     ).unionByName(disc)
+
+
+# Module-level handle so tests can read the metrics the last
+# q_observed_scan action fired (Observation objects are one-shot and
+# scoped to a single query execution).
+LAST_OBSERVATION = None
+
+
+@query(
+    "observed_scan",
+    oracle="""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang, source
+    """,
+)
+def q_observed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe()` — pipeline metrics riding the query.
+
+    A CollectMetrics node attached to the scan accumulates row and
+    byte counts AS THE QUERY RUNS (no second pass, no extra action):
+    the production-monitoring hook (Delta Live Tables event metrics,
+    Structured Streaming's observe API) that lets an ingest job
+    publish throughput/volume counters for free. The observed
+    DataFrame is unchanged — the query result is the per-(lang,
+    source) rollup; `tests` assert the fired metrics agree with the
+    rollup's totals.
+
+    Scale: observe() is a per-partition accumulator merged on the
+    driver — constant overhead per task, no shuffle, no skew
+    surface."""
+    global LAST_OBSERVATION
+    from pyspark.sql import Observation
+
+    d = _t(spark, sf_dir, "documents")
+    obs = Observation()
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum("n_chars").cast("long").alias("chars_scanned"),
+    )
+    LAST_OBSERVATION = obs
+    return observed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )

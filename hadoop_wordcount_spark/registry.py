@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "hybrid_retrieval_rrf",
     "bloom_semi_join_audit",
     "grouped_agg_trimmed_mean",
+    "observed_scan",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

@@ -133,3 +133,13 @@ def test_kmv_distinct_error_bounded(spark, sf_dir):
             assert r.rel_err == 0.0
         else:
             assert r.rel_err <= 0.5, (r.source, r.n_exact, r.kmv_est)
+
+
+def test_observed_scan_metrics_fire(spark, sf_dir):
+    """observe() metrics must equal the result's own totals."""
+    from hadoop_wordcount_spark.operators import relational
+
+    rows = registry.QUERIES["observed_scan"](spark, sf_dir).collect()
+    m = relational.LAST_OBSERVATION.get
+    assert m["rows_scanned"] == sum(r.n_docs for r in rows)
+    assert m["chars_scanned"] == sum(r.n_chars for r in rows)
