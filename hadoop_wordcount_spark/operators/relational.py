@@ -3662,3 +3662,62 @@ def q_observed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "surrogate_keys",
+    oracle="""
+        WITH existing AS (
+            SELECT c_custkey, c_name, c_custkey AS sk
+            FROM customer WHERE c_custkey < 1000),
+        mx AS (SELECT max(sk) AS mx FROM existing),
+        incoming AS (
+            SELECT c_custkey, c_name,
+                   mx.mx + row_number() OVER (ORDER BY c_name, c_custkey) AS sk
+            FROM customer CROSS JOIN mx WHERE c_custkey >= 1000)
+        SELECT c_custkey, c_name, CAST(sk AS BIGINT) AS sk, 'existing' AS origin
+        FROM existing
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(sk AS BIGINT) AS sk, 'assigned' AS origin
+        FROM incoming
+    """,
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key assignment — the incremental
+    dimension load. New members (business keys not yet in the
+    dimension — staged here as custkey >= 1000) receive
+    max(existing_sk) + global_row_number over the business-key order.
+
+    The point is what this does NOT use: `monotonically_increasing_id`
+    (layout-dependent — different cluster, different ids) and
+    unpartitioned row_number windows (single-task sort). The rank
+    comes from `operators/ranking.py`'s size-adaptive recipe, so the
+    assignment is bit-identical on any cluster AND parallel past the
+    threshold; max(existing) attaches as a broadcast scalar.
+
+    At 100 TB: the existing dimension never re-keys (stability is the
+    whole contract), the incoming batch pays one range exchange —
+    cost tracks the DELTA, exactly like `incremental_agg_maintenance`.
+    """
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    existing = c.filter(F.col("c_custkey") < 1000).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_custkey").cast("long").alias("sk"),
+        F.lit("existing").alias("origin"),
+    )
+    mx = existing.agg(F.max("sk").alias("mx"))
+    incoming = global_row_number(
+        c.filter(F.col("c_custkey") >= 1000),
+        [F.asc("c_name"), F.asc("c_custkey")],
+        out="rn",
+    )
+    assigned = incoming.crossJoin(F.broadcast(mx)).select(
+        "c_custkey",
+        "c_name",
+        (F.col("mx") + F.col("rn")).cast("long").alias("sk"),
+        F.lit("assigned").alias("origin"),
+    )
+    return existing.unionByName(assigned)

@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "bloom_semi_join_audit",
     "grouped_agg_trimmed_mean",
     "observed_scan",
+    "surrogate_keys",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
