@@ -3721,3 +3721,196 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("assigned").alias("origin"),
     )
     return existing.unionByName(assigned)
+
+
+@query(
+    "ab_test_conversion",
+    oracle="""
+        WITH arm AS (
+            SELECT user_id,
+                   (list_reduce(list_transform(
+                        string_split_regex(
+                            substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15),
+                            ''),
+                        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                        (a, d) -> a * 16 + d) % 2) AS arm,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+                   max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+                       > min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+                       AS converted
+            FROM events GROUP BY user_id)
+        SELECT arm,
+               count(*) AS n_users,
+               CAST(sum(CASE WHEN viewed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_viewed,
+               CAST(sum(CASE WHEN viewed = 1 AND converted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               round(sum(CASE WHEN viewed = 1 AND converted THEN 1 ELSE 0 END)
+                     * 1.0
+                     / greatest(sum(CASE WHEN viewed = 1 THEN 1 ELSE 0 END), 1),
+                     4) AS conv_rate
+        FROM arm GROUP BY arm
+    """,
+)
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC arm assignment.
+
+    Arm = md5-fold(user_id) mod 2 — the same pure-integer membership
+    discipline as `dataset_split`/`weighted_sample_bernoulli`, which
+    is exactly how real experiment frameworks bucket users (stable
+    under re-runs, joins, and cluster layout; no RNG state anywhere).
+    Conversion = a purchase strictly after the user's first view,
+    computed from per-user min/max epoch aggregates — one shuffle on
+    user_id, no ordering window needed. Per arm: exposure,
+    conversions, rate.
+
+    Scale: one user-key aggregation + a 2-row rollup; the integer
+    epoch comparison (`lag_event_gap`'s ns discipline) keeps the
+    after-first-view rule tz-free and engine-exact.
+    """
+    e = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "viewed"
+        ),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts_ns")))
+            > F.min(F.when(F.col("event_type") == "view", F.col("ts_ns")))
+        ).alias("converted"),
+    )
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("viewed") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when((F.col("viewed") == 1) & F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.round(
+            F.sum(
+                F.when((F.col("viewed") == 1) & F.col("converted"), 1).otherwise(0)
+            )
+            / F.greatest(
+                F.sum(F.when(F.col("viewed") == 1, 1).otherwise(0)), F.lit(1)
+            ),
+            4,
+        ).alias("conv_rate"),
+    )
+
+
+@query(
+    "peak_concurrency",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        gaps AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id,
+                   us
+            FROM gaps),
+        iv AS (
+            SELECT user_id, session_id, min(us) AS s, max(us) + 1 AS e
+            FROM sess GROUP BY user_id, session_id),
+        pts AS (
+            SELECT s AS us, 1 AS delta, user_id, session_id FROM iv
+            UNION ALL
+            SELECT e AS us, -1 AS delta, user_id, session_id FROM iv),
+        sweep AS (
+            SELECT us, delta,
+                   sum(delta) OVER (ORDER BY us, delta, user_id, session_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS live
+            FROM pts)
+        SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+               CAST(min(CASE WHEN live = (SELECT max(live) FROM sweep)
+                             THEN us END) // 1000000 AS BIGINT) AS first_peak_s,
+               (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions
+        FROM sweep
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the interval sweep-line, distributed.
+
+    Sessions (batch_sessionize's lag-gap rule, half-open [start,
+    end+1) in microseconds) become +1/-1 boundary points; the running
+    sum over the global (us, delta, user, session) order is the live
+    concurrency curve, and its max + first argmax time is the
+    capacity-planning headline. The global running sum uses
+    `operators/ranking.py`'s size-adaptive cumsum — past the
+    threshold the sweep is range-partitioned and parallel, never a
+    one-task sort (deltas are +-1 integers, so partial order cannot
+    drift anything).
+
+    Scale: one user-key shuffle for sessionization, one boundary
+    table at 2 rows/session, one distributed cumsum over it — every
+    stage bounded by session count, not event count.
+    """
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
+    e = _t(spark, sf_dir, "events").withColumn("us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_session = F.when(
+        (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+        | F.lag("us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s"), (F.max("us") + 1).alias("e"))
+    )
+    pts = iv.select(
+        F.col("s").alias("us"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        iv.select(
+            F.col("e").alias("us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    sweep = global_cumsum(
+        pts,
+        [F.asc("us"), F.asc("delta"), F.asc("user_id"), F.asc("session_id")],
+        "delta",
+        out="live",
+    ).cache()
+    peak = sweep.agg(F.max("live").alias("peak"))
+    first = (
+        sweep.join(F.broadcast(peak), sweep.live == peak.peak)
+        .agg(F.min("us").alias("first_us"))
+    )
+    n_sess = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        peak.crossJoin(F.broadcast(first))
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            F.col("peak").cast("long").alias("peak_concurrent"),
+            F.floor(F.col("first_us") / 1_000_000)
+            .cast("long")
+            .alias("first_peak_s"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+        )
+    )

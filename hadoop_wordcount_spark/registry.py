@@ -67,6 +67,8 @@ _PRIORITY: list[str] = [
     "grouped_agg_trimmed_mean",
     "observed_scan",
     "surrogate_keys",
+    "ab_test_conversion",
+    "peak_concurrency",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
