@@ -243,3 +243,127 @@ def q_bigram_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pernode.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+_LP_ROUNDS = 2
+_LP_EDGE_CTES = f"""
+        toks AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM toks WHERE len(tk) >= 2),
+        bg AS (
+            SELECT string_split(p, ' ')[1] AS w1, string_split(p, ' ')[2] AS w2,
+                   count(*) AS c
+            FROM bi GROUP BY 1, 2
+            ORDER BY c DESC, w1, w2 LIMIT {_TRI_EDGE_CUT}),
+        ue AS (
+            SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+            FROM bg WHERE w1 <> w2),
+        nbr AS (
+            SELECT a AS v, b AS u FROM ue
+            UNION ALL
+            SELECT b AS v, a AS u FROM ue)
+"""
+
+
+def _oracle_label_propagation() -> str:
+    sql = f"WITH {_LP_EDGE_CTES},\n        l0 AS (SELECT DISTINCT v, v AS lbl FROM nbr)"
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        sql += f""",
+        l{i} AS (
+            SELECT v, lbl FROM (
+                SELECT n.v, p.lbl,
+                       row_number() OVER (
+                           PARTITION BY n.v
+                           ORDER BY count(*) DESC, p.lbl) AS rn
+                FROM nbr n JOIN {prev} p ON p.v = n.u
+                GROUP BY n.v, p.lbl) WHERE rn = 1)"""
+        prev = f"l{i}"
+    sql += f"""
+        SELECT lbl AS community, count(*) AS n_members,
+               min(v) AS min_member
+        FROM {prev} GROUP BY lbl"""
+    return sql
+
+
+@query("label_propagation_communities", oracle=_oracle_label_propagation())
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the word-transition graph —
+    community detection, the third graph algorithm after PageRank and
+    triangle counting, on the same tie-safe top-200 bigram edge cut.
+
+    Every node starts as its own label; each round it adopts the
+    most-frequent label among its neighbors, ties broken by the
+    lexicographically smallest label — the deterministic variant of
+    Raghavan et al.'s LPA (random tie-breaks don't cross engines).
+    Two unrolled synchronous rounds (the `pagerank_bigram`
+    fixed-iteration discipline), then communities report (label,
+    size, smallest member).
+
+    Plan: the corpus-sized stage is the one bigram aggregate; each
+    round is a neighbor join + per-node argmax on the 200-edge
+    broadcast-sized cut. At the general scale the same rounds run as
+    shuffle joins on v — per-round cost tracks edges, and the
+    fixed-round unroll keeps the DAG static (localCheckpoint per
+    round once edges outgrow memory, as dedup_clusters does)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(tokens_col(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bi = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.w1", "e.w2")
+    bg = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(_TRI_EDGE_CUT)
+    )
+    ue = (
+        bg.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+    )
+    nbr = ue.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        ue.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    ).cache()
+    from pyspark.sql.window import Window as W
+
+    labels = nbr.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            nbr.join(
+                labels.select(F.col("v").alias("u"), "lbl"), "u"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.select(
+                "v",
+                "lbl",
+                F.row_number()
+                .over(W.partitionBy("v").orderBy(F.desc("n"), F.asc("lbl")))
+                .alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("v").alias("min_member"),
+    )

@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "surrogate_keys",
     "ab_test_conversion",
     "peak_concurrency",
+    "label_propagation_communities",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

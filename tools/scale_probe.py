@@ -121,6 +121,13 @@ ALL_OPS = [
     # orders/lineitem — not replicated, not probed.
     "cdc_apply_changes", "scd2_dimension", "cogroup_merge_asof",
     "hybrid_retrieval_rrf",
+    # analytics/UDAF batch (events/docs-backed; expected ~1: each is
+    # one key shuffle + bounded rollup; peak_concurrency's sweep is
+    # session-count-bounded on the adaptive distributed cumsum).
+    # surrogate_keys/bloom/expectations read customer/orders/lineitem
+    # — not replicated, not probed.
+    "ab_test_conversion", "peak_concurrency", "grouped_agg_trimmed_mean",
+    "observed_scan",
 ]
 
 
