@@ -3914,3 +3914,56 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sessions").cast("long").alias("n_sessions"),
         )
     )
+
+
+@query(
+    "null_semantics_audit",
+    oracle="""
+        WITH sub AS (SELECT nullif(c_nationkey, 13) AS k FROM customer),
+        probe AS (SELECT o_orderkey, o_custkey % 25 AS x FROM orders)
+        SELECT (SELECT count(*) FROM probe) AS n_probe,
+               (SELECT count(*) FROM probe
+                WHERE x NOT IN (SELECT k FROM sub)) AS not_in_count,
+               (SELECT count(*) FROM probe p
+                WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = p.x))
+                   AS not_exists_count,
+               (SELECT count(*) FROM probe p
+                WHERE NOT EXISTS (SELECT 1 FROM sub s
+                                  WHERE s.k IS NOT DISTINCT FROM p.x))
+                   AS null_safe_count
+    """,
+)
+def q_null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic audit: NOT IN vs NOT EXISTS vs null-safe.
+
+    The classic silent-wrong-answer trap, pinned as a query: the
+    subquery's key set contains a NULL (nationkey 13 nulled out), so
+    `x NOT IN (subquery)` returns ZERO rows — each comparison against
+    NULL is UNKNOWN and poisons the conjunction — while `NOT EXISTS`
+    with an equality predicate treats the NULL as never-matching and
+    returns the true anti-set, and the null-safe variant
+    (`<=>` / IS NOT DISTINCT FROM) additionally lets a NULL probe
+    match the NULL member. All three counts in one row; both engines
+    implement the identical ANSI semantics, which is exactly what
+    this query proves.
+
+    Plan note: Spark compiles the NOT IN into a null-aware anti join
+    (BroadcastHashJoin ... NAAJ) — the expensive-but-correct physical
+    strategy the trap forces, visible in the explain output.
+    """
+    from hadoop_wordcount_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH sub AS (SELECT nullif(c_nationkey, 13) AS k FROM customer),
+        probe AS (SELECT o_orderkey, o_custkey % 25 AS x FROM orders)
+        SELECT (SELECT count(*) FROM probe) AS n_probe,
+               (SELECT count(*) FROM probe
+                WHERE x NOT IN (SELECT k FROM sub)) AS not_in_count,
+               (SELECT count(*) FROM probe p
+                WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = p.x))
+                   AS not_exists_count,
+               (SELECT count(*) FROM probe p
+                WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k <=> p.x))
+                   AS null_safe_count
+    """)

@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "ab_test_conversion",
     "peak_concurrency",
     "label_propagation_communities",
+    "null_semantics_audit",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
