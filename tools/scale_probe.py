@@ -128,6 +128,9 @@ ALL_OPS = [
     # — not replicated, not probed.
     "ab_test_conversion", "peak_concurrency", "grouped_agg_trimmed_mean",
     "observed_scan",
+    # graph batch (docs-backed; expected ~1: the edge cut is a fixed
+    # 200-row TakeOrdered — only the bigram agg scales)
+    "label_propagation_communities",
 ]
 
 
