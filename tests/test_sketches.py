@@ -143,3 +143,20 @@ def test_observed_scan_metrics_fire(spark, sf_dir):
     m = relational.LAST_OBSERVATION.get
     assert m["rows_scanned"] == sum(r.n_docs for r in rows)
     assert m["chars_scanned"] == sum(r.n_chars for r in rows)
+
+
+def test_null_semantics_plans_null_aware_anti_join(spark, sf_dir):
+    """The NOT IN branch must compile to Spark's null-aware anti
+    join, and the three counts must satisfy the 3VL ordering:
+    not_in == 0 < not_exists, null_safe <= not_exists."""
+    df = registry.QUERIES["null_semantics_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # Catalyst rewrites all three anti-semijoin forms to LeftAnti
+    # hash joins (the NOT IN variant carrying the null-aware
+    # condition); pin that none degraded to a nested loop.
+    assert plan.count("LeftAnti") >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    row = df.collect()[0]
+    assert row.not_in_count == 0
+    assert row.not_exists_count > 0
+    assert row.null_safe_count <= row.not_exists_count
