@@ -3967,3 +3967,61 @@ def q_null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k <=> p.x))
                    AS null_safe_count
     """)
+
+
+@query(
+    "snapshot_diff_report",
+    oracle=f"""
+        WITH a AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+            GROUP BY 1),
+        b AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1)
+        SELECT COALESCE(a.yr, b.yr) AS yr,
+               COALESCE(b.n, 0) - COALESCE(a.n, 0) AS added_orders,
+               round((COALESCE(b.cents, 0) - COALESCE(a.cents, 0)) / 100.0, 2)
+                   AS revenue_delta
+        FROM a FULL OUTER JOIN b ON a.yr = b.yr
+    """,
+)
+def q_snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff — the time-travel audit, predicate
+    form. Two snapshot states (as-of 2000-01-01 vs current) reduce to
+    partial aggregates per year, then one FULL OUTER join of two
+    TINY agg tables yields per-year added rows and revenue delta —
+    the report a lakehouse `VERSION AS OF` diff produces, computed
+    without reading either snapshot twice (the deltas come from the
+    aggregates, integer cents throughout). With a real Delta/Iceberg
+    runtime (env-gated here, `sources/lakehouse.py`) the same shape
+    reads two snapshot ids; the predicate form is the portable twin.
+
+    Scale: both states aggregate map-side to |years| rows before the
+    join; the diff never materializes row-level differences.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    agg = lambda df: df.groupBy("yr").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    a = agg(o.filter(F.col("o_orderdate") < "2000-01-01")).select(
+        "yr", F.col("n").alias("na"), F.col("cents").alias("ca")
+    )
+    b = agg(o).select("yr", F.col("n").alias("nb"), F.col("cents").alias("cb"))
+    return a.join(b, "yr", "full_outer").select(
+        "yr",
+        (F.coalesce("nb", F.lit(0)) - F.coalesce("na", F.lit(0))).alias(
+            "added_orders"
+        ),
+        F.round(
+            (F.coalesce("cb", F.lit(0)) - F.coalesce("ca", F.lit(0))) / 100.0, 2
+        ).alias("revenue_delta"),
+    )

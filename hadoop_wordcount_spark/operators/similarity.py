@@ -954,3 +954,85 @@ def q_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("cid", "word", "c_cw", "log_lift", "rank")
     )
+
+
+@query(
+    "embedding_drift_by_source",
+    oracle="""
+        WITH ev AS (
+            SELECT e.vec_id, d.source,
+                   e.vec_id % 2 AS batch,
+                   generate_subscripts(e.embedding, 1) AS pos,
+                   CAST(unnest(e.embedding) AS DOUBLE) AS val
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        cent AS (
+            SELECT source, batch, pos, round(avg(val), 4) AS c
+            FROM ev GROUP BY source, batch, pos),
+        pairs AS (
+            SELECT a.source, a.pos, a.c AS c0, b.c AS c1
+            FROM cent a JOIN cent b
+              ON a.source = b.source AND a.pos = b.pos
+             AND a.batch = 0 AND b.batch = 1)
+        SELECT source,
+               round(sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1))),
+                     4) AS centroid_cosine,
+               round(sqrt(sum((c0 - c1) * (c0 - c1))), 4) AS centroid_l2
+        FROM pairs GROUP BY source
+    """,
+)
+def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: batch-over-batch centroid movement.
+
+    Split each source's vectors into two deterministic batches
+    (vec_id parity — stand-in for encoder-version or ingest-date),
+    compute per-batch centroids, and report cosine + L2 between them
+    per source: cosine near 1 = the encoder/corpus is stable; a drop
+    is the retrain/redrift alarm before any downstream ANN index
+    degrades. Centroid means are quantized to 4 decimals on BOTH
+    engines before the distance math (the IVF quantizer's ulp
+    discipline), so the report is hash-exact.
+
+    Scale: one cross-modal id join (embeddings x documents source),
+    one (source, batch, pos) mean with map-side partials — exchange
+    bounded by sources x 2 x d, not vectors — then a d-sized join per
+    source. The monitoring query you schedule hourly at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _emb(spark, sf_dir)
+    ev = (
+        emb.join(d, emb.vec_id == d.doc_id)
+        .select(
+            "source",
+            (F.col("vec_id") % 2).alias("batch"),
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos0", "val"
+            ),
+        )
+        .select("source", "batch", (F.col("pos0") + 1).alias("pos"), "val")
+    )
+    cent = ev.groupBy("source", "batch", "pos").agg(
+        F.round(F.avg("val"), 4).alias("c")
+    )
+    a = cent.filter(F.col("batch") == 0).select(
+        "source", "pos", F.col("c").alias("c0")
+    )
+    b = cent.filter(F.col("batch") == 1).select(
+        "source", "pos", F.col("c").alias("c1")
+    )
+    return (
+        a.join(b, ["source", "pos"])
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("c0") * F.col("c1"))
+                / (
+                    F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                    * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+                ),
+                4,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("c0") - F.col("c1")) ** 2)), 4
+            ).alias("centroid_l2"),
+        )
+    )

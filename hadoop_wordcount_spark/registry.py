@@ -71,6 +71,8 @@ _PRIORITY: list[str] = [
     "peak_concurrency",
     "label_propagation_communities",
     "null_semantics_audit",
+    "snapshot_diff_report",
+    "embedding_drift_by_source",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",
