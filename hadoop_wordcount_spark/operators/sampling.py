@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_wordcount_spark.registry import query
 from hadoop_wordcount_spark.sources.tables import load_table
@@ -387,4 +388,88 @@ def q_weighted_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_chars"),
             F.round(F.sum("n_chars") / 4096.0, 2).alias("expected_sampled"),
         )
+    )
+
+
+_LR_BUDGET = 1_000_000
+
+
+@query(
+    "budget_largest_remainder",
+    oracle=f"""
+        WITH avail AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            w -> w <> ''))) AS BIGINT) AS n_tok
+            FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tok) AS t FROM avail),
+        quota AS (
+            SELECT source, n_tok,
+                   ({_LR_BUDGET} * n_tok) // t AS base,
+                   ({_LR_BUDGET} * n_tok) % t AS rem_num
+            FROM avail CROSS JOIN tot),
+        slots AS (SELECT {_LR_BUDGET} - sum(base) AS r FROM quota),
+        ranked AS (
+            SELECT source, n_tok, base, rem_num,
+                   row_number() OVER (ORDER BY rem_num DESC, source) AS rk
+            FROM quota)
+        SELECT source, n_tok, CAST(base AS BIGINT) AS base_alloc,
+               CAST(base + CASE WHEN rk <= slots.r THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc
+        FROM ranked CROSS JOIN slots
+    """,
+)
+def q_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation by the largest-remainder method.
+
+    Corpus building ends with "spend exactly B tokens across
+    sources, proportional to availability": floor quotas leave
+    B - sum(floor) unassigned slots, which go to the largest
+    fractional remainders (Hamilton's method — the allocation that
+    sums EXACTLY to B, which naive rounding does not). Everything is
+    integer arithmetic on (B * n_tok) div/mod total — no floats
+    anywhere, so the allocation is bit-identical on any engine and
+    any cluster, and sum(alloc) == B is a hard invariant (pytest
+    pins it).
+
+    Scale: one token-count aggregation (map-side combined); the
+    allocation itself runs on the |sources|-row table — the window
+    is dimension-bounded by construction.
+    """
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    avail = (
+        d.select("source", F.size(tokens_col(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tok"))
+    )
+    tot = avail.agg(F.sum("n_tok").alias("t"))
+    quota = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        ((F.lit(_LR_BUDGET) * F.col("n_tok")) / F.col("t"))
+        .cast("long")
+        .alias("_div_check"),
+        F.floor((F.lit(_LR_BUDGET) * F.col("n_tok")) / F.col("t"))
+        .cast("long")
+        .alias("base"),
+        ((F.lit(_LR_BUDGET) * F.col("n_tok")) % F.col("t")).alias("rem_num"),
+    ).drop("_div_check")
+    slots = quota.agg((F.lit(_LR_BUDGET) - F.sum("base")).alias("r"))
+    ranked = quota.select(
+        "source",
+        "n_tok",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem_num"), F.asc("source")))
+        .alias("rk"),
+    )
+    return ranked.crossJoin(F.broadcast(slots)).select(
+        "source",
+        "n_tok",
+        F.col("base").alias("base_alloc"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
     )

@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "null_semantics_audit",
     "snapshot_diff_report",
     "embedding_drift_by_source",
+    "budget_largest_remainder",
     "heavy_hitters_cms",
     "kmv_source_overlap",
     "dpp_partition_pruned_join",

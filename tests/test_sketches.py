@@ -160,3 +160,12 @@ def test_null_semantics_plans_null_aware_anti_join(spark, sf_dir):
     assert row.not_in_count == 0
     assert row.not_exists_count > 0
     assert row.null_safe_count <= row.not_exists_count
+
+
+def test_budget_allocation_sums_exactly(spark, sf_dir):
+    """Largest-remainder invariant: allocations sum EXACTLY to the
+    budget and never deviate from the floor quota by more than 1."""
+    rows = registry.QUERIES["budget_largest_remainder"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == 1_000_000
+    for r in rows:
+        assert r.alloc in (r.base_alloc, r.base_alloc + 1)
