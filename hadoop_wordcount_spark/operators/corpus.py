@@ -455,12 +455,16 @@ def q_lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios: exact doubles, engine-stable."""
     d = _docs(spark, sf_dir)
     n_tok = F.size(tokens_col(F.col("text")))
+    # Cached: the corpus-total aggregate and the main branch both read
+    # the (|sources| x |langs|)-row cross-tab. The corpus share joins
+    # as a broadcast scalar — an empty-partition window here would be
+    # a single-partition WindowExec (and its warning) for no reason.
     m = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum(n_tok).alias("n_tokens")
-    )
+    ).cache()
+    tot = m.agg(F.sum("n_tokens").alias("_t"))
     w_src = Window.partitionBy("source")
-    w_all = Window.partitionBy()
-    return m.select(
+    return m.crossJoin(F.broadcast(tot)).select(
         "source",
         "lang",
         "n_docs",
@@ -468,9 +472,7 @@ def q_lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_src), 4).alias(
             "source_share"
         ),
-        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6).alias(
-            "corpus_share"
-        ),
+        F.round(F.col("n_tokens") / F.col("_t"), 6).alias("corpus_share"),
     )
 
 
@@ -610,7 +612,7 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score"),
             shard.alias("shard"),
         ),
-        [F.desc("score"), F.asc("doc_id")],
+        [("score", True), ("doc_id", False)],
         10,
         out="phase",
     )
@@ -711,6 +713,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.
     """
     from hadoop_wordcount_spark.functions.vectors import cosine
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
 
     d = _docs(spark, sf_dir)
     docs = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
@@ -742,12 +745,11 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cut each list with orderBy+limit (TakeOrderedAndProject — a
     # distributed k-heap), THEN rank the DEPTH-row result with a tiny
     # window: never an unpartitioned window over the corpus.
-    lex = bm.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
-        .alias("rank_lex"),
-    )
+    lex = global_row_number(
+        bm.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH),
+        [("s", True), ("doc_id", False)],
+        out="rank_lex",
+    ).select("doc_id", "rank_lex")
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
@@ -761,12 +763,11 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("s"),
         )
     )
-    sem = cs.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
-        .alias("rank_sem"),
-    )
+    sem = global_row_number(
+        cs.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH),
+        [("s", True), ("doc_id", False)],
+        out="rank_sem",
+    ).select("doc_id", "rank_sem")
     fused = (
         lex.join(sem, "doc_id", "full_outer")
         .select(

@@ -2,62 +2,128 @@
 
 `Window.orderBy(...)` with NO partition spec is the classic scale
 trap: Spark plans a single-partition Exchange and ranks the whole
-input on ONE task. Fine for vocab-sized inputs; fatal for
+input on ONE task (and logs "No Partition Defined for Window" every
+time — Catalyst's EliminateWindowPartitions folds away any constant
+partition key, so the warning cannot be silenced by partitionBy(lit);
+measured round 6). Fine for vocab-sized inputs; fatal for
 corpus-sized ones (the 1x-64x probe measured curriculum_shards'
 unpartitioned ntile at alpha ~1.5 — the serial sort's n log n on one
 core, with spill).
 
-The canonical distributed recipe, exact and deterministic under any
-cluster layout, is implemented here once and shared:
+Two window-FREE strategies cover the whole size range, picked from a
+runtime count of the (caller-projected) rank input — the same
+runtime-stats philosophy as AQE and autoBroadcastJoinThreshold:
 
-1. `repartitionByRange` on the order keys — Spark's range exchange
-   (a sampled boundary pass + scatter, the same machinery behind
-   global orderBy) puts partition p strictly before partition p+1;
-2. rank WITHIN each partition (parallel local sorts);
-3. add per-partition offsets — a prefix sum over the per-partition
-   COUNTS (<= shuffle.partitions rows, broadcast back).
+* **bounded** (<= `BOUNDED_RANK_INPUT` rows — dimension tables,
+  top-k lists, month series): collect the order-key tuples into ONE
+  array, broadcast it, and compute each row's rank as
+  1 + count(keys strictly ahead) with a higher-order `filter` —
+  NO exchange of the data rows at all (only the partial-agg of the
+  tiny key array moves), no window, no warning. O(n^2) key
+  comparisons, which at <=4096 rows is ~16M struct compares — noise.
+* **distributed** (everything larger): `repartitionByRange` on the
+  order keys (Spark's range exchange — a sampled boundary pass +
+  scatter, the same machinery behind global orderBy) puts partition
+  p strictly before partition p+1; rank WITHIN each partition
+  (parallel local sorts, partitioned windows — no warning); add
+  per-partition offsets — a prefix sum over the per-partition COUNTS
+  (<= shuffle.partitions rows, computed with the same broadcast-array
+  trick, then broadcast back).
 
 global rank = local rank + offset(partition): exact row_number / an
 exact prefix sum, with every corpus-sized stage parallel. The order
-columns must be a TOTAL order (unique tiebreak) for cross-engine
-determinism — same contract the single-partition form already had.
+columns must be a TOTAL order (unique tiebreak) with NON-NULL keys
+for cross-engine determinism — same contract the single-partition
+form already had.
+
+Order specs are ``[(column_name, descending?)]`` tuples — the bounded
+path needs the direction of each key explicitly (a resolved
+`F.desc(...)` sort Column cannot be re-used inside a lambda
+comparison), and every caller ranks by named projected columns.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# (column name, descending?) — e.g. [("score", True), ("doc_id", False)]
+OrderSpec = list[tuple[str, bool]]
+
 _PID = "__rank_pid"
 _LRN = "__rank_lrn"
 _OFF = "__rank_off"
+_KS = "__rank_keys"
 
 # Strategy threshold, in ROWS of the rank's (caller-projected) input:
-# at or below it the plain single-partition window wins — a one-task
-# sort of a dimension-sized table costs milliseconds, while the
-# distributed recipe pays two exchanges + a cache + a broadcast of
-# fixed overhead. Above it the one-task sort is the bottleneck the
-# recipe exists to remove. The pick is made from a runtime count of
-# the projected input — the same runtime-stats philosophy as AQE and
-# autoBroadcastJoinThreshold (and the count pass is O(scan), tiny
-# next to the rank it sizes). Callers pass small_threshold=0 to pin
-# the distributed path (tests do, to exercise it at toy scale).
-SMALL_RANK_INPUT = 60_000
+# at or below it the broadcast count-ahead form wins (zero data
+# shuffles, O(n^2) key compares — ~16M at the cap, sub-second);
+# above it the distributed recipe's two exchanges amortize. Callers
+# pass small_threshold=0 to pin the distributed path (tests do, to
+# exercise it at toy scale).
+BOUNDED_RANK_INPUT = 4096
+
+
+def _sort_cols(order: OrderSpec) -> list[Column]:
+    return [F.col(n).desc() if d else F.col(n).asc() for n, d in order]
+
+
+def _key_struct(order: OrderSpec, extra: list[str] | None = None) -> Column:
+    names = [n for n, _ in order]
+    fields = [F.col(n).alias(n) for n in names]
+    # An extra column that is ALSO an order key is already a field.
+    fields += [F.col(c).alias(c) for c in (extra or []) if c not in names]
+    return F.struct(*fields)
+
+
+def _ahead(x: Column, order: OrderSpec, strict: bool = True) -> Column:
+    """Boolean Column: array element `x` (a key struct) sorts strictly
+    before the current row (outer columns) under `order`; with
+    ``strict=False``, before-or-equal. Lexicographic short-circuit:
+    OR over prefixes of (all-earlier-keys-equal AND this-key-ahead)."""
+    conds: list[Column] = []
+    eqs: list[Column] = []
+    for n, desc in order:
+        cmp = (x[n] > F.col(n)) if desc else (x[n] < F.col(n))
+        conds.append(reduce(lambda a, b: a & b, eqs + [cmp]))
+        eqs.append(x[n] == F.col(n))
+    if not strict:
+        conds.append(reduce(lambda a, b: a & b, eqs))
+    return reduce(lambda a, b: a | b, conds)
+
+
+def _with_keys_array(df: DataFrame, order: OrderSpec, extra: list[str] | None = None) -> DataFrame:
+    """Attach the broadcast collected key array as `_KS`. Caches the
+    input: the keys aggregate and the main branch both read it, and
+    the input is tiny by contract (<= BOUNDED_RANK_INPUT rows) while
+    its UPSTREAM pipeline (a corpus-wide top-k, a fact-table rollup)
+    is not — without the cache every bounded rank re-runs that
+    pipeline per branch (callers arrive already cached via the
+    size-probe path)."""
+    ks = df.agg(F.collect_list(_key_struct(order, extra)).alias(_KS))
+    return df.crossJoin(F.broadcast(ks))
+
+
+def _bounded_rn(order: OrderSpec) -> Column:
+    return F.size(F.filter(F.col(_KS), lambda x: _ahead(x, order))) + 1
 
 
 def _with_partition_offsets(
-    df: DataFrame, order_cols: list[Column], extra_sum: str | None = None
+    df: DataFrame, order: OrderSpec, extra_sum: str | None = None
 ) -> DataFrame:
-    """Range-partition df on order_cols, attach `_PID`, local rank
+    """Range-partition df on order cols, attach `_PID`, local rank
     `_LRN`, and broadcast count-offsets `_OFF` (plus, when
     `extra_sum` names a column, its per-partition prefix sums as
-    `_OFF + 's'`)."""
+    `_OFF + 's'`). The offsets prefix sum runs window-free over the
+    <= shuffle.partitions count rows via the broadcast-array fold."""
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    r = df.repartitionByRange(parts, *order_cols).withColumn(
+    r = df.repartitionByRange(parts, *_sort_cols(order)).withColumn(
         _PID, F.spark_partition_id()
     )
-    local = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = Window.partitionBy(_PID).orderBy(*_sort_cols(order))
     # Cache the ranked rows: the offsets branch AND the main branch
     # both read them — without this, every global_* call re-evaluates
     # its whole input twice, and CHAINED calls (orders_rfm_segments
@@ -69,85 +135,133 @@ def _with_partition_offsets(
     if extra_sum is not None:
         aggs.append(F.sum(extra_sum).alias("_s"))
     counts = r.groupBy(_PID).agg(*aggs)
-    prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # Prefix sums over <= `parts` rows: collect {pid, n[, s]} into one
+    # broadcast array and fold the strictly-earlier pids — the same
+    # count-ahead form as the bounded path (a bare Window.orderBy(pid)
+    # here would re-introduce the single-partition warning this module
+    # exists to eliminate).
+    carry = ["_n"] + (["_s"] if extra_sum is not None else [])
+    pid_order: OrderSpec = [(_PID, False)]
+    withks = _with_keys_array(counts, pid_order, extra=carry)
     sel = [
         F.col(_PID),
-        F.coalesce(F.sum("_n").over(prev), F.lit(0)).cast("long").alias(_OFF),
+        F.aggregate(
+            F.filter(F.col(_KS), lambda x: _ahead(x, pid_order)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["_n"],
+        ).alias(_OFF),
     ]
     if extra_sum is not None:
         sel.append(
-            F.coalesce(F.sum("_s").over(prev), F.lit(0)).alias(_OFF + "s")
+            F.aggregate(
+                F.filter(F.col(_KS), lambda x: _ahead(x, pid_order)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_s"].cast("long"),
+            ).alias(_OFF + "s")
         )
-    offsets = counts.select(*sel)  # <= `parts` rows: broadcast + tiny window
+    offsets = withks.select(*sel)
     return r.join(F.broadcast(offsets), _PID)
 
 
 def global_row_number(
     df: DataFrame,
-    order_cols: list[Column],
+    order: OrderSpec,
     out: str = "rn",
-    small_threshold: int = SMALL_RANK_INPUT,
+    small_threshold: int = BOUNDED_RANK_INPUT,
 ) -> DataFrame:
-    """Exact global row_number over a total order, every stage
-    parallel past the size threshold. Equivalent to
-    ``row_number().over(Window.orderBy(*order_cols))``."""
+    """Exact global row_number over a total order, window-free on
+    every path. Equivalent to
+    ``row_number().over(Window.orderBy(<order>))``."""
+    if small_threshold:
+        # Cache before the size probe: the probe, the keys aggregate
+        # and the ranked branch all re-read this input, whose upstream
+        # pipeline may be corpus-sized even when the rank input is not.
+        df = df.cache()
+    if small_threshold:
+        # Cache before the size probe: the probe, the keys aggregate
+        # and the ranked branch all re-read this input, whose upstream
+        # pipeline may be corpus-sized even when the rank input is not.
+        df = df.cache()
+    if small_threshold:
+        # Cache before the size probe: the probe, the keys aggregate
+        # and the ranked branch all re-read this input, whose upstream
+        # pipeline may be corpus-sized even when the rank input is not.
+        df = df.cache()
     if small_threshold and df.count() <= small_threshold:
-        return df.withColumn(
-            out, F.row_number().over(Window.orderBy(*order_cols))
-        )
-    r = _with_partition_offsets(df, order_cols)
+        j = _with_keys_array(df, order)
+        return j.withColumn(out, _bounded_rn(order).cast("int")).drop(_KS)
+    r = _with_partition_offsets(df, order)
     return r.withColumn(out, (F.col(_LRN) + F.col(_OFF)).cast("int")).drop(
         _PID, _LRN, _OFF
     )
 
 
+def _ntile_bucket(rn: Column, t: Column, n_buckets: int) -> Column:
+    """SQL ntile(n) size rule from a 1-based row number and total
+    count: the first t mod n buckets get one extra row."""
+    base = F.floor(t / n_buckets)
+    rem = t % n_buckets
+    cut = rem * (base + 1)
+    return F.when(rn <= cut, F.floor((rn - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((rn - 1 - cut) / F.greatest(base, F.lit(1))) + 1
+    )
+
+
 def global_ntile(
     df: DataFrame,
-    order_cols: list[Column],
+    order: OrderSpec,
     n_buckets: int,
     out: str = "bucket",
-    small_threshold: int = SMALL_RANK_INPUT,
+    small_threshold: int = BOUNDED_RANK_INPUT,
 ) -> DataFrame:
-    """Exact SQL ntile(n) over a total order. Past the size threshold
-    it avoids the single-partition window: global row_number + the
-    ntile size rule (first n_total mod n buckets get one extra
-    row)."""
+    """Exact SQL ntile(n) over a total order, window-free: global
+    row_number + the ntile size rule (first n_total mod n buckets get
+    one extra row)."""
     if small_threshold and df.count() <= small_threshold:
-        return df.withColumn(
-            out, F.ntile(n_buckets).over(Window.orderBy(*order_cols))
+        j = _with_keys_array(df, order)
+        bucket = _ntile_bucket(
+            _bounded_rn(order), F.size(F.col(_KS)).cast("long"), n_buckets
         )
-    r = _with_partition_offsets(df, order_cols)
+        return j.withColumn(out, bucket.cast("int")).drop(_KS)
+    r = _with_partition_offsets(df, order)
     # n_total attaches as a broadcast scalar (an unbounded window
     # frame would itself be a single-partition window).
     n_total = r.agg(F.count(F.lit(1)).cast("long").alias("_t"))
     r = r.crossJoin(F.broadcast(n_total))
     rn = F.col(_LRN) + F.col(_OFF)
-    base = F.floor(F.col("_t") / n_buckets)
-    rem = F.col("_t") % n_buckets
-    cut = rem * (base + 1)
-    bucket = F.when(
-        rn <= cut, F.floor((rn - 1) / (base + 1)) + 1
-    ).otherwise(rem + F.floor((rn - 1 - cut) / F.greatest(base, F.lit(1))) + 1)
+    bucket = _ntile_bucket(rn, F.col("_t"), n_buckets)
     return r.withColumn(out, bucket.cast("int")).drop(_PID, _LRN, _OFF, "_t")
 
 
 def global_cumsum(
     df: DataFrame,
-    order_cols: list[Column],
+    order: OrderSpec,
     val: str,
     out: str = "cum",
-    small_threshold: int = SMALL_RANK_INPUT,
+    small_threshold: int = BOUNDED_RANK_INPUT,
 ) -> DataFrame:
-    """Exact global running sum of `val` over a total order (rows
-    unbounded-preceding through current), every stage parallel past
-    the size threshold."""
+    """Exact global running sum of integral `val` over a total order
+    (rows unbounded-preceding through current), window-free on every
+    path. `val` must be an integral column — integer addition is
+    order-independent, so the broadcast-array fold, the partitioned
+    window, and any engine's frame sum are bit-identical (the repo's
+    money discipline: cents-longs, never raw doubles)."""
+    from pyspark.sql.types import IntegralType
+
+    assert isinstance(df.schema[val].dataType, IntegralType), (
+        f"global_cumsum requires an integral val column, got "
+        f"{df.schema[val].dataType} for {val!r}"
+    )
     if small_threshold and df.count() <= small_threshold:
-        w = Window.orderBy(*order_cols).rowsBetween(
-            Window.unboundedPreceding, 0
+        j = _with_keys_array(df, order, extra=[val])
+        cum = F.aggregate(
+            F.filter(F.col(_KS), lambda x: _ahead(x, order, strict=False)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x[val].cast("long"),
         )
-        return df.withColumn(out, F.sum(val).over(w))
-    r = _with_partition_offsets(df, order_cols, extra_sum=val)
-    local = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        return j.withColumn(out, cum).drop(_KS)
+    r = _with_partition_offsets(df, order, extra_sum=val)
+    local = Window.partitionBy(_PID).orderBy(*_sort_cols(order)).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return r.withColumn(

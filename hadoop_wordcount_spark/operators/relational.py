@@ -2306,13 +2306,13 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = base.cache()
     r = global_ntile(
-        base, [F.asc("recency_days"), F.asc("o_custkey")], 4, out="_r"
+        base, [("recency_days", False), ("o_custkey", False)], 4, out="_r"
     )
     r = global_ntile(
-        r, [F.desc("frequency"), F.asc("o_custkey")], 4, out="_f"
+        r, [("frequency", True), ("o_custkey", False)], 4, out="_f"
     )
     r = global_ntile(
-        r, [F.desc("monetary"), F.asc("o_custkey")], 4, out="_m"
+        r, [("monetary", True), ("o_custkey", False)], 4, out="_m"
     )
     return r.select(
         "o_custkey",
@@ -2685,7 +2685,7 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val_c", F.round(F.col("val") * 100, 0).cast("long"))
     tot = pv.agg(F.sum("val_c").alias("t_c"))
     ranked = global_cumsum(
-        pv, [F.desc("val"), F.asc("l_partkey")], "val_c", out="run_c"
+        pv, [("val", True), ("l_partkey", False)], "val_c", out="run_c"
     )
     share_before = (F.col("run_c") - F.col("val_c")) / F.col("t_c")
     cls = ranked.crossJoin(F.broadcast(tot)).select(
@@ -3095,15 +3095,28 @@ def q_orders_forecast_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal-exact values rounded at 2 — identical on both
     engines."""
     o = _t(spark, sf_dir, "orders")
+    # Cached: the sorted-series array and the main branch both read
+    # the |months|-row rollup.
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
         _sum_money(F.col("o_totalprice")).alias("revenue")
+    ).cache()
+    # The trailing frame runs window-free on the dimension-bounded
+    # month series: collect the (mon, revenue) series ONCE, sorted
+    # ascending (array_sort on the struct orders by mon — unique), and
+    # broadcast it; each row slices its last-3-strictly-before months.
+    # The fold adds revenues in the same mon-ascending order the
+    # window frame did, so the double arithmetic is bit-identical.
+    series = m.agg(
+        F.array_sort(F.collect_list(F.struct("mon", "revenue"))).alias("_ms")
     )
-    w = Window.orderBy("mon").rowsBetween(-3, -1)
-    f = m.select(
+    prior = F.filter(F.col("_ms"), lambda x: x["mon"] < F.col("mon"))
+    win = F.slice(prior, F.greatest(F.size(prior) - 2, F.lit(1)), 3)
+    hist_sum = F.aggregate(win, F.lit(0.0), lambda a, x: a + x["revenue"])
+    f = m.crossJoin(F.broadcast(series)).select(
         "mon",
         "revenue",
-        F.round(F.avg("revenue").over(w), 2).alias("forecast"),
-        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.round(hist_sum / F.size(win), 2).alias("forecast"),
+        F.size(win).cast("long").alias("n_hist"),
     )
     return f.filter(F.col("n_hist") == 3).select(
         F.date_format("mon", "yyyy-MM").alias("mon"),
@@ -3347,8 +3360,13 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     partial = lambda df: df.groupBy("yr", "mon").agg(  # noqa: E731
         F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("psum")
     )
-    base_state = partial(o.filter(F.col("o_orderdate") < cutoff))
-    delta_state = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    # The base/delta split must be EXHAUSTIVE: a NULL o_orderdate
+    # fails both `< cutoff` and `>= cutoff`, which would silently drop
+    # the row while the from-scratch oracle keeps it — so NULL dates
+    # ride in the base branch via coalesce-to-false on the delta test.
+    is_delta = F.col("o_orderdate") >= cutoff
+    base_state = partial(o.filter(~F.coalesce(is_delta, F.lit(False))))
+    delta_state = partial(o.filter(is_delta))
     return (
         base_state.unionByName(delta_state)
         .groupBy("yr", "mon")
@@ -3711,7 +3729,7 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = existing.agg(F.max("sk").alias("mx"))
     incoming = global_row_number(
         c.filter(F.col("c_custkey") >= 1000),
-        [F.asc("c_name"), F.asc("c_custkey")],
+        [("c_name", False), ("c_custkey", False)],
         out="rn",
     )
     assigned = incoming.crossJoin(F.broadcast(mx)).select(
@@ -3893,7 +3911,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sweep = global_cumsum(
         pts,
-        [F.asc("us"), F.asc("delta"), F.asc("user_id"), F.asc("session_id")],
+        [("us", False), ("delta", False), ("user_id", False), ("session_id", False)],
         "delta",
         out="live",
     ).cache()
@@ -4024,4 +4042,47 @@ def q_snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.coalesce("cb", F.lit(0)) - F.coalesce("ca", F.lit(0))) / 100.0, 2
         ).alias("revenue_delta"),
+    )
+
+
+@query(
+    "aqe_skew_join",
+    oracle=f"""
+        SELECT p.p_brand,
+               count(*) AS n_rows,
+               {_sum_money_sql("l.l_extendedprice")} AS revenue
+        FROM lineitem l JOIN part p
+          ON p.p_partkey = CASE WHEN l.l_partkey % 5 < 3
+                                THEN 1 ELSE l.l_partkey END
+        GROUP BY p.p_brand
+    """,
+)
+def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-dim shuffle join left to ADAPTIVE skew handling:
+    ~60% of lineitem rows collapse onto one hot join key (partkey 1),
+    the classic hot-partition shape, and the plan pins the
+    shuffle-merge path (`hint("merge")`) WITHOUT hand-salting — at
+    cluster scale AQE's OptimizeSkewedJoin detects the oversized
+    partition at runtime and splits it across reducers, each split
+    joining a duplicated copy of the matching dim rows. This is the
+    mechanism a 1000-executor job actually relies on for unforeseen
+    skew; `skew_salted_join` is the explicit always-works twin for
+    when the skew is known in advance. Correctness is
+    AQE-independent (the oracle is the plain join), and
+    `tests/test_plan_quality.py::test_aqe_skew_join_split_fires`
+    executes this query under test-scale skew thresholds and asserts
+    the AQE-rewritten join carries `skew=true`."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    hot = F.when(F.col("l_partkey") % 5 < 3, F.lit(1)).otherwise(
+        F.col("l_partkey")
+    )
+    fact = li.select(hot.alias("k"), "l_extendedprice")
+    return (
+        fact.join(p.hint("merge"), fact["k"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _sum_money(F.col("l_extendedprice")).alias("revenue"),
+        )
     )

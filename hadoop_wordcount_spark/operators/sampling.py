@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from hadoop_wordcount_spark.registry import query
 from hadoop_wordcount_spark.sources.tables import load_table
@@ -222,22 +221,25 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     stage is a single partial-agg scan; everything after is
     constant-sized. Shares are integer-token ratios (exact doubles);
     pow/normalize round to 6 before comparison."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split("text", " ", -1), lambda w: w != ""))
+    # Cached: both normalization totals re-read the |sources|-row
+    # aggregate. Each total joins back as a broadcast scalar — the
+    # former empty-partition windows planned a single-partition
+    # WindowExec (with its warning) over an already-tiny table.
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("n_tokens"),
-    )
-    w_all = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    ).cache()
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    share = F.col("n_tokens") / F.col("_t")
     pw = F.pow(share, 0.7)
-    sh = per.select(
+    sh = per.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens", share.alias("share"), pw.alias("pw")
-    )
-    weight = F.col("pw") / F.sum("pw").over(w_all)
-    return sh.select(
+    ).cache()
+    totp = sh.agg(F.sum("pw").alias("_tp"))
+    weight = F.col("pw") / F.col("_tp")
+    return sh.crossJoin(F.broadcast(totp)).select(
         "source",
         "n_docs",
         "n_tokens",
@@ -433,9 +435,11 @@ def q_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins it).
 
     Scale: one token-count aggregation (map-side combined); the
-    allocation itself runs on the |sources|-row table — the window
-    is dimension-bounded by construction.
+    allocation itself runs on the |sources|-row table — the rank is
+    the window-free `ranking.global_row_number` (broadcast
+    count-ahead on the dimension-bounded input).
     """
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
     from hadoop_wordcount_spark.operators.wordcount import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -443,28 +447,23 @@ def q_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.size(tokens_col(F.col("text"))).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n_tok"))
+        .cache()
     )
     tot = avail.agg(F.sum("n_tok").alias("t"))
+    # Integer `div`, not floor(double /): Spark's `/` on longs is
+    # double division, so past 2^53 the floor could drift by 1 vs the
+    # oracle's integer `//` (same discipline as relational.py's money
+    # cents).
     quota = avail.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tok",
-        ((F.lit(_LR_BUDGET) * F.col("n_tok")) / F.col("t"))
-        .cast("long")
-        .alias("_div_check"),
-        F.floor((F.lit(_LR_BUDGET) * F.col("n_tok")) / F.col("t"))
-        .cast("long")
-        .alias("base"),
+        F.expr(f"({_LR_BUDGET} * n_tok) div t").cast("long").alias("base"),
         ((F.lit(_LR_BUDGET) * F.col("n_tok")) % F.col("t")).alias("rem_num"),
-    ).drop("_div_check")
-    slots = quota.agg((F.lit(_LR_BUDGET) - F.sum("base")).alias("r"))
-    ranked = quota.select(
-        "source",
-        "n_tok",
-        "base",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rem_num"), F.asc("source")))
-        .alias("rk"),
     )
+    slots = quota.agg((F.lit(_LR_BUDGET) - F.sum("base")).alias("r"))
+    ranked = global_row_number(
+        quota, [("rem_num", True), ("source", False)], out="rk"
+    ).select("source", "n_tok", "base", "rk")
     return ranked.crossJoin(F.broadcast(slots)).select(
         "source",
         "n_tok",

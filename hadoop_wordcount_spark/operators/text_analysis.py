@@ -1154,7 +1154,7 @@ def q_perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = q_bigram_logprob(spark, sf_dir)
     bk = global_ntile(
         lp.select("avg_logprob", "doc_id"),
-        [F.asc("avg_logprob"), F.asc("doc_id")],
+        [("avg_logprob", False), ("doc_id", False)],
         10,
         out="b",
     ).select("avg_logprob", F.col("b").cast("long").alias("bucket"))
@@ -1281,8 +1281,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one token-frequency aggregate, a TakeOrderedAndProject for
     the deterministic top-100 cut (count DESC, word — tie-safe),
     then closed-form regression over 100 points via two tiny
-    aggregates. The rank window runs on 100 rows, not the
+    aggregates. The rank is `ranking.global_row_number`'s window-free
+    broadcast count-ahead over the 100-row cut, never the
     vocabulary."""
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
+
     d = _docs(spark, sf_dir)
     freq = (
         d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
@@ -1290,12 +1293,8 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     top = freq.orderBy(F.desc("c"), F.asc("w")).limit(100)
-    pts = top.select(
-        F.log(
-            F.row_number()
-            .over(Window.orderBy(F.desc("c"), F.asc("w")))
-            .cast("double")
-        ).alias("x"),
+    pts = global_row_number(top, [("c", True), ("w", False)], out="_rk").select(
+        F.log(F.col("_rk").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
     m = pts.agg(
@@ -1640,4 +1639,57 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chr") * 1.0 / F.sum("n_sym"), 4
             ).alias("chars_per_token"),
         )
+    )
+
+
+# Distributed grep with captured groups. Pattern kept to constructs
+# Java regex (Spark) and RE2 (DuckDB) interpret identically: \b word
+# boundaries, alternation, [a-z] classes — no backrefs, no lookaround.
+_GREP_PAT = r"\b(sc|st|sp)([a-z]+)\b"
+
+
+@query(
+    "grep_regex_groups",
+    oracle=rf"""
+        WITH m AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(text, '{_GREP_PAT}', 1) AS pre,
+                   regexp_extract_all(text, '{_GREP_PAT}', 2) AS stem
+            FROM documents)
+        SELECT doc_id, source,
+               CAST(len(stem) AS BIGINT) AS n_matches,
+               array_to_string(pre, ',') AS prefixes,
+               array_to_string(stem, ',') AS stems
+        FROM m WHERE len(stem) > 0
+    """,
+)
+def q_grep_regex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep with captured groups: every document matching
+    `\\b(sc|st|sp)([a-z]+)\\b`, with the per-occurrence capture-group
+    extractions (prefix digraph, stem remainder) in document order —
+    the `grep -oP '...(...)...'` of a 100 TB corpus. Complements
+    `grep_filter` (boolean rlike match) with the structured form real
+    pipelines want: which substrings matched, not just which rows.
+
+    Plan: pure scan-level projection + filter — regexp_extract_all is
+    a JVM codegen'd expression, occurrence order is the regex
+    engine's left-to-right scan in both engines, and the
+    size()-guard filter doubles as the grep predicate, so no shuffle
+    touches document bodies at any scale. Reference: the grep surface
+    generalizes O4's tokenizer scan (MapClass.java:21-24)."""
+    d = _docs(spark, sf_dir)
+    pre = F.regexp_extract_all(F.col("text"), F.lit(_GREP_PAT), F.lit(1))
+    stem = F.regexp_extract_all(F.col("text"), F.lit(_GREP_PAT), F.lit(2))
+    m = d.select(
+        "doc_id",
+        "source",
+        pre.alias("pre"),
+        stem.alias("stem"),
+    )
+    return m.filter(F.size("stem") > 0).select(
+        "doc_id",
+        "source",
+        F.size("stem").cast("long").alias("n_matches"),
+        F.array_join("pre", ",").alias("prefixes"),
+        F.array_join("stem", ",").alias("stems"),
     )

@@ -43,96 +43,38 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # steal-window cannot contaminate a whole family at once (see
 # DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
-    # -- Round-5 verification head, ~50-row driver budget (r04 checked
-    # exactly 50). 52 queries are NEW this round; all-new-first would
-    # starve the r01/r02-stale families a third round (the r4
-    # verdict's named gap). Interleave 2 new : 1 stale so one budget
-    # pass yields first rows for the 33 highest-novelty new ops AND
-    # refreshes the 17 stalest entries (full streaming block, sinks,
-    # window/lag, multimodal, scalar/JSON). The 19 remaining new ops
-    # (mostly TPC-H shapes with strong local parity evidence) and the
-    # remaining stale block follow, rolling into round 6's budget.
-    # Round-5 continuation batch 6 (newest — no driver row yet):
-    "cluster_topic_terms",
-    "curriculum_shards",
-    "kmv_distinct_per_source",
-    "skew_key_report",
-    "cdc_apply_changes",
-    "scd2_dimension",
-    "cogroup_merge_asof",
-    "python_datasource_sink",
-    "expectations_report",
-    "hybrid_retrieval_rrf",
-    "bloom_semi_join_audit",
-    "grouped_agg_trimmed_mean",
-    "observed_scan",
-    "surrogate_keys",
-    "ab_test_conversion",
-    "peak_concurrency",
-    "label_propagation_communities",
-    "null_semantics_audit",
-    "snapshot_diff_report",
-    "embedding_drift_by_source",
-    "budget_largest_remainder",
-    "heavy_hitters_cms",
-    "kmv_source_overlap",
-    "dpp_partition_pruned_join",
-    "weighted_sample_bernoulli",
-    "incremental_agg_maintenance",
-    "redact_digit_runs",
-    "bpe_encode_stats",
-    "shuffle_hash_join",
-    "contrastive_hard_negatives",
-    "embedding_abtt",
-    "streaming_event_counts",
-    "tpch_q12_like",
-    "bpe_merges_train",
-    "streaming_sliding_windows",
-    "audio_frame_energy",
-    "event_anomaly_mad",
-    "streaming_session_windows",
-    "discount_elasticity",
-    "semdedup_prune",
-    "streaming_stream_join",
-    "source_token_mi",
-    "kl_divergence_sources",
-    "streaming_wordcount",
-    "orders_forecast_ma",
-    "dsir_importance_weight",
-    "sink_roundtrip_csv",
-    "embedding_power_iteration",
-    "bigram_triangle_count",
-    "sink_roundtrip_json",
+    # -- Round-6 verification head, ~50-row driver budget. The r5
+    # verdict's #1 directive: retire the driver-ledger debt. Order:
+    # (a) queries NEW in round 6 (need a first row), then (b) the 38
+    # entries that had never had a driver CORRECTNESS row through r05
+    # (all judge-verified green in the r5 session, but the official
+    # ledger should say so), then (c) the 36 whose last green row is
+    # r01/r02 (multimodal, sinks, window/lag, scalar/JSON, classic
+    # joins). A ~50-row budget covers (a)+(b)+the head of (c); the
+    # rest of (c) rolls into round 7's head.
+    # (a) new in round 6:
+    "grep_regex_groups",
+    "aqe_skew_join",
+    # (b) never driver-checked through r05:
     "basket_part_pairs",
     "tpch_q8_like",
-    "sink_roundtrip_orc",
     "tpch_q9_like",
     "tpch_q17_like",
-    "sink_partitioned_parquet",
     "python_stream_source",
     "sql_recursive_cte",
-    "window_topk_orders",
     "batch_session_window",
     "event_xml_roundtrip",
-    "rank_dense_ntile",
     "grouping_sets_mix",
     "dedup_containment",
-    "running_event_value",
     "dedup_threshold_sweep",
     "dedup_graph_degree_report",
-    "lag_event_gap",
     "winnowing_fingerprint",
     "collocations_pmi",
-    "multimodal_meta",
     "quality_gopher_rules",
     "mixture_temperature_weights",
-    "multimodal_decode",
     "embedding_cell_stats",
     "perplexity_bucket_report",
-    "scalar_functions_mix",
     "orders_abc_pareto",
-    "event_props_json",
-    # -- remainder: 19 new (local-parity-backed) then stale rotation --
     "tpch_q14_like",
     "tpch_q16_like",
     "tpch_q2_like",
@@ -152,6 +94,17 @@ _PRIORITY: list[str] = [
     "words_intersect_all",
     "ngram_entropy",
     "zipf_fit",
+    # (c) stale — last green row r01/r02:
+    "sink_roundtrip_orc",
+    "sink_partitioned_parquet",
+    "window_topk_orders",
+    "rank_dense_ntile",
+    "running_event_value",
+    "lag_event_gap",
+    "multimodal_meta",
+    "multimodal_decode",
+    "scalar_functions_mix",
+    "event_props_json",
     "join_orders_customer",
     "map_ops_mix",
     "join_multi",
@@ -177,8 +130,9 @@ _PRIORITY: list[str] = [
     "pivot_status",
     "array_ops_mix",
     "semi_join_customers",
-    # -- last green r03/r04 follows (fresh enough); registration order
-    # fills the remainder ---------------------------------------------
+    "broadcast_join_parts",
+    # -- last green r03/r04/r05 follows (fresh enough); registration
+    # order fills the remainder ---------------------------------------
 ]
 
 

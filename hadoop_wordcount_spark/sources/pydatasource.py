@@ -280,6 +280,21 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class JsonlDirWriter(DataSourceWriter):
+    """One JSONL file per task with driver-side two-phase commit.
+
+    ASSUMES A SHARED FILESYSTEM between driver and executors: tasks
+    write `_tmp-*.jsonl` side files with local `open()` and the
+    driver's `commit()` publishes them with `os.replace` on the same
+    paths — correct in local mode (and on NFS-style shared mounts);
+    a multi-node object-store deployment would instead publish via
+    the store's rename/multipart-commit API inside each task and make
+    commit() a manifest write. "Exactly-once" here is exactly-once
+    over PUBLISHED files: a task that dies before returning its
+    commit message leaves an orphan `_tmp-*.jsonl` that abort() never
+    hears about (Spark only reports messages it received), so
+    commit() sweeps stale `_tmp-*` files after publishing — readers
+    are safe either way because Spark skips `_`-prefixed files."""
+
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
@@ -302,10 +317,21 @@ class JsonlDirWriter(DataSourceWriter):
         return _JsonlCommit(tmp, final)
 
     def commit(self, messages):
+        import glob
         import os
 
+        published = set()
         for m in messages:
             os.replace(m.tmp_path, m.final_path)
+            published.add(m.tmp_path)
+        # Sweep orphans from tasks that died before reporting a commit
+        # message (abort() never sees those) — see class docstring.
+        for stale in glob.glob(os.path.join(self.path, "_tmp-*.jsonl")):
+            if stale not in published:
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages):
         import os

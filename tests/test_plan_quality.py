@@ -74,7 +74,7 @@ def test_no_cartesian_in_pair_joins(spark, sf_dir):
     """Blocked pair generation (dedup/knn) must stay equi-join —
     a cartesian product here is the n² trap at scale."""
     for name in ("dedup_ngram_jaccard", "knn_block_join", "dedup_minhash_banded",
-                 "dedup_embedding_cosine", "dedup_ngram_jaccard_lsh",
+                 "dedup_ngram_jaccard_lsh",
                  "dedup_simhash_pairs", "repeated_spans_verified",
                  "decontaminate_vs_eval", "bm25_topk", "unigram_logprob",
                  "dedup_incremental", "dedup_embedding_cosine_ivf"):
@@ -333,3 +333,49 @@ def test_shuffle_hash_join_strategy_pinned(spark, sf_dir):
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_aqe_skew_join_split_fires(spark, sf_dir, tmp_path_factory):
+    """`aqe_skew_join` must actually trigger AQE's OptimizeSkewedJoin
+    under test-scale thresholds: the executed SortMergeJoin carries
+    `skew=true` (the hot partition was split across reducers at
+    runtime). Two test-scale accommodations, both cluster-realistic:
+    the skew thresholds shrink to the data (defaults are 256MB-sized)
+    and lineitem is rewritten as a multi-file parquet directory —
+    skew splits are per-MAPPER, and the driver's single-row-group
+    file yields exactly one effective mapper, which is unsplittable
+    by construction (a real 100 TB table has thousands of mappers)."""
+    import os
+    import shutil
+
+    skew_dir = str(tmp_path_factory.mktemp("skewsf"))
+    load_table(spark, sf_dir, "lineitem").repartition(12).write.parquet(
+        os.path.join(skew_dir, "lineitem.parquet")
+    )
+    shutil.copy(
+        os.path.join(sf_dir, "part.parquet"),
+        os.path.join(skew_dir, "part.parquet"),
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = registry.QUERIES["aqe_skew_join"](spark, skew_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

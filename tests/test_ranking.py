@@ -1,6 +1,8 @@
-"""The distributed global-ranking primitives must agree EXACTLY with
-their single-partition window equivalents, and the rewritten
-consumers must carry the range-exchange plan shape."""
+"""The global-ranking primitives (bounded broadcast count-ahead AND
+distributed range-exchange paths) must agree EXACTLY with their
+single-partition window equivalents, stay window-free on the bounded
+path, and the rewritten consumers must carry the range-exchange plan
+shape."""
 
 from __future__ import annotations
 
@@ -25,69 +27,106 @@ def _events(spark, sf_dir):
     )
 
 
+def _window_cols(order):
+    return [F.desc(n) if d else F.asc(n) for n, d in order]
+
+
 def test_global_row_number_matches_window(spark, sf_dir):
     e = _events(spark, sf_dir)
-    order = [F.desc("value"), F.asc("event_id")]
-    got = {
-        r.event_id: r.rn
-        for r in global_row_number(e, order, out="rn", small_threshold=0).collect()
-    }
+    order = [("value", True), ("event_id", False)]
     want = {
         r.event_id: r.rn
         for r in e.select(
-            "event_id", F.row_number().over(Window.orderBy(*order)).alias("rn")
+            "event_id",
+            F.row_number().over(Window.orderBy(*_window_cols(order))).alias("rn"),
         ).collect()
     }
-    assert got == want
+    for thr in (0, 10**9):  # distributed path, then bounded path
+        got = {
+            r.event_id: r.rn
+            for r in global_row_number(
+                e, order, out="rn", small_threshold=thr
+            ).collect()
+        }
+        assert got == want, f"small_threshold={thr} diverged"
 
 
 def test_global_ntile_matches_window(spark, sf_dir):
     e = _events(spark, sf_dir)
+    order = [("value", False), ("event_id", False)]
     for buckets in (4, 10, 7):
-        order = [F.asc("value"), F.asc("event_id")]
-        got = {
-            r.event_id: r.b
-            for r in global_ntile(e, order, buckets, out="b", small_threshold=0).collect()
-        }
         want = {
             r.event_id: r.b
             for r in e.select(
                 "event_id",
-                F.ntile(buckets).over(Window.orderBy(*order)).alias("b"),
+                F.ntile(buckets)
+                .over(Window.orderBy(*_window_cols(order)))
+                .alias("b"),
             ).collect()
         }
-        assert got == want, f"ntile({buckets}) diverged"
+        for thr in (0, 10**9):
+            got = {
+                r.event_id: r.b
+                for r in global_ntile(
+                    e, order, buckets, out="b", small_threshold=thr
+                ).collect()
+            }
+            assert got == want, f"ntile({buckets}) thr={thr} diverged"
 
 
 def test_global_cumsum_matches_window(spark, sf_dir):
     e = _events(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100, 0).cast("long")
     )
-    order = [F.desc("cents"), F.asc("event_id")]
-    got = {
-        r.event_id: r.cum
-        for r in global_cumsum(e, order, "cents", out="cum", small_threshold=0).collect()
-    }
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    order = [("cents", True), ("event_id", False)]
+    w = Window.orderBy(*_window_cols(order)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     want = {
         r.event_id: r.cum
-        for r in e.select(
-            "event_id", F.sum("cents").over(w).alias("cum")
-        ).collect()
+        for r in e.select("event_id", F.sum("cents").over(w).alias("cum")).collect()
     }
-    assert got == want
+    for thr in (0, 10**9):
+        got = {
+            r.event_id: r.cum
+            for r in global_cumsum(
+                e, order, "cents", out="cum", small_threshold=thr
+            ).collect()
+        }
+        assert got == want, f"small_threshold={thr} diverged"
+
+
+def test_bounded_path_is_window_free(spark, sf_dir):
+    """The bounded path must contain NO window node at all (it is the
+    fix for the 'No Partition Defined for Window' single-partition
+    plan — Catalyst folds constant partition keys, so the only safe
+    form is no window), and no shuffle of the data rows either: its
+    only exchange is the key-array partial aggregate."""
+    e = _events(spark, sf_dir)
+    order = [("value", True), ("event_id", False)]
+    for df in (
+        global_row_number(e, order, small_threshold=10**9),
+        global_ntile(e, order, 4, small_threshold=10**9),
+        global_cumsum(
+            e.withColumn("c", F.lit(1).cast("long")),
+            order,
+            "c",
+            small_threshold=10**9,
+        ),
+    ):
+        plan = formatted_plan(df)
+        assert "Window" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
 
 
 def test_distributed_rank_plan_shape(spark, sf_dir):
     """Past the size threshold the primitives must range-partition
-    (the parallel path); at test scale the registry consumers take
-    the adaptive small-input window, and the hybrid retrieval's list
-    cuts must be TakeOrderedAndProject k-heaps either way."""
+    (the parallel path) and keep every Window node partitioned; the
+    hybrid retrieval's list cuts must be TakeOrderedAndProject k-heaps
+    either way."""
     e = _events(spark, sf_dir)
     plan = formatted_plan(
-        global_ntile(
-            e, [F.asc("value"), F.asc("event_id")], 10, small_threshold=0
-        )
+        global_ntile(e, [("value", False), ("event_id", False)], 10, small_threshold=0)
     )
     assert "rangepartitioning" in plan, plan
     plan = formatted_plan(registry.QUERIES["hybrid_retrieval_rrf"](spark, sf_dir))
