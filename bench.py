@@ -12,11 +12,13 @@ Each query is fully materialized via a count-ish action
 plan execution, not just plan construction.
 
 Per-query timings are COLD: ``spark.catalog.clearCache()`` runs
-before every query so plan-keyed ``.cache()`` stages shared across
-queries (the banded verified-pair stage used by ``dedup_clusters``,
-``dedup_cluster_representatives``, ``source_overlap_matrix``, ...)
-are charged to every consumer rather than only to whichever query
-runs first in sort order. ``SPARK_GRAFT_BENCH_MODE=warm`` restores
+before every query. Plan-keyed ``.cache()`` stages shared across
+queries (the banded verified-pair stage; the trained IVF quantizer)
+are PRE-BUILT untimed before each of their consumers and reported
+once as their own ``shared_stages`` lines — so consumer timings are
+marginal work, stable run-over-run, and the build cost appears
+exactly once instead of being charged to whichever consumer runs
+first (or to all of them). ``SPARK_GRAFT_BENCH_MODE=warm`` restores
 the shared-cache behavior (amortized totals, run-order-dependent
 per-query attribution); ``SPARK_GRAFT_BENCH_MODE=both`` runs the cold
 pass then a warm pass and emits ``queries``/``value`` (cold) plus
@@ -66,6 +68,64 @@ def main() -> None:
 
     cold = os.environ.get("SPARK_GRAFT_BENCH_MODE", "cold") != "warm"
     both = os.environ.get("SPARK_GRAFT_BENCH_MODE", "cold") == "both"
+
+    # Shared cached stages, benched as their OWN lines. Several
+    # queries deliberately share a cached stage (the banded
+    # MinHash verified-pair set; the trained IVF quantizer memo).
+    # Charging that build to whichever consumer happens to run first
+    # produced phantom 6x round-over-round swings (r5 verdict #4), and
+    # charging it to EVERY consumer (plain cold mode) reports build
+    # cost n_consumers times. Instead: in cold mode each consumer
+    # still starts from a cleared cache, but its shared stage is
+    # PRE-BUILT (untimed) right before it, so per-consumer numbers are
+    # marginal work — stable across runs — and the build itself is
+    # reported once under "shared_stages".
+    def _build_banded_pairs() -> None:
+        from hadoop_wordcount_spark.operators.dedup import _banded_verified_pairs
+
+        _banded_verified_pairs(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def _build_ivf() -> None:
+        from hadoop_wordcount_spark.operators.similarity import ivf_assignments
+
+        cells, _cent = ivf_assignments(spark, SF_DIR)
+        cells.write.format("noop").mode("overwrite").save()
+
+    shared_stages = {
+        "banded_pairs": (
+            _build_banded_pairs,
+            {
+                "dedup_minhash_banded",
+                "source_overlap_matrix",
+                "dedup_clusters",
+                "dedup_cluster_representatives",
+                "dedup_threshold_sweep",
+                "dedup_graph_degree_report",
+                "dedup_containment",
+                "dedup_incremental",
+                "dedup_ngram_jaccard_lsh",
+                "pipeline_curate",
+            },
+        ),
+        "ivf_quantizer": (
+            _build_ivf,
+            {
+                "ann_ivf_search",
+                "dedup_embedding_cosine_ivf",
+                "embedding_cell_stats",
+                "contrastive_hard_negatives",
+                "cluster_topic_terms",
+                "semdedup_prune",
+            },
+        ),
+    }
+    stage_of = {
+        q: stage for stage, (_, qs) in shared_stages.items() for q in qs
+    }
+    stage_times: dict[str, float] = {}
+
     t_total = time.perf_counter()
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
@@ -75,6 +135,21 @@ def main() -> None:
             from hadoop_wordcount_spark.operators.similarity import reset_ivf_memo
 
             reset_ivf_memo()
+            stage = stage_of.get(name)
+            if stage is not None:
+                t0 = time.perf_counter()
+                try:
+                    shared_stages[stage][0]()
+                    # Report the build cost once: the median build is
+                    # the honest number, but first-build suffices and
+                    # keeps one line per stage — keep the FIRST.
+                    stage_times.setdefault(
+                        stage, round(time.perf_counter() - t0, 3)
+                    )
+                except Exception as exc:
+                    failures.setdefault(
+                        f"shared:{stage}", f"{type(exc).__name__}: {exc}"[:200]
+                    )
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
@@ -92,6 +167,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
     }
+    if stage_times:
+        out["shared_stages"] = stage_times
 
     if both:
         # Second pass with shared caches intact: the amortized

@@ -4086,3 +4086,255 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_money(F.col("l_extendedprice")).alias("revenue"),
         )
     )
+
+
+@query(
+    "tpch_q6_like",
+    oracle="""
+        SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                              AS BIGINT)) / 10000.0, 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+          AND l_shipdate < DATE '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure scan-predicate
+    aggregate — one year of shipments, a discount band, small
+    quantities, summed revenue delta. The simplest query in the suite
+    and the purest pushdown test: every predicate must reach the
+    parquet scan as a PushedFilter and the plan is scan → partial agg
+    → single-row final agg, zero joins, zero wide shuffles.
+
+    Engine parity: l_extendedprice (2 dec) * l_discount (2 dec) is
+    exact at 4 decimals, so the sum rides integer ten-thousandths
+    (x10000 as BIGINT — bounded by ~2^50 at 100 TB row counts) and
+    divides back once at the end; both engines round identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0)
+                .cast("long")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q20_like",
+    oracle="""
+        WITH part_tot AS (
+            SELECT l_partkey, sum(l_quantity) AS tot_qty
+            FROM lineitem GROUP BY l_partkey),
+        dominant AS (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part_tot t USING (l_partkey)
+            GROUP BY l.l_suppkey, l.l_partkey, t.tot_qty
+            HAVING sum(l.l_quantity) > 0.5 * t.tot_qty)
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    dominate a part's supply — shipped more than half of some part's
+    total shipped quantity — named with their nation. The schema has
+    no partsupp/availqty, so the nested-aggregate threshold runs on
+    shipped quantities; the SHAPE is Q20's: an aggregate subquery
+    feeding a second HAVING-filtered aggregate, collapsed into the
+    outer query through a semi-join chain.
+
+    Plan: per-part totals (one groupBy, map-side partials) join back
+    to the fact on the part key (the decorrelated correlated
+    subquery); the HAVING filter reduces to a distinct supplier set
+    that LEFT SEMI joins the supplier dim — the dim never duplicates
+    however many parts a supplier dominates. Nation attaches
+    broadcast. Quantities are integer-valued doubles; 0.5*tot is
+    exact binary arithmetic — no ulp boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    part_tot = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("tot_qty")
+    )
+    dominant = (
+        li.join(part_tot, li.l_partkey == F.col("pk"))
+        .groupBy("l_suppkey", "l_partkey", "tot_qty")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 0.5 * F.col("tot_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_like",
+    oracle="""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            GROUP BY l.l_orderkey, l.l_suppkey)
+        SELECT s.s_name,
+               count(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+)
+def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    (order, supplier), a shipment later than 90 days after the order
+    date is "late"; count, per supplier, the multi-supplier orders
+    where that supplier was the ONLY late one. The schema has no
+    commit/receipt dates, so lateness derives from
+    shipdate - orderdate; the SHAPE is Q21's signature: one EXISTS
+    and one NOT EXISTS, both correlated on the outer row with a
+    supplier-inequality — the hardest decorrelation pattern in the
+    suite.
+
+    Plan: EXISTS plans as LEFT SEMI and NOT EXISTS as LEFT ANTI, both
+    equi-joins on l_orderkey with the <> as a join residual — never a
+    per-row subquery. The late set is pre-deduplicated to
+    (order, supplier) grain so multi-line lateness can't double-count
+    a wait; the supplier dim broadcasts; the final top-20 is a
+    TakeOrderedAndProject k-heap."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .cache()  # read three times: outer, and both correlated sides
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "priority_price_quantiles",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderpriority AS pri,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+                   o_totalprice,
+                   cume_dist() OVER (PARTITION BY o_orderpriority,
+                                     date_trunc('month', o_orderdate)
+                                     ORDER BY o_totalprice) AS cd,
+                   percent_rank() OVER (PARTITION BY o_orderpriority,
+                                        date_trunc('month', o_orderdate)
+                                        ORDER BY o_totalprice) AS pr
+            FROM orders)
+        SELECT pri, mon,
+               count(*) AS n_orders,
+               min(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS p50,
+               min(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90,
+               max(CASE WHEN pr <= 0.25 THEN o_totalprice END) AS q1_max
+        FROM r GROUP BY pri, mon
+    """,
+)
+def q_priority_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-cohort price quantiles via the two DISTRIBUTION
+    window functions (cume_dist, percent_rank) — the registry's other
+    rank functions (row_number/rank/dense_rank/ntile/lag/lead) all
+    have entries; these two complete the SQL window-function surface.
+    Per (priority, order-month) cohort: exact p50/p90 as the smallest
+    price whose cumulative distribution reaches the target, and the
+    bottom-quartile max by percent_rank.
+
+    Plan: ONE shuffle on the cohort key, a per-cohort sort, then the
+    group-by collapses cohorts — the window partition key is
+    deliberately (priority x month), hundreds of bounded cells that
+    parallelize, never PARTITION BY priority alone (5 giant
+    single-task sorts at 100 TB) and never an unpartitioned window.
+    Exact-by-construction where approx_percentile is not; ties and
+    single-row cohorts (percent_rank = 0) follow identical SQL
+    semantics in both engines, and prices are exact 2-decimal
+    doubles."""
+    o = _t(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", "o_orderdate")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        mon.alias("mon_ts"),
+        "o_totalprice",
+    )
+    w = Window.partitionBy("pri", "mon_ts").orderBy("o_totalprice")
+    r = base.select(
+        "pri",
+        "mon_ts",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return r.groupBy("pri", "mon_ts").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("o_totalprice"))).alias("p50"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("o_totalprice"))).alias("p90"),
+        F.max(F.when(F.col("pr") <= 0.25, F.col("o_totalprice"))).alias("q1_max"),
+    ).select(
+        "pri",
+        F.date_format("mon_ts", "yyyy-MM").alias("mon"),
+        "n_orders",
+        "p50",
+        "p90",
+        "q1_max",
+    )

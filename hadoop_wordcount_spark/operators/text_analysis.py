@@ -1693,3 +1693,81 @@ def q_grep_regex_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("pre", ",").alias("prefixes"),
         F.array_join("stem", ",").alias("stems"),
     )
+
+
+# Taxonomy tagging dictionary: (topic, keyword). Broadcast-joined
+# against the token stream — the FlashText/Aho-Corasick use case
+# expressed relationally (at dictionary sizes beyond broadcast, the
+# same plan shuffles on the token instead; the per-doc argmax is
+# unchanged).
+_TAXONOMY = (
+    ("engine", "spark"),
+    ("engine", "hash"),
+    ("engine", "scan"),
+    ("engine", "codegen"),
+    ("dataflow", "join"),
+    ("dataflow", "shuffle"),
+    ("dataflow", "window"),
+    ("dataflow", "stream"),
+    ("storage", "table"),
+    ("storage", "part"),
+    ("storage", "batch"),
+    ("storage", "key"),
+)
+_TAX_SQL = ", ".join(f"('{t}', '{k}')" for t, k in _TAXONOMY)
+
+
+@query(
+    "taxonomy_tag_docs",
+    oracle=f"""
+        WITH dict(topic, kw) AS (VALUES {_TAX_SQL}),
+        tok AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        hits AS (
+            SELECT t.doc_id, t.source, d.topic, count(*) AS score
+            FROM tok t JOIN dict d ON t.w = d.kw
+            GROUP BY t.doc_id, t.source, d.topic),
+        best AS (
+            SELECT doc_id, source, topic, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, topic) AS rk
+            FROM hits)
+        SELECT source, topic,
+               count(*) AS n_docs,
+               CAST(sum(score) AS BIGINT) AS total_hits
+        FROM best WHERE rk = 1
+        GROUP BY source, topic
+    """,
+)
+def q_taxonomy_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven taxonomy tagging: each document is tagged
+    with its highest-scoring topic (keyword-hit count from a
+    broadcast (topic, keyword) dictionary; ties break
+    lexicographically), then the corpus rolls up to (source, topic)
+    doc counts — the classic corpus-labeling pass (FlashText /
+    keyword taxonomies) every training-mix report needs.
+
+    Plan: the token stream joins the dictionary BROADCAST (a
+    12-row dim; real taxonomies are thousands of rows — still
+    broadcast-range), hits aggregate map-side combined, and the
+    per-doc argmax is a window partitioned BY doc_id — millions of
+    tiny partitions, fully parallel, never a global window. Empty
+    split tokens cannot match any keyword, so the plain split
+    matches the oracle's unnest exactly."""
+    d = _docs(spark, sf_dir)
+    dict_df = spark.createDataFrame(list(_TAXONOMY), ["topic", "kw"])
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ", -1)).alias("w")
+    )
+    hits = (
+        tok.join(F.broadcast(dict_df), tok.w == dict_df.kw)
+        .groupBy("doc_id", "source", "topic")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
+    best = hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.groupBy("source", "topic").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").cast("long").alias("total_hits"),
+    )

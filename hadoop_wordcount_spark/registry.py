@@ -55,6 +55,11 @@ _PRIORITY: list[str] = [
     # (a) new in round 6:
     "grep_regex_groups",
     "aqe_skew_join",
+    "tpch_q6_like",
+    "tpch_q20_like",
+    "tpch_q21_like",
+    "priority_price_quantiles",
+    "taxonomy_tag_docs",
     # (b) never driver-checked through r05:
     "basket_part_pairs",
     "tpch_q8_like",

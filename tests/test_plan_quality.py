@@ -379,3 +379,27 @@ def test_aqe_skew_join_split_fires(spark, sf_dir, tmp_path_factory):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_pure_pushdown_scan(spark, sf_dir):
+    """Q6 is the pushdown acid test: every predicate reaches the
+    parquet scan, no join, no wide shuffle — partial agg over the
+    scan, single-row final."""
+    df = registry.QUERIES["tpch_q6_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0], plan
+    assert "Join" not in plan, plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema, plan
+
+
+def test_q21_exists_shapes_decorrelate(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti
+    equi-joins (never per-row subqueries or a cartesian), and the
+    top-20 must be a TakeOrderedAndProject k-heap."""
+    df = registry.QUERIES["tpch_q21_like"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
