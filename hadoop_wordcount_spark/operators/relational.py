@@ -4338,3 +4338,74 @@ def q_priority_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90",
         "q1_max",
     )
+
+
+@query(
+    "orders_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort
+            FROM orders GROUP BY o_custkey),
+        activity AS (
+            SELECT DISTINCT o.o_custkey, f.cohort,
+                   datediff('month', f.cohort,
+                            date_trunc('month', o.o_orderdate)) AS months_since
+            FROM orders o JOIN firsts f USING (o_custkey)),
+        sizes AS (
+            SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort)
+        SELECT strftime(a.cohort, '%Y-%m') AS cohort,
+               CAST(a.months_since AS BIGINT) AS months_since,
+               count(*) AS n_active,
+               max(s.cohort_size) AS cohort_size,
+               round(count(*) * 1.0 / max(s.cohort_size), 4) AS retention
+        FROM activity a JOIN sizes s USING (cohort)
+        WHERE a.months_since <= 6
+        GROUP BY a.cohort, a.months_since
+    """,
+)
+def q_orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order
+    month, tracked for 6 months — the (cohort x months-since) active
+    share every growth/retention dashboard is built on.
+
+    Plan: first-order month per customer is one groupBy(custkey) min
+    (map-side partials); it joins back onto orders keyed on custkey —
+    at 100 TB both sides shuffle once on the SAME key, and months_since
+    derives row-local. The DISTINCT collapses to (customer, month)
+    grain before counting so a customer ordering twice in a month
+    counts once, and cohort sizes attach from the firsts table —
+    |cohorts| rows, broadcast. Output is a bounded matrix
+    (|months| x 7), retention an exact integer-count ratio rounded
+    at 4."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    mon = F.date_trunc("month", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(mon).alias("cohort")).cache()
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            F.months_between(mon, F.col("cohort")).cast("long").alias("months_since"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.filter(F.col("months_since") <= 6)
+        .join(F.broadcast(sizes), "cohort")
+        .groupBy("cohort", "months_since")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.max("cohort_size").alias("cohort_size"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "months_since",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )

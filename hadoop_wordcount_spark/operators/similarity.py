@@ -1036,3 +1036,146 @@ def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_l2"),
         )
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / PQ_M)
+PQ_K = 4        # codewords per subspace
+PQ_ITERS = 2    # fixed k-means rounds per subspace (deterministic)
+
+
+def _pq_oracle() -> str:
+    """Unrolled ALL-subspace k-means + encode in DuckDB SQL — the PQ
+    twin of `_ivf_assign_ctes`: same deterministic init (vec_id <
+    K as seed codewords, per subspace), same round-4 quantization of
+    distances and centroid means, same (d2, cid) tiebreak, so both
+    engines train identical codebooks."""
+    sql = f"""
+        WITH ev AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m
+            FROM embeddings),
+        c0 AS (SELECT m, vec_id AS cid, pos, val AS cval
+               FROM ev WHERE vec_id < {PQ_K})"""
+    prev = "c0"
+    for i in range(PQ_ITERS + 1):
+        sql += f""",
+        a{i} AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT e.vec_id, e.m, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, e.m
+                           ORDER BY round(sum((e.val - c.cval) * (e.val - c.cval)), 4),
+                                    c.cid) AS rn
+                FROM ev e JOIN {prev} c ON e.m = c.m AND e.pos = c.pos
+                GROUP BY e.vec_id, e.m, c.cid) WHERE rn = 1)"""
+        if i < PQ_ITERS:
+            sql += f""",
+        c{i + 1} AS (
+            SELECT a.m, a.cid, e.pos, round(avg(e.val), 4) AS cval
+            FROM ev e JOIN a{i} a ON e.vec_id = a.vec_id AND e.m = a.m
+            GROUP BY a.m, a.cid, e.pos)"""
+            prev = f"c{i + 1}"
+    sql += f""",
+        recon AS (
+            SELECT e.vec_id,
+                   round(sum((e.val - c.cval) * (e.val - c.cval))
+                         / {PQ_M * PQ_SUBDIM}, 6) AS mse
+            FROM ev e
+            JOIN a{PQ_ITERS} a ON e.vec_id = a.vec_id AND e.m = a.m
+            JOIN {prev} c ON c.m = a.m AND c.cid = a.cid AND c.pos = e.pos
+            GROUP BY e.vec_id)
+        SELECT a.vec_id,
+               CAST(max(CASE WHEN m = 0 THEN cid END) AS INT) AS code0,
+               CAST(max(CASE WHEN m = 1 THEN cid END) AS INT) AS code1,
+               CAST(max(CASE WHEN m = 2 THEN cid END) AS INT) AS code2,
+               CAST(max(CASE WHEN m = 3 THEN cid END) AS INT) AS code3,
+               max(r.mse) AS recon_mse
+        FROM a{PQ_ITERS} a JOIN recon r USING (vec_id)
+        GROUP BY a.vec_id"""
+    return sql
+
+
+@query("pq_encode_stats", oracle=_pq_oracle())
+def q_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: train per-subspace codebooks (PQ_M=4
+    subspaces x PQ_K=4 codewords, fixed-round k-means, deterministic
+    seed-vector init) and ENCODE every vector as its 4 codeword ids,
+    with per-vector reconstruction MSE — the compression layer under
+    IVF-PQ indexes (Jegou et al., PAMI'11): a 64-float vector becomes
+    4 small ints, and recall tuning reads exactly this MSE
+    distribution.
+
+    Plan (all subspaces trained in ONE chain, long format): posexplode
+    tags each component with its subspace m; every k-means round is a
+    (m, pos)-keyed join against the K x d codebook (dimension-sized —
+    broadcast) + a map-side-partial argmin via min(struct(d2, cid))
+    grouped on (vec_id, m) — the shuffle carries one partial per
+    (vector, subspace), never the |V| x K distance rows; centroid
+    updates exchange K x d rows regardless of corpus size and are
+    localCheckpoint-ed so the iterative lineage stays flat (the
+    `ivf_assignments` discipline, `similarity.py:402`). Distances and
+    means quantize at 4 decimals on both engines; ties break on cid —
+    codebooks are bit-identical, so the oracle checks the exact CODES,
+    not just error statistics."""
+    emb = _emb(spark, sf_dir)
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("val"),
+        (F.col("pos0") / PQ_SUBDIM).cast("int").alias("m"),
+    ).cache()
+    c = ev.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), "pos", F.col("val").alias("cval")
+    ).localCheckpoint(eager=False)
+    assign = None
+    for i in range(PQ_ITERS + 1):
+        d2 = (
+            ev.join(F.broadcast(c), ["m", "pos"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                    4,
+                ).alias("d2")
+            )
+        )
+        assign = (
+            d2.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d2", "cid")).alias("s"))
+            .select("vec_id", "m", F.col("s.cid").alias("cid"))
+        )
+        if i < PQ_ITERS:
+            c = (
+                ev.join(assign, ["vec_id", "m"])
+                .groupBy("m", "cid", "pos")
+                .agg(F.round(F.avg("val"), 4).alias("cval"))
+                .localCheckpoint(eager=False)
+            )
+    recon = (
+        ev.join(assign, ["vec_id", "m"])
+        .join(F.broadcast(c), ["m", "cid", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+                / (PQ_M * PQ_SUBDIM),
+                6,
+            ).alias("recon_mse")
+        )
+    )
+    codes = assign.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == mi, F.col("cid")))
+            .cast("int")
+            .alias(f"code{mi}")
+            for mi in range(PQ_M)
+        ]
+    )
+    return codes.join(recon, "vec_id").select(
+        "vec_id", "code0", "code1", "code2", "code3", "recon_mse"
+    )

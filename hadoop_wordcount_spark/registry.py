@@ -60,6 +60,8 @@ _PRIORITY: list[str] = [
     "tpch_q21_like",
     "priority_price_quantiles",
     "taxonomy_tag_docs",
+    "pq_encode_stats",
+    "orders_cohort_retention",
     # (b) never driver-checked through r05:
     "basket_part_pairs",
     "tpch_q8_like",

@@ -131,3 +131,65 @@ def test_distributed_rank_plan_shape(spark, sf_dir):
     assert "rangepartitioning" in plan, plan
     plan = formatted_plan(registry.QUERIES["hybrid_retrieval_rrf"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ranking_property_random_orders(spark):
+    """Property check on synthetic data: both paths of all three
+    primitives agree with the window forms under duplicate-heavy
+    order keys (total order restored by the id tiebreak) and mixed
+    asc/desc directions."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = [
+        (i, rng.randint(0, 9), rng.randint(-50, 50))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "val"])
+    for order in (
+        [("grp", False), ("id", False)],
+        [("val", True), ("grp", False), ("id", False)],
+        [("grp", True), ("val", False), ("id", True)],
+    ):
+        wcols = [F.desc(n) if d else F.asc(n) for n, d in order]
+        want_rn = {
+            r.id: r.rn
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(*wcols)).alias("rn")
+            ).collect()
+        }
+        w = Window.orderBy(*wcols).rowsBetween(Window.unboundedPreceding, 0)
+        want_cum = {
+            r.id: r.cum
+            for r in df.select("id", F.sum("val").over(w).alias("cum")).collect()
+        }
+        for thr in (0, 10**9):
+            got_rn = {
+                r.id: r.rn
+                for r in global_row_number(
+                    df, order, out="rn", small_threshold=thr
+                ).collect()
+            }
+            assert got_rn == want_rn, (order, thr)
+            got_cum = {
+                r.id: r.cum
+                for r in global_cumsum(
+                    df, order, "val", out="cum", small_threshold=thr
+                ).collect()
+            }
+            assert got_cum == want_cum, (order, thr)
+        for buckets in (3, 7):
+            want_b = {
+                r.id: r.b
+                for r in df.select(
+                    "id", F.ntile(buckets).over(Window.orderBy(*wcols)).alias("b")
+                ).collect()
+            }
+            for thr in (0, 10**9):
+                got_b = {
+                    r.id: r.b
+                    for r in global_ntile(
+                        df, order, buckets, out="b", small_threshold=thr
+                    ).collect()
+                }
+                assert got_b == want_b, (order, buckets, thr)
