@@ -131,6 +131,13 @@ ALL_OPS = [
     # graph batch (docs-backed; expected ~1: the edge cut is a fixed
     # 200-row TakeOrdered — only the bigram agg scales)
     "label_propagation_communities",
+    # round-6 additions (docs/embeddings-backed; expected ~1:
+    # grep/taxonomy are scan-level projections + one bounded rollup;
+    # PQ's assignment join is |V| x d x K rows with K FIXED at 4 —
+    # linear in vectors, unlike IVF's sqrt-n K rule. Orders/lineitem-
+    # backed r6 queries (tpch q6/q20/q21, aqe_skew_join, cohort
+    # retention, price quantiles) aren't replicated — not probed.)
+    "grep_regex_groups", "taxonomy_tag_docs", "pq_encode_stats",
 ]
 
 
