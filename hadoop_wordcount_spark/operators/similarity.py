@@ -1098,28 +1098,13 @@ def _pq_oracle() -> str:
     return sql
 
 
-@query("pq_encode_stats", oracle=_pq_oracle())
-def q_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: train per-subspace codebooks (PQ_M=4
-    subspaces x PQ_K=4 codewords, fixed-round k-means, deterministic
-    seed-vector init) and ENCODE every vector as its 4 codeword ids,
-    with per-vector reconstruction MSE — the compression layer under
-    IVF-PQ indexes (Jegou et al., PAMI'11): a 64-float vector becomes
-    4 small ints, and recall tuning reads exactly this MSE
-    distribution.
-
-    Plan (all subspaces trained in ONE chain, long format): posexplode
-    tags each component with its subspace m; every k-means round is a
-    (m, pos)-keyed join against the K x d codebook (dimension-sized —
-    broadcast) + a map-side-partial argmin via min(struct(d2, cid))
-    grouped on (vec_id, m) — the shuffle carries one partial per
-    (vector, subspace), never the |V| x K distance rows; centroid
-    updates exchange K x d rows regardless of corpus size and are
-    localCheckpoint-ed so the iterative lineage stays flat (the
-    `ivf_assignments` discipline, `similarity.py:402`). Distances and
-    means quantize at 4 decimals on both engines; ties break on cid —
-    codebooks are bit-identical, so the oracle checks the exact CODES,
-    not just error statistics."""
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks and final assignments: returns
+    ``(ev, assign, c)`` — the cached long-format components
+    (vec_id, pos, val, m), the final (vec_id, m, cid) codes, and the
+    final (m, cid, pos, cval) codebook. Shared by `pq_encode_stats`
+    and `pq_adc_search`; the DuckDB side of the same training is
+    `_pq_oracle`'s CTE chain."""
     emb = _emb(spark, sf_dir)
     ev = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos0", "v")
@@ -1156,6 +1141,32 @@ def q_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.round(F.avg("val"), 4).alias("cval"))
                 .localCheckpoint(eager=False)
             )
+    return ev, assign, c
+
+
+@query("pq_encode_stats", oracle=_pq_oracle())
+def q_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: train per-subspace codebooks (PQ_M=4
+    subspaces x PQ_K=4 codewords, fixed-round k-means, deterministic
+    seed-vector init) and ENCODE every vector as its 4 codeword ids,
+    with per-vector reconstruction MSE — the compression layer under
+    IVF-PQ indexes (Jegou et al., PAMI'11): a 64-float vector becomes
+    4 small ints, and recall tuning reads exactly this MSE
+    distribution.
+
+    Plan (all subspaces trained in ONE chain, long format): posexplode
+    tags each component with its subspace m; every k-means round is a
+    (m, pos)-keyed join against the K x d codebook (dimension-sized —
+    broadcast) + a map-side-partial argmin via min(struct(d2, cid))
+    grouped on (vec_id, m) — the shuffle carries one partial per
+    (vector, subspace), never the |V| x K distance rows; centroid
+    updates exchange K x d rows regardless of corpus size and are
+    localCheckpoint-ed so the iterative lineage stays flat (the
+    `ivf_assignments` discipline, `similarity.py:402`). Distances and
+    means quantize at 4 decimals on both engines; ties break on cid —
+    codebooks are bit-identical, so the oracle checks the exact CODES,
+    not just error statistics."""
+    ev, assign, c = _pq_train(spark, sf_dir)
     recon = (
         ev.join(assign, ["vec_id", "m"])
         .join(F.broadcast(c), ["m", "cid", "pos"])
@@ -1178,4 +1189,101 @@ def q_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return codes.join(recon, "vec_id").select(
         "vec_id", "code0", "code1", "code2", "code3", "recon_mse"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search in DuckDB over the identical trained codebooks:
+    subspace distance table from the query subvectors, summed along
+    each database vector's codes."""
+    base = _pq_oracle()
+    # Reuse the training CTE chain up to the final assignment/codebook
+    # (everything before the ", recon AS" tail of the encode oracle).
+    ctes = base.split(",\n        recon AS")[0]
+    return f"""{ctes},
+        qv AS (SELECT m, pos, val FROM ev WHERE vec_id = {QUERY_VEC_ID}),
+        dt AS (
+            SELECT c.m, c.cid,
+                   round(sum((q.val - c.cval) * (q.val - c.cval)), 4) AS d2
+            FROM c{PQ_ITERS} c JOIN qv q ON c.m = q.m AND c.pos = q.pos
+            GROUP BY c.m, c.cid),
+        approx AS (
+            SELECT a.vec_id, round(sum(dt.d2), 4) AS adc_d2
+            FROM a{PQ_ITERS} a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+            GROUP BY a.vec_id),
+        exact AS (
+            SELECT e.vec_id,
+                   round(sum((e.val - q2.val) * (e.val - q2.val)), 4) AS exact_d2
+            FROM ev e JOIN (SELECT pos, val FROM ev
+                            WHERE vec_id = {QUERY_VEC_ID}) q2 USING (pos)
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            GROUP BY e.vec_id)
+        SELECT a.vec_id, a.adc_d2, x.exact_d2
+        FROM approx a JOIN exact x USING (vec_id)
+        ORDER BY a.adc_d2, a.vec_id LIMIT {TOP_K}"""
+
+
+@query("pq_adc_search", oracle=_pq_adc_oracle())
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: answer a nearest-neighbor
+    query against the COMPRESSED corpus — the query stays exact, each
+    database vector is its 4 codeword ids, and the approximate
+    distance is a sum of 4 lookups into a (M x K)-entry per-query
+    distance table (Jegou et al., PAMI'11). Completes the IVF-PQ
+    stack next to `ann_ivf_search` (cell pruning) and
+    `pq_encode_stats` (encoding): top-10 by ADC distance, with the
+    exact squared L2 alongside so the compression error is visible
+    per hit.
+
+    Plan at 100 TB: the distance table is M x K = 16 rows — computed
+    from the broadcast codebook and broadcast again; the scan side
+    touches only the CODES table (4 small ints per vector, the 16x
+    compressed store — this is the point of PQ: the full vectors
+    never stream through the search), sums 4 joined lookups
+    map-side, and the top-10 is a TakeOrderedAndProject k-heap. The
+    exact-distance column joins from the raw vectors for the
+    REPORTED 10 rows' audit only; a production path would drop it or
+    rescore only the shortlist, exactly like ann_ivf_search's
+    rescoring stage. Distances quantize at 4 decimals on both
+    engines; (adc_d2, vec_id) is a total order."""
+    ev, assign, c = _pq_train(spark, sf_dir)
+    qv = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "m", "pos", F.col("val").alias("qval")
+    )
+    dt = (
+        c.join(F.broadcast(qv), ["m", "pos"])
+        .groupBy("m", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))),
+                4,
+            ).alias("d2")
+        )
+    )
+    approx = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(dt), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d2"), 4).alias("adc_d2"))
+    )
+    q2 = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "pos", F.col("val").alias("qval")
+    )
+    exact = (
+        ev.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q2), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))),
+                4,
+            ).alias("exact_d2")
+        )
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .orderBy("adc_d2", "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "adc_d2", "exact_d2")
     )

@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "priority_price_quantiles",
     "taxonomy_tag_docs",
     "pq_encode_stats",
+    "pq_adc_search",
     "orders_cohort_retention",
     # (b) never driver-checked through r05:
     "basket_part_pairs",
