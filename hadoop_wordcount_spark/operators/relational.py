@@ -4409,3 +4409,133 @@ def q_orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "lateral_topn_orders",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+            FROM orders)
+        SELECT c.c_custkey, c.c_name, r.o_orderkey, r.o_totalprice
+        FROM customer c JOIN r ON r.o_custkey = c.c_custkey
+        WHERE r.rn <= 2
+    """,
+)
+def q_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's top-2 orders — the SQL:2016 lateral-join surface
+    (every "top-N related rows per outer row" ask). The oracle states
+    the equivalent window form; the interesting part is the PLAN:
+    Catalyst decorrelates the per-customer LIMIT into a
+    WindowGroupLimit above one shuffle plus a broadcast join — never
+    the naive nested-loop re-execution per outer row
+    (`tests/test_plan_quality.py::test_lateral_topn_decorrelates`
+    pins NestedLoop out and WindowGroupLimit in). At 100 TB that is
+    the difference between one pass over orders and |customers|
+    query executions."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)
+
+
+@query(
+    "sql_udf_pricing",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                              AS BIGINT)) / 100.0, 2) AS disc_total,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                    * 100, 0) AS BIGINT)) / 100.0, 2) AS charged_total
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the pricing formulas live as named catalog functions
+    (disc_price, charged_price) and the query calls them like
+    built-ins — the governed-semantics layer warehouses standardize
+    on (one definition of "charged price", not N copies of the
+    expression). Because the body is a SQL expression, Catalyst
+    INLINES it: the plan is identical to writing the arithmetic
+    in-place — whole-stage codegen, partial aggregation, no
+    black-box function-call barrier (the opposite of a Python UDF).
+    Integer-cents sums keep both engines bit-identical."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(CAST(round(disc_price(l_extendedprice, l_discount) * 100, 0)
+                              AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS disc_total,
+               round(sum(CAST(round(charged_price(l_extendedprice, l_discount, l_tax)
+                                    * 100, 0) AS BIGINT)) / CAST(100 AS DOUBLE), 2)
+                   AS charged_total
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS open_n,
+               round(sum(CASE WHEN o_orderstatus = 'O'
+                              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              ELSE 0 END) / 100.0, 2) AS open_total,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS finished_n,
+               round(sum(CASE WHEN o_orderstatus = 'F'
+                              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              ELSE 0 END) / 100.0, 2) AS finished_total,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pending_n,
+               round(sum(CASE WHEN o_orderstatus = 'P'
+                              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              ELSE 0 END) / 100.0, 2) AS pending_total
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (vs `pivot_status`'s DataFrame pivot):
+    order counts AND integer-cents revenue per (priority x status)
+    cell, two aggregates per pivot column in one pass. Catalyst
+    compiles PIVOT to exactly the conditional-aggregation plan the
+    oracle states — one shuffle on the group key, map-side partials,
+    fixed output width (the IN list is explicit, so no driver-side
+    distinct-value discovery pass at 100 TB)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders)
+        PIVOT (count(*) AS n, round(sum(cents) / 100.0, 2) AS total
+               FOR o_orderstatus IN ('O' AS open, 'F' AS finished, 'P' AS pending))
+    """).select(
+        "o_orderpriority",
+        F.coalesce("open_n", F.lit(0)).alias("open_n"),
+        F.coalesce("open_total", F.lit(0.0)).alias("open_total"),
+        F.coalesce("finished_n", F.lit(0)).alias("finished_n"),
+        F.coalesce("finished_total", F.lit(0.0)).alias("finished_total"),
+        F.coalesce("pending_n", F.lit(0)).alias("pending_n"),
+        F.coalesce("pending_total", F.lit(0.0)).alias("pending_total"),
+    )

@@ -63,6 +63,9 @@ _PRIORITY: list[str] = [
     "pq_encode_stats",
     "pq_adc_search",
     "orders_cohort_retention",
+    "lateral_topn_orders",
+    "sql_udf_pricing",
+    "sql_pivot_clause",
     # (b) never driver-checked through r05:
     "basket_part_pairs",
     "tpch_q8_like",

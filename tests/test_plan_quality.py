@@ -403,3 +403,24 @@ def test_q21_exists_shapes_decorrelate(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate
+    into WindowGroupLimit + a hash join — never a per-outer-row
+    nested-loop re-execution."""
+    df = registry.QUERIES["lateral_topn_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_udf_inlines_no_python_eval(spark, sf_dir):
+    """Declarative SQL UDFs must inline into the plan: no Python eval
+    node, partial aggregation intact."""
+    df = registry.QUERIES["sql_udf_pricing"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "partial_" in plan, plan
