@@ -177,16 +177,6 @@ def global_row_number(
         # and the ranked branch all re-read this input, whose upstream
         # pipeline may be corpus-sized even when the rank input is not.
         df = df.cache()
-    if small_threshold:
-        # Cache before the size probe: the probe, the keys aggregate
-        # and the ranked branch all re-read this input, whose upstream
-        # pipeline may be corpus-sized even when the rank input is not.
-        df = df.cache()
-    if small_threshold:
-        # Cache before the size probe: the probe, the keys aggregate
-        # and the ranked branch all re-read this input, whose upstream
-        # pipeline may be corpus-sized even when the rank input is not.
-        df = df.cache()
     if small_threshold and df.count() <= small_threshold:
         j = _with_keys_array(df, order)
         return j.withColumn(out, _bounded_rn(order).cast("int")).drop(_KS)

@@ -2272,12 +2272,27 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ntile assigns by ROW POSITION, so every ORDER BY
     carries the custkey tiebreak — without it, equal-frequency
     customers could land in different quartiles per engine (the
-    module's windows-need-total-order invariant). Plan: one
-    groupBy(custkey) with map-side partials, then three window sorts
-    over the customer-level table (orders-of-magnitude smaller than
-    the fact table); the global max date attaches via
-    crossJoin(broadcast(agg))."""
-    from pyspark.sql import Window
+    module's windows-need-total-order invariant).
+
+    Plan — three quartile ranks, ONE range exchange: melt the
+    customer-level base into 3n (metric, val, custkey) rows where
+    val is sign-adjusted so every metric ranks ASC (recency asc;
+    -frequency and -monetary-cents for the DESC metrics), take a
+    single distributed global row_number over (metric, val, custkey)
+    (`ranking._with_partition_offsets` — the range-exchange recipe,
+    never a single-partition window), then recover each metric's
+    1-based rank as rn - metric_index * n, since every metric
+    contributes exactly n rows and metrics are ordered first. The
+    chained-3x-ntile form this replaces paid three range shuffles and
+    ~13 local jobs; this is one range shuffle of 3n narrow rows plus
+    one custkey hash shuffle to fold the three scores back — at
+    100 TB the difference between one wide sort pass and three."""
+    from hadoop_wordcount_spark.operators.ranking import (
+        _LRN,
+        _OFF,
+        _ntile_bucket,
+        _with_partition_offsets,
+    )
 
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("mxd"))
@@ -2298,30 +2313,60 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # Three size-adaptive global ntiles (ranking.py): past the
-    # threshold each runs the distributed range-exchange recipe, never
-    # a single-partition window over a large input. The customer-level
-    # base is cached: all three strategy counts + ranks read it.
-    from hadoop_wordcount_spark.operators.ranking import global_ntile
-
-    base = base.cache()
-    r = global_ntile(
-        base, [("recency_days", False), ("o_custkey", False)], 4, out="_r"
-    )
-    r = global_ntile(
-        r, [("frequency", True), ("o_custkey", False)], 4, out="_f"
-    )
-    r = global_ntile(
-        r, [("monetary", True), ("o_custkey", False)], 4, out="_m"
-    )
-    return r.select(
+    # Melt: metric sort order 'f' < 'm' < 'r' fixes each metric's
+    # block position in the single global ordering. Monetary ranks by
+    # exact cents (monetary is cents/100, so -cents asc == monetary
+    # desc with no float-comparison hazard).
+    mv = F.explode(
+        F.array(
+            F.struct(
+                F.lit("f").alias("metric"),
+                (-F.col("frequency")).cast("long").alias("val"),
+            ),
+            F.struct(
+                F.lit("m").alias("metric"),
+                (-F.round(F.col("monetary") * 100, 0)).cast("long").alias("val"),
+            ),
+            F.struct(
+                F.lit("r").alias("metric"),
+                F.col("recency_days").cast("long").alias("val"),
+            ),
+        )
+    ).alias("mv")
+    melted = base.select(
+        "o_custkey", "recency_days", "frequency", "monetary", mv
+    ).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.col("_r").cast("long").alias("r_score"),
-        F.col("_f").cast("long").alias("f_score"),
-        F.col("_m").cast("long").alias("m_score"),
+        F.col("mv.metric").alias("metric"),
+        F.col("mv.val").alias("val"),
+    )
+    r = _with_partition_offsets(
+        melted, [("metric", False), ("val", False), ("o_custkey", False)]
+    )
+    # n attaches as a broadcast scalar off the (cached) ranked rows:
+    # 3n melted rows / 3.
+    n_total = r.agg((F.count(F.lit(1)) / 3).cast("long").alias("_t"))
+    r = r.crossJoin(F.broadcast(n_total))
+    rn_in_metric = (
+        F.col(_LRN)
+        + F.col(_OFF)
+        - F.when(F.col("metric") == "f", F.lit(0))
+        .when(F.col("metric") == "m", F.lit(1))
+        .otherwise(F.lit(2))
+        * F.col("_t")
+    )
+    bucket = _ntile_bucket(rn_in_metric, F.col("_t"), 4).cast("long")
+    scored = r.withColumn("_score", bucket)
+    return scored.groupBy("o_custkey").agg(
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary").alias("monetary"),
+        F.max(F.when(F.col("metric") == "r", F.col("_score"))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("_score"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("_score"))).alias("m_score"),
     )
 
 
