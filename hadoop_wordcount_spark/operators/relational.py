@@ -4584,3 +4584,318 @@ def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("pending_n", F.lit(0)).alias("pending_n"),
         F.coalesce("pending_total", F.lit(0.0)).alias("pending_total"),
     )
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle="""
+        WITH iv AS (
+            SELECT event_id, event_type,
+                   epoch_ns(ts) // 1000 AS s,
+                   epoch_ns(ts) // 1000
+                       + CAST(round(value * 60000000, 0) AS BIGINT) AS e
+            FROM events)
+        SELECT a.event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+                   AS overlap_us,
+               CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+                   AS max_overlap_us
+        FROM iv a JOIN iv b
+          ON a.event_type = b.event_type AND a.event_id < b.event_id
+         AND a.s < b.e AND b.s < a.e
+        GROUP BY a.event_type
+    """,
+)
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed interval self-join: concurrent same-type event
+    pairs. Each event is an activity interval [start, start +
+    value-minutes); the report counts overlapping pairs per type with
+    total and max overlap — the concurrency-audit twin of
+    `peak_concurrency`'s sweep-line (that one counts HOW MANY run at
+    once; this one enumerates WHICH pairs collide and for how long).
+
+    The non-equi overlap predicate (a.s < b.e AND b.s < a.e) has no
+    hash key, so the naive plan is a per-type cross join — quadratic.
+    The distributed recipe: explode each interval into the 1-hour
+    buckets it spans, equi-join on (type, bucket) so candidates are
+    bucket collisions only, then keep a pair ONLY in the bucket
+    containing its overlap start — the standard dedup-FREE interval
+    join (no distinct shuffle; each true pair survives in exactly one
+    bucket). Candidates scale with sum-of-bucket-occupancy^2, i.e.
+    with actual temporal density, never with |events|^2; the bucket
+    width is the tuning knob (match it to median interval length).
+    The oracle states the naive non-equi join — correct at sf, the
+    quadratic form this plan exists to avoid."""
+    H = 3_600_000_000  # 1-hour buckets, microseconds
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("s"),
+        (
+            F.expr("ts_ns div 1000")
+            + F.round(F.col("value") * 60_000_000, 0).cast("long")
+        ).alias("e"),
+    )
+    iv = e.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr(f"s div {H}"), F.expr(f"e div {H}"))),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    ov_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    ov_end = F.least(F.col("a.e"), F.col("b.e"))
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e")),
+    ).filter(F.expr(f"a.bucket = (greatest(a.s, b.s) div {H})"))
+    pairs = pairs.withColumn("ov_us", ov_end - ov_start)
+    return pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ov_us").alias("overlap_us"),
+        F.max("ov_us").alias("max_overlap_us"),
+    )
+
+
+@query(
+    "interval_event_lookup",
+    oracle="""
+        WITH t AS (
+            SELECT event_type, user_id,
+                   epoch_ns(ts) // 1000 AS us,
+                   (epoch_ns(ts) // 1000) // 86400000000 AS day
+            FROM events),
+        wins AS (
+            SELECT event_type AS win_type, day AS wday,
+                   min(us) AS w_s, max(us) + 1 AS w_e
+            FROM t GROUP BY event_type, day)
+        SELECT w.win_type, f.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+        FROM t f JOIN wins w
+          ON f.day = w.wday AND f.event_type <> w.win_type
+         AND f.us >= w.w_s AND f.us < w.w_e
+        GROUP BY w.win_type, f.event_type
+    """,
+)
+def q_interval_event_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-interval-dimension lookup join: for each event type's
+    daily active window [first event, last event], count how many
+    events of every OTHER type (and distinct users) land inside it —
+    the calendar-window / IP-range-lookup join shape.
+
+    Scale design: the dimension (|types| x |days| windows) stays tiny
+    at any corpus size, so it BROADCASTS; the join key is the coarse
+    equi-key (day) with the range containment as a residual filter —
+    Catalyst plans a broadcast HASH join on day, never the
+    BroadcastNestedLoopJoin a bare non-equi predicate would force.
+    One pass over the fact table, no fact shuffle before the
+    aggregate. This is the canonical pattern for any
+    point-in-interval enrichment at 100 TB: coarse-bucket equi-key +
+    residual range predicate + broadcast dimension."""
+    t = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("us"),
+        F.expr("(ts_ns div 1000) div 86400000000").alias("day"),
+    )
+    wins = t.groupBy(
+        F.col("event_type").alias("win_type"), F.col("day").alias("wday")
+    ).agg(
+        F.min("us").alias("w_s"), (F.max("us") + 1).alias("w_e")
+    )
+    j = t.join(
+        F.broadcast(wins),
+        (F.col("day") == F.col("wday"))
+        & (F.col("event_type") != F.col("win_type"))
+        & (F.col("us") >= F.col("w_s"))
+        & (F.col("us") < F.col("w_e")),
+    )
+    return j.groupBy("win_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "mode_median_by_type",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(round(value, 0) AS BIGINT) AS b,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type, b),
+        r AS (
+            SELECT event_type, b AS mode_bucket, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cnt DESC, b) AS rn
+            FROM c),
+        m AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 3) AS median_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type)
+        SELECT m.event_type, r.mode_bucket,
+               CAST(r.cnt AS BIGINT) AS mode_n,
+               m.median_value,
+               CAST(m.n AS BIGINT) AS n
+        FROM m JOIN r ON m.event_type = r.event_type AND r.rn = 1
+    """,
+)
+def q_mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-tendency report per event type: deterministic MODE of
+    the rounded value (ties broken toward the smallest bucket — mode
+    without a tie rule is nondeterministic across engines, the reason
+    Spark's own `mode()` is unusable for cross-engine parity) plus
+    the exact interpolated median and group count.
+
+    Plan: the mode is a two-level aggregation — count per (type,
+    bucket), then a map-side struct-argmax per type: max(struct(cnt,
+    -bucket)) picks the highest count and the smallest bucket on
+    ties, with NO window sort over the counts. The median branch is
+    one `percentile` pass; the two 5-row branches broadcast-join on
+    type. Both stages are partial-aggregating shuffles on keys with
+    |types| x |buckets| cardinality — never a global sort."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.round("value", 0).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mode = counts.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("b")).alias("nb"))).alias("mx")
+    ).select(
+        "event_type",
+        (-F.col("mx.nb")).alias("mode_bucket"),
+        F.col("mx.cnt").alias("mode_n"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 3).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return med.join(F.broadcast(mode), "event_type").select(
+        "event_type", "mode_bucket", "mode_n", "median_value", "n"
+    )
+
+
+@query(
+    "try_arithmetic_audit",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
+               CAST(sum(CAST(round(value / NULLIF(event_id % 7, 0) * 1000, 0)
+                             AS BIGINT)) AS BIGINT) AS safe_milli_sum,
+               CAST(sum(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_parsed
+        FROM events GROUP BY event_type
+    """,
+)
+def q_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: the `try_*` function family. Spark 4
+    runs ANSI mode by default, where division by zero and malformed
+    casts are RUNTIME ERRORS — one dirty row kills a 100 TB job at
+    hour three. `try_divide` / `try_cast` return NULL instead,
+    turning per-row failures into auditable data: this report counts,
+    per event type, the divide-by-zero rows (event_id % 7 == 0), the
+    surviving safe-division sum (milli-units, integer), and how many
+    mixed-content strings parsed as ints (numeric strings parse; the
+    type names never do). The oracle states the same semantics with
+    NULLIF/CASE — the portable definition of what try_* computes.
+    Everything stays in whole-stage codegen: try_* are JVM
+    expressions, not UDFs."""
+    e = _t(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.col("event_type")
+    ).otherwise(F.col("event_id").cast("string"))
+    safe_div = F.expr("try_divide(value, event_id % 7)")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(safe_div.isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(F.round(safe_div * 1000, 0).cast("long")).alias("safe_milli_sum"),
+        F.sum(
+            F.when(mixed.try_cast("int").isNotNull(), 1).otherwise(0)
+        ).alias("n_parsed"),
+    )
+
+
+@query(
+    "collated_word_groups",
+    oracle="""
+        WITH w AS (
+            SELECT word FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+            WHERE word <> '' AND regexp_matches(word, '^[A-Za-z]+$'))
+        SELECT lower(min(word)) AS grp,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_case_variants
+        FROM w GROUP BY lower(word)
+    """,
+)
+def q_collated_word_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): alphabetic
+    tokens grouped under UTF8_LCASE — 'The', 'THE' and 'the' fold
+    into one group at COMPARISON level, without rewriting the data
+    through lower(). Collations matter at 100 TB because they push
+    into the ENGINE: a collated groupBy hashes/compares with the
+    collation inside codegen, composes with every aggregate, and —
+    unlike wrapping every reference in lower() — keeps the original
+    column usable in the same pass (min(word) here is the BINARY
+    min over the original strings, computed beside the collated
+    key). Output is keyed by lower(min(word)) so the result itself
+    is collation-free and portable; the oracle is the classic
+    lower()-rewrite stating identical semantics."""
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[A-Za-z]+$"))
+    collated = words.select(
+        "word", F.collate(F.col("word"), "UTF8_LCASE").alias("k")
+    )
+    return collated.groupBy("k").agg(
+        F.lower(F.min("word")).alias("grp"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("word").alias("n_case_variants"),
+    ).drop("k")
+
+
+@query(
+    "parameterized_sql_lookup",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                   AS total
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+        GROUP BY o_orderpriority
+    """,
+)
+def q_parameterized_sql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4): named parameter markers plus the
+    IDENTIFIER() clause — the injection-safe template surface. The
+    table name binds through IDENTIFIER(:tbl) (identifiers cannot be
+    value parameters; this clause is the sanctioned dynamic-table
+    path, the SQL-injection fix for f-string query assembly) and the
+    cutoff binds as a typed DATE parameter, not interpolated text.
+    Catalyst sees fully-bound literals at analysis time, so pruning
+    and pushdown are identical to the static query — the oracle IS
+    the static form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    import datetime
+
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "cutoff": datetime.date(1996, 1, 1)},
+    )

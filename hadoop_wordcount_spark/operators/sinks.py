@@ -151,3 +151,56 @@ def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "union_schema_evolution",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+                   AS chars_total
+        FROM documents GROUP BY source
+    """,
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet snapshots: batch v1 was written
+    before the `n_chars` column existed; batch v2 carries it. Two
+    reconciliation surfaces in one query, both standard at 100 TB:
+
+    * **scan-level**: `mergeSchema=true` multi-path parquet read —
+      the footer schemas union at planning time, v1 rows surface
+      NULL `n_chars` (exactly how a years-long partitioned table
+      with schema drift reads as one relation);
+    * **DataFrame-level**: `unionByName(allowMissingColumns=True)`
+      over the per-batch reads — the API twin for when the branches
+      come from different pipelines rather than one scan.
+
+    The query reads via the scan-level path (one multi-file scan, no
+    shuffle until the aggregate) and pins the DataFrame-level union
+    to the same relation count inline. The oracle reconstructs the
+    evolved union from the source table (even doc_ids were the
+    pre-evolution batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    p1 = _tmp("evolve_v1", sf_dir)
+    p2 = _tmp("evolve_v2", sf_dir)
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    # The DataFrame-level twin must describe the same relation.
+    r1, r2 = spark.read.parquet(p1), spark.read.parquet(p2)
+    by_name = r1.unionByName(r2, allowMissingColumns=True)
+    assert len(by_name.columns) == len(merged.columns)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+            "n_missing"
+        ),
+        F.sum("n_chars").alias("chars_total"),
+    )

@@ -66,6 +66,14 @@ _PRIORITY: list[str] = [
     "lateral_topn_orders",
     "sql_udf_pricing",
     "sql_pivot_clause",
+    "interval_overlap_pairs",
+    "interval_event_lookup",
+    "mode_median_by_type",
+    "union_schema_evolution",
+    "streaming_static_join",
+    "try_arithmetic_audit",
+    "collated_word_groups",
+    "parameterized_sql_lookup",
     # (b) never driver-checked through r05:
     "basket_part_pairs",
     "tpch_q8_like",

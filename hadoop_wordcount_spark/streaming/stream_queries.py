@@ -663,3 +663,62 @@ def q_streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregation's schema instead of an opaque AnalysisException.
         return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(out_path)
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+        thr AS (
+            SELECT event_type,
+                   CAST(sum(cents) // count(*) AS BIGINT) AS thr_cents
+            FROM c GROUP BY event_type)
+        SELECT c.event_type,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN c.cents > thr.thr_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               CAST(max(thr.thr_cents) AS BIGINT) AS thr_cents
+        FROM c JOIN thr ON c.event_type = thr.event_type
+        GROUP BY c.event_type
+    """,
+)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the third join mode Structured Streaming
+    supports (beside stream-stream and none): each micro-batch of the
+    event stream joins a static dimension loaded once from parquet,
+    here a per-type mean-price threshold, and the running per-type
+    above/below counters aggregate downstream. The canonical
+    enrichment shape: reference data (thresholds, allow-lists, model
+    vocabularies) is batch; the facts stream.
+
+    The static side is tiny (|types| rows) so it BROADCASTS into
+    every micro-batch with no state: stream-static joins keep no join
+    state at all (only the counter aggregation is stateful, |types|
+    rows). The threshold is integer cents with integer division —
+    sum-of-doubles averaging would make borderline comparisons
+    engine-dependent. At 100 TB the static side refreshes per
+    restart; for continuously-updated dims the stream-stream join or
+    a foreachBatch re-read is the escalation path."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    static_thr = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(cents) div count(1)").alias("thr_cents"))
+    )
+    ev = events_stream(spark, sf_dir).select(
+        "event_type", cents.alias("cents")
+    )
+    joined = ev.join(F.broadcast(static_thr), "event_type")
+    settled = run_to_memory(
+        joined.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("cents") > F.col("thr_cents"), 1).otherwise(0)
+            ).alias("n_above"),
+            F.max("thr_cents").alias("thr_cents"),
+        )
+    )
+    return settled

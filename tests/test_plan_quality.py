@@ -424,3 +424,22 @@ def test_sql_udf_inlines_no_python_eval(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_interval_lookup_broadcast_hash_not_bnlj(spark, sf_dir):
+    """The point-in-interval lookup must plan as a broadcast HASH join
+    on the coarse day key with the range bounds as residual filters —
+    a bare non-equi join would degrade to BroadcastNestedLoopJoin."""
+    df = registry.QUERIES["interval_event_lookup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """The interval self-join must ride the (type, bucket) equi-keys —
+    never a cartesian/nested-loop product of the interval table."""
+    df = registry.QUERIES["interval_overlap_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
