@@ -325,3 +325,110 @@ def q_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain.join(F.broadcast(robust), "event_type").select(
         "event_type", "n_events", "trimmed_mean", "plain_mean"
     )
+
+
+@query(
+    "udtf_polymorphic_split",
+    oracle="""
+        WITH t AS (
+            SELECT lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN len(toks) >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_3,
+               min(toks[1]) AS min_tok0
+        FROM t GROUP BY lang
+    """,
+)
+def q_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is not
+    declared statically — the ``analyze`` static method computes it
+    at plan time from the call's constant arguments (here k=3 ⇒
+    columns tok0..tok2). This is the API for table functions whose
+    shape depends on their arguments (dynamic unpivots, configurable
+    feature extractors): one registration serves every k, and
+    Catalyst sees concrete per-call schemas so downstream resolution
+    and pruning work exactly as with a static UDTF. Same distribution
+    story as `udtf_split_sentences`: lateral-correlated,
+    per-partition beside the scan, no shuffle — only the aggregate
+    shuffles (|langs| groups)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"tok{i}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text, k: int):
+            toks = [] if text is None else [t for t in text.split(" ") if t]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(k))
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    d.createOrReplaceTempView("udtf_poly_in")
+    rows = spark.sql(
+        "SELECT d.lang, s.tok0, s.tok2 "
+        "FROM udtf_poly_in d, LATERAL split_fixed(d.text, 3) s"
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("tok2").isNotNull(), 1).otherwise(0)).alias(
+            "n_with_3"
+        ),
+        F.min("tok0").alias("min_tok0"),
+    )
+
+
+@query(
+    "group_apply_arrow",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total,
+               CAST(max(n_chars) AS BIGINT) AS chars_max,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM documents GROUP BY lang
+    """,
+)
+def q_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4) — the Arrow-NATIVE grouped-map
+    extension point: the kernel receives each group as a raw
+    ``pyarrow.Table`` and answers with one, no pandas
+    materialization on either edge. Completes the grouped-Python
+    matrix alongside applyInPandas (pandas groups), GROUPED_AGG
+    (vectorized UDAF) and cogrouped applyInPandas: this is the hatch
+    for Arrow-compute / Rust-via-Arrow / zero-copy C++ kernels where
+    pandas conversion is pure overhead. Distribution identical to
+    applyInPandas: one shuffle on the group key, kernel runs
+    per-group on executors; group size bounds worker memory (|docs
+    per lang| here — for unbounded groups pre-aggregate first)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": [t["lang"][0].as_py()],
+                "n_docs": [t.num_rows],
+                "chars_total": [pc.sum(t["n_chars"]).as_py()],
+                "chars_max": [pc.max(t["n_chars"]).as_py()],
+                "first_doc": [pc.min(t["doc_id"]).as_py()],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        stats,
+        schema="lang string, n_docs long, chars_total long, "
+        "chars_max long, first_doc long",
+    )

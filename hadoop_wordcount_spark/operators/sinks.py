@@ -204,3 +204,138 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_chars").alias("chars_total"),
     )
+
+
+@query(
+    "file_lineage_report",
+    oracle="""
+        SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS n_files
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_file_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file lineage via the `_metadata` hidden column
+    (Spark's metadata struct: file_path/file_size/file_modification
+    _time — selected on demand, never materialized otherwise), over a
+    layout written with the small-files discipline: `repartition(
+    partition_col)` BEFORE `partitionBy(partition_col)` puts each
+    partition value on exactly ONE task, so each Hive directory holds
+    exactly ONE file — without it, every upstream task writes a file
+    into every partition directory it touches, and a 1000-task stage
+    over 365 partitions emits 365,000 files (the classic metadata
+    explosion that kills 100 TB table listings). The report proves
+    both surfaces at once: per-status row counts ride the partition
+    column; n_files = countDistinct(_metadata.file_path) == 1 pins
+    the one-file-per-partition layout as a *data* assertion the
+    oracle checks, not a filesystem probe."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = _tmp("lineage_orders", sf_dir)
+    o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fp").alias("n_files"),
+    )
+
+
+@query(
+    "csv_malformed_audit",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad,
+               CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+                             THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                             END) AS BIGINT) AS good_cents
+        FROM orders
+    """,
+)
+def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest handling: PERMISSIVE CSV parsing with
+    `columnNameOfCorruptRecord`. Every 13th order is serialized as an
+    unparsable line ("X<key>,bad" — the key column fails the LONG
+    conversion); the read keeps those ROWS, nulls their typed
+    columns, and lands the raw line in `_corrupt_record` — dirty
+    input becomes auditable data instead of either a job kill
+    (FAILFAST) or silent loss (DROPMALFORMED). At 100 TB this is the
+    only sane default: quarantine-and-count first, decide later; the
+    corrupt-record column also IS the quarantine export. The report
+    is the one-row reconciliation: total rows in = parsed + corrupt,
+    plus the integer-cents sum over the clean rows only."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    line = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.concat(F.lit("X"), F.col("o_orderkey"), F.lit(",bad")),
+    ).otherwise(F.concat(F.col("o_orderkey"), F.lit(","), cents))
+    path = _tmp("malformed_csv", sf_dir)
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("o_orderkey LONG, cents LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("cents"))).alias(
+            "good_cents"
+        ),
+    )
+
+
+def _rebalance_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side relation for `aqe_rebalance_write`, exposed for
+    the plan test: REBALANCE(l_returnflag) on a 3-value key whose
+    groups are wildly uneven."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return li.hint("rebalance", "l_returnflag")
+
+
+@query(
+    "aqe_rebalance_write",
+    oracle="""
+        SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents_total
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_aqe_rebalance_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-rebalanced write: the REBALANCE(cols) hint asks AQE to
+    even out partition sizes at runtime — small shuffle outputs
+    coalesce, oversized ones SPLIT (unlike repartition(col), which
+    pins one task per value and reintroduces skew whenever one key
+    dominates, and unlike a fixed repartition(n), which can't react
+    to actual sizes). This is the production answer to skewed-write
+    file sizing at 100 TB: target-size output files regardless of key
+    distribution, chosen from runtime statistics, not guesses. The
+    written files reload and reconcile exactly against the source
+    (per-flag counts + integer-cents totals);
+    `tests/test_plan_quality.py` pins RebalancePartitions in the
+    write plan."""
+    path = _tmp("rebalance_li", sf_dir)
+    _rebalance_input(spark, sf_dir).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.col("l_returnflag").cast("string").alias("l_returnflag")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents_total"),
+    )

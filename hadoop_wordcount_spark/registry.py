@@ -74,6 +74,11 @@ _PRIORITY: list[str] = [
     "try_arithmetic_audit",
     "collated_word_groups",
     "parameterized_sql_lookup",
+    "file_lineage_report",
+    "csv_malformed_audit",
+    "udtf_polymorphic_split",
+    "group_apply_arrow",
+    "aqe_rebalance_write",
     # (b) never driver-checked through r05:
     "basket_part_pairs",
     "tpch_q8_like",

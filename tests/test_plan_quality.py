@@ -443,3 +443,14 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rebalance_hint_in_write_plan(spark, sf_dir):
+    """aqe_rebalance_write's write-side relation must carry the AQE
+    RebalancePartitions operator (runtime split/coalesce of skewed
+    shuffle outputs), not a plain repartition."""
+    from hadoop_wordcount_spark.operators.sinks import _rebalance_input
+
+    df = _rebalance_input(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in opt, opt
