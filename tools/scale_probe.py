@@ -148,6 +148,12 @@ ALL_OPS = [
     # rollups / broadcast-dim lookups — expected ~1.
     "interval_overlap_pairs", "interval_event_lookup",
     "mode_median_by_type", "streaming_static_join",
+    # docs-backed round-6 ops (expected ~1: collation groupBy is a
+    # token-stream agg; the UDTF/Arrow kernels are per-partition
+    # Python beside the scan; schema-evolution is two scans + one
+    # rollup)
+    "collated_word_groups", "udtf_polymorphic_split",
+    "group_apply_arrow", "union_schema_evolution",
 ]
 
 
