@@ -615,6 +615,9 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("score", True), ("doc_id", False)],
         10,
         out="phase",
+        # small_threshold=0: the input is every document — data-sized
+        # — so pin the distributed ntile and skip the size probe.
+        small_threshold=0,
     )
     ps = ph.groupBy("phase", "shard").agg(F.count(F.lit(1)).alias("n"))
     skew = ps.groupBy("phase").agg(
@@ -745,10 +748,13 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cut each list with orderBy+limit (TakeOrderedAndProject — a
     # distributed k-heap), THEN rank the DEPTH-row result with a tiny
     # window: never an unpartitioned window over the corpus.
+    # size_hint: both rank inputs are .limit(_RRF_DEPTH) cuts —
+    # statically bounded, no runtime size probe needed.
     lex = global_row_number(
         bm.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH),
         [("s", True), ("doc_id", False)],
         out="rank_lex",
+        size_hint=_RRF_DEPTH,
     ).select("doc_id", "rank_lex")
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -767,6 +773,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.orderBy(F.desc("s"), F.asc("doc_id")).limit(_RRF_DEPTH),
         [("s", True), ("doc_id", False)],
         out="rank_sem",
+        size_hint=_RRF_DEPTH,
     ).select("doc_id", "rank_sem")
     fused = (
         lex.join(sem, "doc_id", "full_outer")

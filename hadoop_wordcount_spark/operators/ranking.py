@@ -67,6 +67,38 @@ _KS = "__rank_keys"
 BOUNDED_RANK_INPUT = 4096
 
 
+def _resolve_small(
+    df: DataFrame, small_threshold: int, size_hint: int | None
+) -> tuple[DataFrame, bool]:
+    """Decide bounded-vs-distributed for a global_* call.
+
+    With a caller-supplied ``size_hint`` — an upper bound on df's row
+    count that the call site knows STATICALLY (a month series, a
+    dimension table, a top-k cut) — the decision is pure arithmetic
+    and NO probe job runs. Without one, fall back to the AQE-style
+    runtime probe: cache + count (the cache is load-bearing — the
+    probe, the keys aggregate and the ranked branch all re-read an
+    input whose upstream pipeline may be corpus-sized even when the
+    rank input is not). The cache() is guarded by ``is_cached`` so a
+    caller that already cached the exact plan doesn't trigger the
+    CacheManager "asked to cache already cached data" warning
+    (measured round 6: surrogate_keys paid a redundant re-cache per
+    call)."""
+    if not small_threshold:
+        return df, False
+    if size_hint is not None:
+        if size_hint <= small_threshold:
+            # Bounded path branches re-read df; cache unless the
+            # caller already did.
+            if not df.is_cached:
+                df = df.cache()
+            return df, True
+        return df, False
+    if not df.is_cached:
+        df = df.cache()
+    return df, df.count() <= small_threshold
+
+
 def _sort_cols(order: OrderSpec) -> list[Column]:
     return [F.col(n).desc() if d else F.col(n).asc() for n, d in order]
 
@@ -168,16 +200,15 @@ def global_row_number(
     order: OrderSpec,
     out: str = "rn",
     small_threshold: int = BOUNDED_RANK_INPUT,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact global row_number over a total order, window-free on
     every path. Equivalent to
-    ``row_number().over(Window.orderBy(<order>))``."""
-    if small_threshold:
-        # Cache before the size probe: the probe, the keys aggregate
-        # and the ranked branch all re-read this input, whose upstream
-        # pipeline may be corpus-sized even when the rank input is not.
-        df = df.cache()
-    if small_threshold and df.count() <= small_threshold:
+    ``row_number().over(Window.orderBy(<order>))``. Pass ``size_hint``
+    (a statically-known row upper bound) to skip the runtime
+    cache+count probe entirely."""
+    df, bounded = _resolve_small(df, small_threshold, size_hint)
+    if bounded:
         j = _with_keys_array(df, order)
         return j.withColumn(out, _bounded_rn(order).cast("int")).drop(_KS)
     r = _with_partition_offsets(df, order)
@@ -203,11 +234,13 @@ def global_ntile(
     n_buckets: int,
     out: str = "bucket",
     small_threshold: int = BOUNDED_RANK_INPUT,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact SQL ntile(n) over a total order, window-free: global
     row_number + the ntile size rule (first n_total mod n buckets get
-    one extra row)."""
-    if small_threshold and df.count() <= small_threshold:
+    one extra row). ``size_hint`` skips the runtime size probe."""
+    df, bounded = _resolve_small(df, small_threshold, size_hint)
+    if bounded:
         j = _with_keys_array(df, order)
         bucket = _ntile_bucket(
             _bounded_rn(order), F.size(F.col(_KS)).cast("long"), n_buckets
@@ -229,20 +262,23 @@ def global_cumsum(
     val: str,
     out: str = "cum",
     small_threshold: int = BOUNDED_RANK_INPUT,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Exact global running sum of integral `val` over a total order
     (rows unbounded-preceding through current), window-free on every
     path. `val` must be an integral column — integer addition is
     order-independent, so the broadcast-array fold, the partitioned
     window, and any engine's frame sum are bit-identical (the repo's
-    money discipline: cents-longs, never raw doubles)."""
+    money discipline: cents-longs, never raw doubles). ``size_hint``
+    skips the runtime size probe."""
     from pyspark.sql.types import IntegralType
 
     assert isinstance(df.schema[val].dataType, IntegralType), (
         f"global_cumsum requires an integral val column, got "
         f"{df.schema[val].dataType} for {val!r}"
     )
-    if small_threshold and df.count() <= small_threshold:
+    df, bounded = _resolve_small(df, small_threshold, size_hint)
+    if bounded:
         j = _with_keys_array(df, order, extra=[val])
         cum = F.aggregate(
             F.filter(F.col(_KS), lambda x: _ahead(x, order, strict=False)),

@@ -461,8 +461,11 @@ def q_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(_LR_BUDGET) * F.col("n_tok")) % F.col("t")).alias("rem_num"),
     )
     slots = quota.agg((F.lit(_LR_BUDGET) - F.sum("base")).alias("r"))
+    # size_hint: quota is ONE row per source — a bounded dimension
+    # (single-digit in testdata, never corpus-scaled) — so the rank
+    # needs no runtime size probe.
     ranked = global_row_number(
-        quota, [("rem_num", True), ("source", False)], out="rk"
+        quota, [("rem_num", True), ("source", False)], out="rk", size_hint=1024
     ).select("source", "n_tok", "base", "rk")
     return ranked.crossJoin(F.broadcast(slots)).select(
         "source",

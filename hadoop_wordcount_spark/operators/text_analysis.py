@@ -1152,11 +1152,14 @@ def q_perplexity_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_wordcount_spark.operators.ranking import global_ntile
 
     lp = q_bigram_logprob(spark, sf_dir)
+    # small_threshold=0: the per-doc score table is data-sized, so
+    # pin the distributed ntile and skip the probe.
     bk = global_ntile(
         lp.select("avg_logprob", "doc_id"),
         [("avg_logprob", False), ("doc_id", False)],
         10,
         out="b",
+        small_threshold=0,
     ).select("avg_logprob", F.col("b").cast("long").alias("bucket"))
     return bk.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1293,7 +1296,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     top = freq.orderBy(F.desc("c"), F.asc("w")).limit(100)
-    pts = global_row_number(top, [("c", True), ("w", False)], out="_rk").select(
+    # size_hint: `top` is a .limit(100) cut — statically bounded, no
+    # runtime size probe needed.
+    pts = global_row_number(
+        top, [("c", True), ("w", False)], out="_rk", size_hint=100
+    ).select(
         F.log(F.col("_rk").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )

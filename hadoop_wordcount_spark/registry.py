@@ -43,67 +43,20 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # steal-window cannot contaminate a whole family at once (see
 # DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
-    # -- Round-6 verification head, ~50-row driver budget. The r5
-    # verdict's #1 directive: retire the driver-ledger debt. Order:
-    # (a) queries NEW in round 6 (need a first row), then (b) the 38
-    # entries that had never had a driver CORRECTNESS row through r05
-    # (all judge-verified green in the r5 session, but the official
-    # ledger should say so), then (c) the 36 whose last green row is
-    # r01/r02 (multimodal, sinks, window/lag, scalar/JSON, classic
-    # joins). A ~50-row budget covers (a)+(b)+the head of (c); the
-    # rest of (c) rolls into round 7's head.
-    # (a) new in round 6:
-    "grep_regex_groups",
-    "aqe_skew_join",
-    "tpch_q6_like",
-    "tpch_q20_like",
-    "tpch_q21_like",
-    "priority_price_quantiles",
-    "taxonomy_tag_docs",
-    "pq_encode_stats",
-    "pq_adc_search",
-    "orders_cohort_retention",
-    "lateral_topn_orders",
-    "sql_udf_pricing",
-    "sql_pivot_clause",
-    "interval_overlap_pairs",
-    "interval_event_lookup",
-    "mode_median_by_type",
-    "union_schema_evolution",
-    "streaming_static_join",
-    "try_arithmetic_audit",
-    "collated_word_groups",
-    "parameterized_sql_lookup",
-    "file_lineage_report",
-    "csv_malformed_audit",
-    "udtf_polymorphic_split",
-    "group_apply_arrow",
-    "aqe_rebalance_write",
-    # (b) never driver-checked through r05:
-    "basket_part_pairs",
-    "tpch_q8_like",
-    "tpch_q9_like",
-    "tpch_q17_like",
-    "python_stream_source",
-    "sql_recursive_cte",
-    "batch_session_window",
-    "event_xml_roundtrip",
-    "grouping_sets_mix",
-    "dedup_containment",
-    "dedup_threshold_sweep",
-    "dedup_graph_degree_report",
-    "winnowing_fingerprint",
-    "collocations_pmi",
-    "quality_gopher_rules",
-    "mixture_temperature_weights",
-    "embedding_cell_stats",
-    "perplexity_bucket_report",
-    "orders_abc_pareto",
-    "tpch_q14_like",
-    "tpch_q16_like",
-    "tpch_q2_like",
-    "tpch_q4_like",
-    "tpch_q7_like",
+    # -- Round-7 verification head, exactly the 50-row driver budget.
+    # The r6 verdict's #1 directive: finish the driver ledger in one
+    # head. Order: (a) the 14 queries that have NEVER had a driver
+    # CORRECTNESS row through r06 (all judge-verified green in the r6
+    # session, but the official ledger should say so), then (b) the 36
+    # whose last green row is r01/r02 (multimodal, sinks, window/lag,
+    # scalar/JSON, classic joins). 14 + 36 = 50 = one round budget;
+    # after this round every oracled registry entry has an official
+    # driver row none older than r03. Families are interleaved where
+    # cheap so a bursty host steal-window cannot contaminate a whole
+    # family at once (see DEVNOTES on the r04 alphabetical-block
+    # anomaly) — the r01/r02 block below alternates sink/window/
+    # multimodal/join/scalar entries for the same reason.
+    # (a) never driver-checked through r06:
     "tpch_q11_like",
     "tpch_q19_like",
     "tpch_q15_like",
@@ -118,7 +71,7 @@ _PRIORITY: list[str] = [
     "words_intersect_all",
     "ngram_entropy",
     "zipf_fit",
-    # (c) stale — last green row r01/r02:
+    # (b) stale — last green row r01/r02:
     "sink_roundtrip_orc",
     "sink_partitioned_parquet",
     "window_topk_orders",
@@ -155,6 +108,34 @@ _PRIORITY: list[str] = [
     "array_ops_mix",
     "semi_join_customers",
     "broadcast_join_parts",
+    # -- round-6 head (all green in CORRECTNESS_r06) retained next so
+    # any budget overshoot re-verifies the newest entries first ------
+    "grep_regex_groups",
+    "aqe_skew_join",
+    "tpch_q6_like",
+    "tpch_q20_like",
+    "tpch_q21_like",
+    "priority_price_quantiles",
+    "taxonomy_tag_docs",
+    "pq_encode_stats",
+    "pq_adc_search",
+    "orders_cohort_retention",
+    "lateral_topn_orders",
+    "sql_udf_pricing",
+    "sql_pivot_clause",
+    "interval_overlap_pairs",
+    "interval_event_lookup",
+    "mode_median_by_type",
+    "union_schema_evolution",
+    "streaming_static_join",
+    "try_arithmetic_audit",
+    "collated_word_groups",
+    "parameterized_sql_lookup",
+    "file_lineage_report",
+    "csv_malformed_audit",
+    "udtf_polymorphic_split",
+    "group_apply_arrow",
+    "aqe_rebalance_write",
     # -- last green r03/r04/r05 follows (fresh enough); registration
     # order fills the remainder ---------------------------------------
 ]

@@ -2,7 +2,7 @@
 
 Round-4 verdict: `sim_search_lsh` was the one rows-only registry
 entry with neither an oracle, an exact twin, nor a pytest bound, and
-`dedup_minhash`'s recall-lean ML operating point was unbounded. These
+the MinHash ML demo's recall-lean operating point was unbounded. These
 tests close both gaps, using the same pattern as
 `test_ivf_ann_recall_vs_brute_force` (tests/test_properties.py):
 approximate result vs exact ground truth, recall floor asserted.
@@ -15,6 +15,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from hadoop_wordcount_spark import registry
+from hadoop_wordcount_spark.operators.dedup import minhash_lsh_ml_demo
 from tests.conftest import SF_SMALL
 
 registry.load_all()
@@ -49,7 +50,7 @@ def test_sim_search_lsh_recall_vs_brute_force(spark, sf_dir):
 
 
 def _sample_ids(n: int, lo: int = 0):
-    """doc_ids inside dedup_minhash's deterministic 25% hash-bucket
+    """doc_ids inside the MinHash ML demo's deterministic 25% hash-bucket
     sample (md5 bucket < '40'), so every planted doc participates."""
     out = []
     i = lo
@@ -83,7 +84,7 @@ def test_dedup_minhash_recall_on_planted_near_dups(spark, tmp_path):
     ).to_parquet(tmp_path / "documents.parquet")
     got = {
         (r["doc_a"], r["doc_b"])
-        for r in registry.QUERIES["dedup_minhash"](spark, str(tmp_path)).collect()
+        for r in minhash_lsh_ml_demo(spark, str(tmp_path)).collect()
     }
     assert len(got & planted) / len(planted) >= 0.8
     assert got <= planted  # disjoint vocabularies -> no false pairs
