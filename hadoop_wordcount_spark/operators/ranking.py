@@ -156,12 +156,19 @@ def _with_partition_offsets(
         _PID, F.spark_partition_id()
     )
     local = Window.partitionBy(_PID).orderBy(*_sort_cols(order))
-    # Cache the ranked rows: the offsets branch AND the main branch
-    # both read them — without this, every global_* call re-evaluates
-    # its whole input twice, and CHAINED calls (orders_rfm_segments
-    # ntiles three times) multiply to 2^depth evaluations. The cached
-    # set carries only the rank's input columns (callers project
-    # first), and bench cold mode clears it per query.
+    # The cache is LOAD-BEARING FOR CORRECTNESS, not a perf knob
+    # (round 7 tried removing it and caught a real wrong answer):
+    # the offsets branch and the main branch both read `r`, and
+    # repartitionByRange samples its boundaries with an RDD-id-seeded
+    # sketch — two separate executions of the exchange can place the
+    # same row in DIFFERENT pids, after which offsets computed from
+    # one execution join against ranks from the other (observed:
+    # orders_rfm_segments hash-mismatch at sf0.01, intermittent
+    # because ReuseExchange usually — but not always, under AQE
+    # branch replanning — deduplicates the exchange). The cache pins
+    # ONE materialization of (pid, local rank) that both branches
+    # share. Spark's own docs flag repartitionByRange as "may not be
+    # consistent" across executions for exactly this reason.
     r = r.withColumn(_LRN, F.row_number().over(local)).cache()
     aggs = [F.count(F.lit(1)).alias("_n")]
     if extra_sum is not None:

@@ -4147,6 +4147,96 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q1_like",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                    AS BIGINT) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000, 0) AS BIGINT))
+                     / 10000.0, 2) AS sum_disc_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * (1 + l_tax) * 1000000, 0) AS BIGINT))
+                     / 1000000.0, 2) AS sum_charge,
+               round(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                     / count(*), 4) AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0 / count(*), 4) AS avg_price,
+               round(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+                     / 100.0 / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, exact semantics (pricing summary report): per
+    (returnflag, linestatus), the full aggregate battery — sum of
+    quantity / base price / discounted price / charge, the three
+    averages, and the row count — over everything shipped up to a
+    cutoff near the end of the data. The canonical query's cutoff is
+    "90 days before the last shipdate"; this corpus ships 1995-01 ..
+    2001-11, so the cutoff is DATE '2001-09-01' (same ~90-day lead,
+    fixed literal so both engines see the identical constant). The
+    r6 verdict noted the `agg_multi` family was Q1-SHAPED but the
+    suite carried no labeled Q1 — this closes the crosswalk
+    (COVERAGE.md "TPC-H crosswalk").
+
+    Plan: the suite's purest map-side-combine test after Q6 — scan
+    with the shipdate predicate pushed, partial agg per partition
+    over a 4-group key space (so the exchange moves ~4 rows per
+    partition), single final agg. At 100 TB this is THE shape AQE
+    cannot improve and codegen fully fuses: one pass, no joins, tiny
+    shuffle.
+
+    Engine parity: every money product is exact at <= 6 decimals
+    (price 2 + discount 2 + tax 2), so each sum rides an integer
+    scale (cents / ten-thousandths / millionths as BIGINT) and
+    divides back once; averages derive from those integer sums over
+    count(*), so no engine-order double drift anywhere (the repo's
+    `_sum_money` discipline, DEVNOTES round 4). The millionths ride
+    bounds at ~2^37 per row — a 100 TB per-group sum stays inside
+    BIGINT headroom (~2^63) through ~2^25 rows per partial-agg slot
+    and the final agg adds at most shuffle.partitions terms per
+    group; for a corpus where a single group exceeds that, widen the
+    ride to DECIMAL(38, 6) — semantics unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(F.col("l_shipdate") <= "2001-09-01")
+    qty_l = F.round(F.col("l_quantity"), 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    disc_price_tt = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    charge_mil = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000,
+        0,
+    ).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        sel.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_l).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price_tt) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_mil) / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(qty_l) / n, 4).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / n, 4).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "tpch_q6_like",
     oracle="""
         SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000, 0)
@@ -4665,6 +4755,100 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.s") < F.col("b.e"))
         & (F.col("b.s") < F.col("a.e")),
     ).filter(F.expr(f"a.bucket = (greatest(a.s, b.s) div {H})"))
+    pairs = pairs.withColumn("ov_us", ov_end - ov_start)
+    return pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ov_us").alias("overlap_us"),
+        F.max("ov_us").alias("max_overlap_us"),
+    )
+
+
+@query(
+    "interval_overlap_skew",
+    oracle="""
+        WITH iv AS (
+            SELECT event_id, event_type,
+                   epoch_ns(ts) // 1000 AS s,
+                   epoch_ns(ts) // 1000
+                       + CAST(round(value * 60000000, 0) AS BIGINT) AS e
+            FROM events)
+        SELECT a.event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+                   AS overlap_us,
+               CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+                   AS max_overlap_us
+        FROM iv a JOIN iv b
+          ON a.event_type = b.event_type AND a.event_id < b.event_id
+         AND a.s < b.e AND b.s < a.e
+        GROUP BY a.event_type
+    """,
+)
+def q_interval_overlap_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened interval self-join: the same concurrent-pair
+    relation as `interval_overlap_pairs`, computed in the HOT-KEY
+    regime. `interval_overlap_pairs` equi-joins on (type, 1-hour
+    bucket); its per-task work is occupancy² of the hottest bucket,
+    and AQE's skew split cannot always save it — OptimizeSkewedJoin
+    splits oversized shuffle PARTITIONS, but a single pathological
+    key (one bucket holding 10-100x the median, the flash-crowd /
+    boilerplate-timestamp shape) still lands its whole candidate
+    square on however many task slices cover one partition. This
+    variant makes the hot-key case structural: 1-DAY buckets (so
+    per-bucket occupancy is ~24x the hourly plan's — genuine planted
+    skew at any SF) tamed by pair-preserving SALTING:
+
+    * side A carries salt = crc32(event_id) % S,
+    * side B explodes all S salt values,
+    * the join adds salt equality.
+
+    Every unordered pair (x, y) with x.id < y.id matches in EXACTLY
+    one (bucket, salt) cell — the cell where salt = x's salt — so the
+    relation is unchanged (the oracle is the naive non-equi join,
+    identical to `interval_overlap_pairs`'s), while the hottest
+    cell's candidate count drops from m² to m²/S: max-task work is
+    bounded by the salt factor, the knob you turn when occupancy
+    spikes. S = 8 here; at 100 TB size S ~ hot-occupancy /
+    target-task-rows. Replication cost is S on the exploded side
+    ONLY for rows in the joined projection (id, type, s, e — ~40
+    bytes), the standard skew-salting trade. Cross-check:
+    `tests/test_round7_fixes.py` plants one bucket at >= 10x median
+    occupancy and asserts the salted cells stay bounded while the
+    output matches the unsalted plan row-for-row."""
+    S = 8  # salt factor: hottest-cell candidates = occupancy^2 / S
+    D = 86_400_000_000  # 1-day buckets, microseconds
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("s"),
+        (
+            F.expr("ts_ns div 1000")
+            + F.round(F.col("value") * 60_000_000, 0).cast("long")
+        ).alias("e"),
+    )
+    iv = e.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr(f"s div {D}"), F.expr(f"e div {D}"))),
+    )
+    # crc32 of the id decouples the salt from any id-ordering pattern
+    # (event_id % S would put a strided id range all in one cell).
+    a = iv.withColumn(
+        "salt", (F.crc32(F.col("event_id").cast("string")) % S).cast("int")
+    ).alias("a")
+    b = iv.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    ).withColumn("salt", F.col("salt").cast("int")).alias("b")
+    ov_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    ov_end = F.least(F.col("a.e"), F.col("b.e"))
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e")),
+    ).filter(F.expr(f"a.bucket = (greatest(a.s, b.s) div {D})"))
     pairs = pairs.withColumn("ov_us", ov_end - ov_start)
     return pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -108,6 +108,10 @@ _PRIORITY: list[str] = [
     "array_ops_mix",
     "semi_join_customers",
     "broadcast_join_parts",
+    # -- NEW in round 7, immediately after the debt head: covered on
+    # any budget overshoot, else first in round 8's head --------------
+    "tpch_q1_like",
+    "interval_overlap_skew",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -124,3 +124,116 @@ def test_no_redundant_recache(spark, sf_dir):
         assert out is e, "cached input must be reused, not re-wrapped"
     finally:
         e.unpersist()
+
+
+def test_interval_skew_salting_bounds_hot_cell(spark, tmp_path):
+    """Plant one (type, day-bucket) at >= 10x the median occupancy and
+    check BOTH halves of the salting contract:
+
+    1. correctness — the salted plan returns the identical relation as
+       the unsalted hourly plan (`interval_overlap_pairs`) computed on
+       the same corpus;
+    2. boundedness — the hottest (bucket, salt) join cell's candidate
+       count is ~1/S of the hot bucket's unsalted square (within 2x of
+       the ideal m*m/S split, which crc32 only approximates)."""
+    import pandas as pd
+
+    S = 8
+    day_us = 86_400_000_000
+    rows = []
+    # Hot group: 120 overlapping 'view' intervals inside day 10.
+    for i in range(120):
+        rows.append((i, pd.Timestamp("1995-01-11 00:00:00")
+                     + pd.Timedelta(minutes=i), 1, "view", 30.0, "{}"))
+    # Background: 12 'click' intervals on each of days 11..20 (median
+    # same-type day occupancy 12 -> hot/median = 10x).
+    eid = 1000
+    for d in range(10):
+        for i in range(12):
+            rows.append((eid, pd.Timestamp("1995-01-12 00:00:00")
+                         + pd.Timedelta(days=d, minutes=7 * i), 1,
+                         "click", 10.0, "{}"))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from hadoop_wordcount_spark import registry
+
+    registry.load_all()
+    sf = str(tmp_path)
+    key = lambda r: (r["event_type"], r["n_pairs"], r["overlap_us"],
+                     r["max_overlap_us"])
+    unsalted = sorted(
+        map(key, registry.QUERIES["interval_overlap_pairs"](spark, sf).collect())
+    )
+    salted = sorted(
+        map(key, registry.QUERIES["interval_overlap_skew"](spark, sf).collect())
+    )
+    assert salted == unsalted and salted  # identical relation, non-empty
+    # Hot-group sanity: 30-min intervals starting 1 min apart overlap
+    # exactly their 29 successors (clipped at the tail).
+    view = dict((r[0], r) for r in salted)["view"]
+    assert view[1] == sum(min(29, 119 - i) for i in range(120))
+
+    # Boundedness: reproduce the plan's join-cell candidate counts.
+    from hadoop_wordcount_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    iv = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("ts_ns div 1000").alias("s"),
+            (F.expr("ts_ns div 1000")
+             + F.round(F.col("value") * 60_000_000, 0).cast("long")).alias("e"),
+        )
+        .withColumn("bucket", F.explode(F.sequence(
+            F.expr(f"s div {day_us}"), F.expr(f"e div {day_us}"))))
+    )
+    occ = {(r["event_type"], r["bucket"]): r["m"]
+           for r in iv.groupBy("event_type", "bucket")
+                      .agg(F.count(F.lit(1)).alias("m")).collect()}
+    m_hot = max(occ.values())
+    assert m_hot >= 10 * sorted(occ.values())[len(occ) // 2]
+    # Candidates per (type, bucket, salt) cell = |A in cell| * m (side
+    # B replicates every row into each salt) — the per-task work.
+    cells = (
+        iv.withColumn("salt", F.crc32(F.col("event_id").cast("string")) % S)
+        .groupBy("event_type", "bucket", "salt")
+        .agg(F.count(F.lit(1)).alias("a_n"))
+        .collect()
+    )
+    worst = max(
+        r["a_n"] * occ[(r["event_type"], r["bucket"])] for r in cells
+    )
+    assert worst <= 2 * m_hot * m_hot / S, (
+        f"hot cell candidates {worst} vs unsalted {m_hot * m_hot}"
+    )
+    assert worst < m_hot * m_hot / 2  # genuinely split, not one cell
+
+
+def test_interval_skew_plan_shuffles_on_salt(spark, sf_dir):
+    """The salted join must hash-exchange on a key set that INCLUDES
+    the salt column — otherwise every salt cell of a hot bucket still
+    lands in one task and the salting is decorative."""
+    from hadoop_wordcount_spark import registry
+
+    registry.load_all()
+    # At test scale the dim side broadcasts and no join exchange
+    # exists at all; force the shuffle join the 100 TB plan would use
+    # so the exchange keys are observable.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["interval_overlap_skew"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "salt" in plan, "salt column eliminated from the physical plan"
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("salt" in e and "bucket" in e for e in exchanges), exchanges

@@ -148,6 +148,11 @@ ALL_OPS = [
     # rollups / broadcast-dim lookups — expected ~1.
     "interval_overlap_pairs", "interval_event_lookup",
     "mode_median_by_type", "streaming_static_join",
+    # round-7: the skew-hardened salted interval join (same relation
+    # as interval_overlap_pairs; probed under the density-held scheme
+    # below, expected ~1). tpch_q1_like reads lineitem — not
+    # replicated, not probed.
+    "interval_overlap_skew",
     # docs-backed round-6 ops (expected ~1: collation groupBy is a
     # token-stream agg; the UDTF/Arrow kernels are per-partition
     # Python beside the scan; schema-evolution is two scans + one
@@ -157,11 +162,18 @@ ALL_OPS = [
 ]
 
 
-# Per-op factor caps. The events replicator multiplies temporal
-# DENSITY (fixed time range), so interval_overlap_pairs' true pair
-# count grows quadratically with factor BY CONSTRUCTION — probing it
-# past 4x measures the dataset's planted quadratic, not the plan.
-MAX_FACTOR = {"interval_overlap_pairs": 4}
+# Ops probed against the DENSITY-HELD events replica (r6 verdict
+# task: the standard events scheme keeps the TIME RANGE fixed while
+# multiplying row count, so per-bucket occupancy — and hence the true
+# overlapping-pair count — grows quadratically with factor BY
+# CONSTRUCTION; any interval-join plan would read superlinear against
+# it). The density-held scheme instead shifts each replica's clock by
+# a whole multiple of the base time span: per-day occupancy stays at
+# base level, the corpus grows by TIME, and nothing collides across
+# replicas (different days -> different buckets). Linear growth of
+# the true pair count restores ~1 as the pass bar.
+TIME_SHIFT_OPS = {"interval_overlap_pairs", "interval_overlap_skew"}
+MAX_FACTOR: dict[str, int] = {}
 
 
 def _noop(df) -> None:
@@ -226,6 +238,37 @@ def _replicate(spark, n: int, path: str) -> int:
     return base_docs * n, base_vecs * n
 
 
+def _replicate_events_shifted(spark, n: int, path: str) -> None:
+    """Density-held events replica: each replica keeps the original
+    per-row timestamps shifted forward by rep * span_days whole days
+    (span_days covers the base range plus a 32-day guard so even an
+    interval starting at the range's end cannot reach into the next
+    replica's days). Per-(type, day) occupancy is therefore constant
+    in n — the corpus grows in TIME, not in density — which is the
+    regime a year-over-year event store actually grows in."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts_ns"), F.max("ts_ns")).head()
+    span_days = int((hi - lo) // 86_400_000_000_000) + 32
+    reps = spark.range(n).select(F.col("id").alias("rep"))
+    ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        (
+            F.col("ts")
+            + F.make_interval(days=(F.col("rep") * span_days).cast("int"))
+        ).alias("ts"),
+        (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(os.path.join(path, "events.parquet"))
+
+
 def _load_store() -> dict:
     if os.path.exists(STORE):
         with open(STORE) as f:
@@ -282,12 +325,19 @@ def main() -> None:
                     .alias("nt")
                 ).agg(F.sum("nt"), F.avg("nt"))
             ))
+        shift_path = None
+        if any(q in TIME_SHIFT_OPS for q in ops):
+            shift_path = path + "_shift"
+            _replicate_events_shifted(spark, n, shift_path)
         for q in ops:
             if q in ("word_count", "dedup_exact", "text_stats_agg"):
                 continue
             if n > MAX_FACTOR.get(q, 1 << 30):
                 continue
-            timed(q, lambda q=q: _noop(registry.QUERIES[q](spark, path)))
+            src = shift_path if q in TIME_SHIFT_OPS else path
+            timed(q, lambda q=q, src=src: _noop(
+                registry.QUERIES[q](spark, src)
+            ))
         # Caches (banded-pair stage, IVF vecs) must not leak across
         # factors: each measurement pays its own featurization and
         # memory does not accumulate.
@@ -328,6 +378,12 @@ def _write_md(store: dict) -> None:
         "under per-table isomorphism schemes (token suffixes for "
         "documents, per-replica isometries for embeddings, id offsets "
         "for events — see tools/scale_probe.py) so within-replica "
+        "structure is preserved. interval_overlap_pairs / "
+        "interval_overlap_skew are probed against the DENSITY-HELD "
+        "events replica (per-replica whole-day clock shifts: constant "
+        "per-day occupancy, corpus grows in TIME) because the standard "
+        "id-offset scheme multiplies temporal density and makes the "
+        "true overlapping-pair count quadratic by construction. "
         "structure is preserved and NOTHING matches across replicas: "
         "the probe measures operator scaling, not planted cross-replica "
         "duplication. dedup_clusters runs right after "
