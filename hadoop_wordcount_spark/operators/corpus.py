@@ -789,3 +789,63 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "padding_waste_report",
+    oracle="""
+        WITH lens AS (
+            SELECT CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS BIGINT) AS n_tok
+            FROM documents),
+        bucketed AS (
+            SELECT n_tok, (n_tok - 1) // 64 AS bucket
+            FROM lens WHERE n_tok > 0)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST((bucket + 1) * 64 AS BIGINT) AS pad_to,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+               CAST(count(*) * (bucket + 1) * 64 AS BIGINT) AS padded_tokens,
+               round(1.0 - sum(n_tok) / (count(*) * (bucket + 1) * 64.0), 4)
+                   AS waste_frac
+        FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: if training batches group
+    documents into 64-token length buckets and pad every member to
+    the bucket ceiling, how many real vs padded tokens does each
+    bucket carry and what fraction of compute is padding waste —
+    the report that decides the bucket width (and whether to bother
+    bucketing at all vs `pack_sequences`' concatenate-and-split,
+    which wastes nothing but breaks document boundaries). Padding to
+    the bucket CEILING (not the observed in-bucket max) keeps batch
+    shapes static for compilers/kernels — the production choice —
+    and makes the report a pure two-level aggregate.
+
+    Scale: token count is a per-row projection above the scan; one
+    groupBy over ~len/64 buckets with map-side partials — the same
+    shape as a histogram, linear and shuffle-light at any corpus
+    size."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens_col(F.col("text"))).cast("long")
+    b = d.select(n_tok.alias("n_tok")).filter(F.col("n_tok") > 0)
+    b = b.withColumn("bucket", F.expr("(n_tok - 1) div 64"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            ((F.col("bucket") + 1) * 64).cast("long").alias("pad_to"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("real_tokens"),
+            (F.count(F.lit(1)) * (F.first("bucket") + 1) * 64)
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tok")
+                / (F.count(F.lit(1)) * (F.first("bucket") + 1) * 64.0),
+                4,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket")
+    )

@@ -4840,8 +4840,14 @@ def q_interval_overlap_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("salt", F.col("salt").cast("int")).alias("b")
     ov_start = F.greatest(F.col("a.s"), F.col("b.s"))
     ov_end = F.least(F.col("a.e"), F.col("b.e"))
+    # merge hint: without it Catalyst's size estimate can BROADCAST
+    # the 8x-exploded B side at mid scales (measured: the 4x scale
+    # probe ran 3x slower than 16x because 4x sat under the broadcast
+    # estimate while 16x shuffled). Broadcasting a fact-sized
+    # exploded side is never the 100 TB plan; the salting design
+    # requires the shuffle on (type, bucket, salt) to exist.
     pairs = a.join(
-        b,
+        b.hint("merge"),
         (F.col("a.event_type") == F.col("b.event_type"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.salt") == F.col("b.salt"))

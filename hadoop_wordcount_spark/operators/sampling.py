@@ -475,3 +475,49 @@ def q_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+@query(
+    "eval_holdout_exact_k",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents)
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 25
+    """,
+)
+def q_eval_holdout_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota holdout: EXACTLY k=25 documents per language,
+    picked by md5 order of doc_id — the eval-set construction rate
+    sampling can't do (a 1% Bernoulli sample of a small language can
+    return 0 docs; an eval set needs a guaranteed per-group count).
+    Hash order makes the quota deterministic, layout-invariant, and
+    stable as the corpus grows: a doc already in the holdout stays in
+    it until k better-hashed docs exist, and appending new docs never
+    reshuffles the whole set the way ORDER BY a data column would.
+
+    Scale: rank <= k over Window.partitionBy(lang) plans as
+    WindowGroupLimit (Spark's top-k-per-group pushdown) — each
+    partition keeps a k-row heap map-side BEFORE the lang shuffle, so
+    the exchange moves ~k rows per (lang, input partition), never the
+    corpus; no global sort, no single-partition window
+    (plan-pinned in tests/test_round7_fixes.py). At 100 TB with
+    thousands of groups the same plan holds — the heap state is
+    k rows per group per task."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 25)
+    )

@@ -1287,3 +1287,63 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "adc_d2", "exact_d2")
     )
+
+
+@query(
+    "embedding_mrl_truncation",
+    oracle="""
+        WITH per_vec AS (
+            SELECT label,
+                   sqrt(list_dot_product(embedding[1:16], embedding[1:16])
+                        / list_dot_product(embedding, embedding))
+                       AS retention
+            FROM embeddings
+            WHERE list_dot_product(embedding, embedding) > 0)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(retention), 4) AS avg_retention,
+               round(min(retention), 4) AS min_retention,
+               CAST(count(*) FILTER (WHERE retention >= 0.45) AS BIGINT)
+                   AS n_ge_045
+        FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much of each vector's
+    L2 energy survives keeping only the first 16 of 64 dimensions —
+    the decision report before swapping full embeddings for truncated
+    ones in a recall-tolerant stage (coarse ANN routing, dedup
+    pre-filters). MRL-trained encoders front-load information, so
+    retention near sqrt(16/64) = 0.5 means the embedding is NOT
+    matryoshka-ordered (energy is uniform across dims) and truncation
+    costs real recall; retention >> 0.5 licenses the 4x
+    storage/bandwidth cut. Reported per label: mean/min retention and
+    how many vectors clear 0.45.
+
+    Scale: pure per-row array arithmetic (slice + two dot products)
+    above the scan, then one 10-group aggregate — zero joins, zero
+    Python, fully codegen'd; the same plan at 100 TB is
+    scan-throughput-bound. Retention is ROUNDED before the per-group
+    min so the argmin row choice cannot straddle an engine ulp.
+    Cross-engine: slice(1,16) == DuckDB embedding[1:16] (both
+    1-indexed inclusive heads); float32 sums drift below the 4dp
+    rounding at d=64."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 16)
+    from hadoop_wordcount_spark.functions.vectors import dot
+
+    full_e = dot(F.col("embedding"), F.col("embedding"))
+    ret = F.sqrt(dot(head, head) / full_e)
+    per = emb.filter(full_e > 0).select("label", ret.alias("retention"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("retention"), 4).alias("avg_retention"),
+            F.round(F.min("retention"), 4).alias("min_retention"),
+            F.sum(
+                F.when(F.col("retention") >= 0.45, 1).otherwise(0)
+            ).cast("long").alias("n_ge_045"),
+        )
+        .orderBy("label")
+    )

@@ -112,6 +112,9 @@ _PRIORITY: list[str] = [
     # any budget overshoot, else first in round 8's head --------------
     "tpch_q1_like",
     "interval_overlap_skew",
+    "eval_holdout_exact_k",
+    "embedding_mrl_truncation",
+    "padding_waste_report",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -237,3 +237,19 @@ def test_interval_skew_plan_shuffles_on_salt(spark, sf_dir):
 
     exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("salt" in e and "bucket" in e for e in exchanges), exchanges
+
+
+def test_eval_holdout_plans_window_group_limit(spark, sf_dir):
+    """The exact-k holdout must plan as WindowGroupLimit in BOTH
+    Partial (map-side, pre-shuffle k-row heap) and Final modes — the
+    top-k-per-group pushdown that keeps the lang exchange at ~k rows
+    per group per input partition instead of the corpus."""
+    df = registry.QUERIES["eval_holdout_exact_k"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    modes = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in modes), modes
+    assert any("Final" in l for l in modes), modes
+    # exactly k rows per group, deterministic membership
+    rows = df.groupBy("lang").count().collect()
+    assert rows and all(r["count"] <= 25 for r in rows)
