@@ -5102,3 +5102,95 @@ def q_parameterized_sql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "cutoff": datetime.date(1996, 1, 1)},
     )
+
+
+@query(
+    "sql_listagg_nation_top",
+    oracle="""
+        WITH ranked AS (
+            SELECT n.n_name, c.c_name, c.c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY c.c_acctbal DESC, c.c_name
+                   ) AS rk
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT n_name,
+               string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name)
+                   AS top_customers,
+               CAST(count(*) AS BIGINT) AS n_listed
+        FROM ranked WHERE rk <= 5
+        GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_sql_listagg_nation_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4.0's new ordered string
+    aggregation) over a top-k-per-group cut: each nation's 5
+    highest-balance customers as one ordered CSV cell — the
+    denormalized report/export shape (one row per dim key, the
+    detail folded in). The WITHIN GROUP order makes the cell
+    deterministic — an unordered collect_list + concat would be
+    partition-order-dependent and hash-unstable.
+
+    Scale: the rank <= 5 cut plans as WindowGroupLimit (map-side
+    k-heaps before the nation shuffle), so listagg aggregates at
+    most 5 short strings per group — cell width is BOUNDED by
+    construction; never listagg an unbounded group at 100 TB (a
+    single cell must fit in one row buffer). DuckDB twin:
+    string_agg(expr, sep ORDER BY ...)."""
+    from hadoop_wordcount_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH ranked AS (
+            SELECT n.n_name, c.c_name, c.c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY c.c_acctbal DESC, c.c_name
+                   ) AS rk
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT n_name,
+               listagg(c_name, ',')
+                   WITHIN GROUP (ORDER BY c_acctbal DESC, c_name)
+                   AS top_customers,
+               CAST(count(*) AS BIGINT) AS n_listed
+        FROM ranked WHERE rk <= 5
+        GROUP BY n_name ORDER BY n_name
+    """)
+
+
+@query(
+    "sql_group_by_all_report",
+    oracle="""
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS total
+        FROM orders
+        GROUP BY o_orderpriority, year(o_orderdate)
+        ORDER BY o_orderpriority, order_year
+    """,
+)
+def q_sql_group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 dialect): the analyst
+    shorthand that derives the grouping set from the non-aggregate
+    select items — so adding a dimension to the SELECT list cannot
+    silently desynchronize from a hand-maintained GROUP BY clause
+    (the classic copy-paste bug in wide rollups). Catalyst expands it
+    to the explicit form at analysis time; the oracle IS that
+    explicit form, proving the expansion picks exactly the
+    non-aggregate items. Money rides integer cents per the repo
+    discipline."""
+    from hadoop_wordcount_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     / 100e0, 2) AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

@@ -115,6 +115,9 @@ _PRIORITY: list[str] = [
     "eval_holdout_exact_k",
     "embedding_mrl_truncation",
     "padding_waste_report",
+    "state_store_read",
+    "sql_listagg_nation_top",
+    "sql_group_by_all_report",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

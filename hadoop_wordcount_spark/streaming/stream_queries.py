@@ -722,3 +722,59 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return settled
+
+
+@query(
+    "state_store_read",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_in_state,
+               round(sum(value), 3) AS sum_in_state
+        FROM events GROUP BY event_type
+    """,
+)
+def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store data source (Spark 4): run a checkpointed
+    streaming aggregation to completion, then BATCH-READ its state
+    checkpoint with ``spark.read.format("statestore")`` — the
+    debugging/auditing door into a production stream's live state
+    (inspect hot keys, verify state size, reconcile counts) without
+    touching the running query. The read-back state must equal the
+    batch aggregate over the same input — which is exactly what the
+    oracle checks: the streaming pipeline's per-key (count, sum)
+    state vs DuckDB's GROUP BY on the raw table.
+
+    Scale: the state source reads one store per shuffle partition in
+    parallel (partition_id is exposed as a column); state volume is
+    O(distinct keys), not O(events). A fresh checkpoint dir per call
+    keeps the query rerunnable; availableNow drains the bounded
+    fixture exactly once."""
+    import tempfile
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("sv"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="hwcs_state_read_")
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_in_state"),
+        F.round(F.col("value.sum"), 3).alias("sum_in_state"),
+    )
