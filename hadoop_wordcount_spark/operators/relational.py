@@ -5194,3 +5194,162 @@ def q_sql_group_by_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+        WITH t AS (
+            SELECT event_type,
+                   epoch_ns(ts) AS ns,
+                   (epoch_ns(ts) // 1000) // 3600000000 AS hour_bucket,
+                   round(value, 3) AS v
+            FROM events)
+        SELECT event_type,
+               CAST(hour_bucket AS BIGINT) AS hour_bucket,
+               arg_min(v, ns) AS open,
+               round(max(v), 3) AS high,
+               round(min(v), 3) AS low,
+               arg_max(v, ns) AS close,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM t GROUP BY event_type, hour_bucket
+        HAVING count(*) >= 3
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (event_type, hour),
+    the opening value (earliest event), high, low, close (latest) and
+    the bar's event count — the resample step every metrics/trading
+    pipeline runs before charting or modeling, keeping bars with >= 3
+    points. open/close use min_by/max_by (Spark) == arg_min/arg_max
+    (DuckDB) keyed on the event-time nanos; the fixture guarantees
+    (event_type, ts_ns) is UNIQUE (pinned for every SF in
+    tests/test_round7_fixes.py), which makes the argmin/argmax row
+    well-defined in both engines — the production contract is an
+    ingestion sequence number as the total order.
+
+    Scale: single groupBy with map-side partial min_by/max_by (each
+    partial carries one (value, key) pair per group — constant state,
+    same as min/max), one shuffle on (type, hour), no window, no
+    join. Values are rounded to the table's 3-decimal precision
+    BEFORE aggregation so the selected extrema cannot straddle an
+    engine ulp."""
+    e = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value"), 3)
+    b = e.select(
+        "event_type",
+        F.col("ts_ns").alias("ns"),
+        F.expr("(ts_ns div 1000) div 3600000000").alias("hour_bucket"),
+        v.alias("v"),
+    )
+    return (
+        b.groupBy("event_type", "hour_bucket")
+        .agg(
+            F.min_by("v", "ns").alias("open"),
+            F.round(F.max("v"), 3).alias("high"),
+            F.round(F.min("v"), 3).alias("low"),
+            F.max_by("v", "ns").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
+
+
+@query(
+    "orders_priority_transpose",
+    oracle="""
+        WITH agg AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS DOUBLE) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS total
+            FROM orders GROUP BY o_orderpriority)
+        SELECT 'n_orders' AS key,
+               sum(n_orders) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+               sum(n_orders) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+               sum(n_orders) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+               sum(n_orders) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                   AS "4-NOT SPECIFIED",
+               sum(n_orders) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        FROM agg
+        UNION ALL
+        SELECT 'total',
+               sum(total) FILTER (o_orderpriority = '1-URGENT'),
+               sum(total) FILTER (o_orderpriority = '2-HIGH'),
+               sum(total) FILTER (o_orderpriority = '3-MEDIUM'),
+               sum(total) FILTER (o_orderpriority = '4-NOT SPECIFIED'),
+               sum(total) FILTER (o_orderpriority = '5-LOW')
+        FROM agg
+    """,
+)
+def q_orders_priority_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (new in Spark 4.0): flip a tall per-priority
+    aggregate into the metrics-as-rows / priorities-as-columns layout
+    a report or spreadsheet expects — the index column's VALUES become
+    the output columns (sorted), each remaining column becomes one
+    row keyed by its name. The oracle hand-builds the identical
+    transposed relation with conditional aggregates, pinning both the
+    cell values and the derived column names.
+
+    Scale: transpose collects the frame to derive the output schema —
+    by contract it is a DIMENSION-SIZED operation (here 5 rows x 3
+    cols from a first-stage aggregate); the corpus-sized work is the
+    upstream groupBy. Never transpose a fact table — the column count
+    IS the row count. Metrics are cast to a uniform DOUBLE up front:
+    transpose requires one least-common type across melted columns,
+    so mixing raw longs and doubles would otherwise widen
+    implicitly."""
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return agg.transpose()
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+        SELECT o_orderpriority, 'open_n' AS metric,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS v
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'finished_n',
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'pending_n',
+               CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT)
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (the dialect twin of `unpivot_status`'s
+    DataFrame melt, completing the PIVOT/UNPIVOT SQL pair with
+    `sql_pivot_clause`): widen per-status counts into columns with a
+    conditional aggregate, then melt them back to (priority, metric,
+    v) rows — the round-trip every BI export/import pipeline runs.
+    Catalyst plans UNPIVOT as Expand (each input row emits one row
+    per melted column) — a projection, not a shuffle; the only
+    exchange is the upstream groupBy."""
+    from hadoop_wordcount_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS open_n,
+                   CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS finished_n,
+                   CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS pending_n
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, metric, v
+        FROM wide UNPIVOT (v FOR metric IN (open_n, finished_n, pending_n))
+    """)

@@ -118,6 +118,9 @@ _PRIORITY: list[str] = [
     "state_store_read",
     "sql_listagg_nation_top",
     "sql_group_by_all_report",
+    "events_ohlc_hourly",
+    "orders_priority_transpose",
+    "sql_unpivot_clause",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

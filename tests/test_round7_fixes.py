@@ -253,3 +253,21 @@ def test_eval_holdout_plans_window_group_limit(spark, sf_dir):
     # exactly k rows per group, deterministic membership
     rows = df.groupBy("lang").count().collect()
     assert rows and all(r["count"] <= 25 for r in rows)
+
+
+def test_events_type_ts_unique_all_sfs(spark):
+    """events_ohlc_hourly's open/close argmin/argmax key contract:
+    (event_type, ts_ns) must be UNIQUE — pinned at every generated
+    SF so a testdata regen that breaks it fails loudly here instead
+    of as an engine-dependent winner in the oracle compare."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        e = load_table(spark, f"/root/testdata/{sf}", "events")
+        dupes = (
+            e.groupBy("event_type", "ts_ns")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0, f"{sf}: {dupes} duplicate (event_type, ts_ns) keys"
