@@ -151,8 +151,17 @@ ALL_OPS = [
     # round-7: the skew-hardened salted interval join (same relation
     # as interval_overlap_pairs; probed under the density-held scheme
     # below, expected ~1). tpch_q1_like reads lineitem — not
-    # replicated, not probed.
+    # replicated, not probed; nor are the orders/customer-backed
+    # sql_listagg/group_by_all/transpose/unpivot dialect entries.
     "interval_overlap_skew",
+    # round-7 batch 2/3 (docs/embeddings/events-backed; expected ~1:
+    # holdout is WindowGroupLimit k-heaps, MRL/padding are scan-level
+    # projections + bounded rollups, OHLC is one min_by shuffle —
+    # probed density-held so its (type, ts) uniqueness contract
+    # survives replication; state_store_read is the checkpointed
+    # stream + state-file read, state is O(keys)).
+    "eval_holdout_exact_k", "embedding_mrl_truncation",
+    "padding_waste_report", "events_ohlc_hourly", "state_store_read",
     # docs-backed round-6 ops (expected ~1: collation groupBy is a
     # token-stream agg; the UDTF/Arrow kernels are per-partition
     # Python beside the scan; schema-evolution is two scans + one
@@ -172,7 +181,8 @@ ALL_OPS = [
 # base level, the corpus grows by TIME, and nothing collides across
 # replicas (different days -> different buckets). Linear growth of
 # the true pair count restores ~1 as the pass bar.
-TIME_SHIFT_OPS = {"interval_overlap_pairs", "interval_overlap_skew"}
+TIME_SHIFT_OPS = {"interval_overlap_pairs", "interval_overlap_skew",
+                  "events_ohlc_hourly"}
 MAX_FACTOR: dict[str, int] = {}
 
 
