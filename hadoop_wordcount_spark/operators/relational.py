@@ -5353,3 +5353,65 @@ def q_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority, metric, v
         FROM wide UNPIVOT (v FOR metric IN (open_n, finished_n, pending_n))
     """)
+
+
+@query(
+    "bitmap_exact_distinct",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(DISTINCT o_custkey) AS n_distinct_cust,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT o_custkey), count(*) FROM orders
+    """,
+)
+def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5
+    `bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`).
+
+    The scalable exact-COUNT(DISTINCT) design: each key id maps to
+    (bucket = id >> 15, bit = id & 32767); per (group, bucket) a
+    4 KB fixed-size bitmap absorbs every id in one partial+final
+    agg — the classic roaring-style decomposition. Distinct count =
+    sum over buckets of popcount. Two merge levels shown here:
+    per-priority counts sum bucket popcounts directly (a custkey
+    lands in exactly one bucket), while the ALL row first ORs the
+    per-priority bitmaps bucket-wise (`bitmap_or_agg`) so customers
+    appearing under several priorities are not double-counted —
+    bitmap OR is the union semantic COUNT(DISTINCT) needs.
+
+    Scale: a plain COUNT(DISTINCT key) GROUP BY g shuffles every
+    (g, key) pair; this shuffles at most one 4 KB bitmap per
+    (g, bucket) cell after map-side combine — cardinality-bounded,
+    not row-bounded, and the merge is embarrassingly associative.
+    Exactness costs nothing here (unlike HLL/theta estimates in
+    `approx_distinct_words` / `sketch_theta_source_overlap`); the
+    trade is that ids must be integral and bounded (64-bit here —
+    bucket count tracks the id domain actually populated).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bitmap_orders"
+    )
+    return spark.sql("""
+        WITH b AS (
+            SELECT o_orderpriority AS priority,
+                   bitmap_bucket_number(o_custkey) AS bkt,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey))
+                       AS bm,
+                   count(*) AS n
+            FROM bitmap_orders GROUP BY 1, 2),
+        per AS (
+            SELECT priority,
+                   CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust,
+                   CAST(sum(n) AS BIGINT) AS n_orders
+            FROM b GROUP BY priority),
+        glob AS (
+            SELECT 'ALL' AS priority,
+                   CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust,
+                   CAST(sum(n) AS BIGINT) AS n_orders
+            FROM (SELECT bkt, bitmap_or_agg(bm) AS bm, sum(n) AS n
+                  FROM b GROUP BY bkt))
+        SELECT * FROM per UNION ALL SELECT * FROM glob
+    """)

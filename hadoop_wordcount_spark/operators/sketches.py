@@ -542,3 +542,108 @@ def q_bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positive_share"),
         )
     )
+
+
+_THETA_LGK = 14  # nominal 2^14 = 16384 entries; see docstring
+
+
+@query(
+    "sketch_theta_source_overlap",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+            FROM tok WHERE len(tk) >= 3),
+        c AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2),
+        n AS (SELECT source, count(*) AS n FROM sh GROUP BY 1)
+        SELECT c.src_a, c.src_b, na.n AS n_a, nb.n AS n_b, c.n_inter,
+               na.n + nb.n - c.n_inter AS n_union,
+               round(CAST(c.n_inter AS DOUBLE)
+                     / (na.n + nb.n - c.n_inter), 4) AS jaccard
+        FROM c
+        JOIN n na ON na.source = c.src_a
+        JOIN n nb ON nb.source = c.src_b
+    """,
+)
+def q_sketch_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap from native Theta sketches (Spark 4.1
+    `theta_sketch_agg` / `theta_intersection` / `theta_union` — the
+    Apache DataSketches Theta family).
+
+    Same question as `kmv_source_overlap` (which hand-rolls a
+    bottom-k sketch) and `source_overlap_matrix` (which moves every
+    shingle): how many distinct 3-token shingles do two sources
+    share? Theta sketches answer it with SET ALGEBRA ON SKETCHES —
+    per source one mergeable sketch, then |A∩B| and |A∪B| estimated
+    from the 20 sketches alone, no re-scan of the corpus.
+
+    Correctness contract: a Theta update sketch is EXACT (samples
+    nothing, theta = 1) until it holds 2^lgK nominal entries; with
+    lgK = 14 every per-source shingle set at the oracle SFs is far
+    below 16384, so estimates are exact integers and the DuckDB
+    oracle can count the truth with plain joins. Beyond capacity the
+    sketch degrades gracefully to ~1/sqrt(2^lgK) relative error —
+    at 100 TB you'd raise lgK (space is 8 bytes/entry) and accept
+    the documented +-0.8%% band; the pipeline shape is unchanged.
+
+    Scale: the only corpus-sized stages are the distinct (source,
+    shingle) shuffle and one partial+final sketch agg (sketches are
+    mergeable, so map-side combine applies). The pairwise stage is a
+    broadcast self-join over S dimension rows; set ops run on
+    sketch payloads (S^2 * 16 KB at capacity) — never on data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        )
+    )
+    sh = (
+        d.select("source", tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    sk = sh.groupBy("source").agg(
+        F.theta_sketch_agg("s", _THETA_LGK).alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.theta_sketch_estimate(F.col("a.sk")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("b.sk")).alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+        ).alias("n_inter"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("a.sk"), F.col("b.sk"), F.lit(_THETA_LGK))
+        ).alias("n_union"),
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.round(F.col("n_inter") / F.col("n_union"), 4).alias("jaccard"),
+    )

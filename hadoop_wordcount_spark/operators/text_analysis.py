@@ -1778,3 +1778,41 @@ def q_taxonomy_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("score").cast("long").alias("total_hits"),
     )
+
+
+# The synthetic corpus's source dimension (TESTDATA.md): src0..src19
+# at every SF. The crosstab's output columns are these values, so the
+# oracle enumerates them; test_round7_fixes pins the set per SF.
+_CROSSTAB_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@query(
+    "lang_source_crosstab",
+    oracle="SELECT CAST(lang AS VARCHAR) AS lang_source, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE source = '{s}') AS \"{s}\""
+        for s in _CROSSTAB_SOURCES
+    )
+    + " FROM documents GROUP BY lang",
+)
+def q_lang_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table lang x source via `df.stat.crosstab` — the
+    DataFrameStatFunctions surface (Spark's built-in categorical
+    cross-tabulation, a pivoted pairwise count).
+
+    Dimension-bounded BY CONTRACT: crosstab materializes one output
+    column per distinct right-hand value (Spark caps the pair count
+    at 1e6), so it is a DIMENSION x DIMENSION report — langs (5) x
+    sources (20) here — never a fact-grain pivot. The heavy stage is
+    a plain (lang, source) count aggregation over the scan
+    (map-side combined, cardinality-bounded shuffle); only the tiny
+    pivoted result is driver-shaped. At 100 TB the same report costs
+    one pass + a 100-cell table; the same guardrail as
+    `orders_priority_transpose` (column count == category count)
+    applies. `pivot_status` covers the fact-grain pivot path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ct = d.stat.crosstab("lang", "source")
+    # crosstab emits columns in first-seen order; project to the
+    # pinned dimension order so the output schema is deterministic.
+    return ct.select("lang_source", *_CROSSTAB_SOURCES)

@@ -121,6 +121,9 @@ _PRIORITY: list[str] = [
     "events_ohlc_hourly",
     "orders_priority_transpose",
     "sql_unpivot_clause",
+    "bitmap_exact_distinct",
+    "sketch_theta_source_overlap",
+    "lang_source_crosstab",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -271,3 +271,92 @@ def test_events_type_ts_unique_all_sfs(spark):
             .count()
         )
         assert dupes == 0, f"{sf}: {dupes} duplicate (event_type, ts_ns) keys"
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 4: bitmap exact-distinct, theta sketch overlap, crosstab
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_theta_sparse_exact_capacity(spark, sf):
+    """`sketch_theta_source_overlap`'s oracle is only valid while the
+    Theta sketches run in exact (sparse) mode: every per-source
+    distinct-shingle count must sit below 2^lgK nominal entries at
+    the oracle SFs. Pin that capacity contract per SF."""
+    from hadoop_wordcount_spark.operators.sketches import _THETA_LGK
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    d = load_table(spark, sf, "documents")
+    tk = F.col("tk")
+    n = (
+        d.select("source", tokens_col(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(tk, i),
+                            F.element_at(tk, i + 1),
+                            F.element_at(tk, i + 2),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .groupBy("source")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert n < (1 << _THETA_LGK), (
+        f"per-source shingle cardinality {n} exceeds theta nominal "
+        f"capacity 2^{_THETA_LGK}; the exact-mode oracle contract is void"
+    )
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_crosstab_source_dimension_pinned(spark, sf):
+    """`lang_source_crosstab`'s oracle enumerates src0..src19 as the
+    output columns; pin that the source dimension IS that set at the
+    oracle SFs (a generator change must fail loudly here, not as a
+    silent column drift)."""
+    from hadoop_wordcount_spark.operators.text_analysis import (
+        _CROSSTAB_SOURCES,
+    )
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    srcs = {
+        r[0]
+        for r in load_table(spark, sf, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert srcs == set(_CROSSTAB_SOURCES)
+
+
+def test_bitmap_distinct_partial_agg(spark, sf_dir):
+    """The bitmap build must partial-aggregate map-side (the whole
+    point: one 4 KB bitmap per (group, bucket) crosses the shuffle,
+    not one row per order). ObjectHashAggregate handles the binary
+    bitmap state; assert a partial_bitmap_construct_agg below the
+    exchange."""
+    from hadoop_wordcount_spark.plans.inspect import formatted_plan
+
+    df = registry.QUERIES["bitmap_exact_distinct"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "bitmap_construct_agg" in plan
+    assert "partial_bitmap_construct_agg" in plan or (
+        "Functions [2]: [partial_" in plan
+    ), plan
