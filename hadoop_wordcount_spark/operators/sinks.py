@@ -339,3 +339,103 @@ def q_aqe_rebalance_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("cents_total"),
     )
+
+
+@query(
+    "insert_overwrite_dynamic_partitions",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+                   o_orderstatus, o_totalprice
+            FROM orders),
+        seed AS (
+            SELECT mon, count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS rev,
+                   'full' AS src
+            FROM m GROUP BY mon),
+        rebuilt AS (
+            SELECT mon, count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS rev,
+                   'final_only' AS src
+            FROM m WHERE o_orderstatus = 'F' AND mon >= '1999-01'
+            GROUP BY mon)
+        SELECT * FROM rebuilt
+        UNION ALL
+        SELECT * FROM seed
+        WHERE mon NOT IN (SELECT mon FROM rebuilt)
+    """,
+)
+def q_insert_overwrite_dynamic_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-partition INSERT OVERWRITE — the incremental
+    re-materialization pattern: a partitioned reporting table is
+    seeded once over all months, then a later pass recomputes ONLY
+    the partitions it produces rows for (here: months >= 1999-01,
+    final-status orders only), leaving every other partition's files
+    untouched.
+
+    `spark.sql.sources.partitionOverwriteMode=dynamic` is the whole
+    mechanism: OVERWRITE deletes just the partitions present in the
+    incoming result, not the table. At 100 TB this is how a daily
+    pipeline replaces yesterday's partitions in an hourly-bucketed
+    corpus without rewriting (or even listing) years of history —
+    the write cost tracks the delta, and concurrent readers of
+    untouched months never see a missing file. Months where the
+    rebuild has no rows (no 'F' orders) retain their seed row — the
+    oracle's NOT IN mirrors exactly that file-level semantic.
+
+    The catalog side (external partitioned `saveAsTable`, re-read
+    via `spark.table`) complements `bucketed_join`'s persisted
+    bucket layout and the path-based `sink_*` roundtrips.
+    """
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"hwcs_dyn_orders_{tag}"
+    path = _tmp(f"orders_dyn_{tag}", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    seed = (
+        monthly.groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                / 100.0,
+                2,
+            ).alias("rev"),
+        )
+        .select("n_orders", "rev", F.lit("full").alias("src"), "mon")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        seed.write.mode("overwrite")
+        .option("path", path)
+        .partitionBy("mon")
+        .saveAsTable(tbl)
+    )
+    monthly.createOrReplaceTempView(f"{tbl}_src")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(f"""
+            INSERT OVERWRITE TABLE {tbl} PARTITION (mon)
+            SELECT count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS rev,
+                   'final_only' AS src,
+                   mon
+            FROM {tbl}_src
+            WHERE o_orderstatus = 'F' AND mon >= '1999-01'
+            GROUP BY mon
+        """)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.table(tbl).select("mon", "n_orders", "rev", "src")

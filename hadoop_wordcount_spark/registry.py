@@ -124,6 +124,7 @@ _PRIORITY: list[str] = [
     "bitmap_exact_distinct",
     "sketch_theta_source_overlap",
     "lang_source_crosstab",
+    "insert_overwrite_dynamic_partitions",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

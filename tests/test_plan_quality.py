@@ -454,3 +454,40 @@ def test_rebalance_hint_in_write_plan(spark, sf_dir):
     df = _rebalance_input(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in opt, opt
+
+
+def test_analyze_table_stats_recorded_and_broadcast(spark, sf_dir):
+    """Catalog statistics surface: ANALYZE TABLE COMPUTE STATISTICS
+    (table + FOR COLUMNS) must land rowCount/ndv in the catalog, and
+    a hint-free join against the analyzed small table must still pick
+    BroadcastHashJoin — at 100 TB the optimizer only knows which side
+    is broadcastable from exactly these stats."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "hwcs_stats_nation"
+    )
+    spark.sql("ANALYZE TABLE hwcs_stats_nation COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE hwcs_stats_nation COMPUTE STATISTICS "
+        "FOR COLUMNS n_nationkey"
+    )
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED hwcs_stats_nation").collect()
+    }
+    assert "Statistics" in desc and "rows" in desc["Statistics"]
+    cstat = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED hwcs_stats_nation n_nationkey"
+        ).collect()
+    }
+    assert cstat.get("distinct_count") == "25"
+
+    cust = load_table(spark, sf_dir, "customer")
+    joined = cust.join(
+        spark.table("hwcs_stats_nation"),
+        cust.c_nationkey == F.col("n_nationkey"),
+    )
+    assert "BroadcastHashJoin" in formatted_plan(joined)

@@ -360,3 +360,49 @@ def test_bitmap_distinct_partial_agg(spark, sf_dir):
     assert "partial_bitmap_construct_agg" in plan or (
         "Functions [2]: [partial_" in plan
     ), plan
+
+
+def test_dynamic_overwrite_leaves_untouched_partition_files(spark, sf_dir):
+    """The semantic that makes dynamic INSERT OVERWRITE the 100 TB
+    incremental-rebuild tool: partitions absent from the incoming
+    result keep their EXACT on-disk files (same part-file names —
+    nothing relisted, nothing rewritten). Pin it at file level for a
+    month outside the rebuild window."""
+    import glob
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks", sf_dir.rstrip("/").rsplit("/", 1)[-1],
+        f"orders_dyn_{tag}"
+    )
+    registry.QUERIES["insert_overwrite_dynamic_partitions"](spark, sf_dir)
+    snap = lambda mon: sorted(
+        f for f in glob.glob(os.path.join(path, f"mon={mon}", "*"))
+        if not f.endswith(".crc")
+    )
+    before_untouched = snap("1995-03")
+    before_rebuilt = snap("1999-03")
+    assert before_untouched and before_rebuilt
+    # Re-issue ONLY the overwrite stage against the persisted table:
+    # the rebuild window's partitions get brand-new part files, while
+    # a month outside the window keeps its exact files.
+    tbl = f"hwcs_dyn_orders_{tag}"
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(f"""
+            INSERT OVERWRITE TABLE {tbl} PARTITION (mon)
+            SELECT count(*) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS rev,
+                   'final_only' AS src, mon
+            FROM {tbl}_src
+            WHERE o_orderstatus = 'F' AND mon >= '1999-01'
+            GROUP BY mon
+        """)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert snap("1995-03") == before_untouched, "untouched partition was rewritten"
+    assert snap("1999-03") != before_rebuilt, "rebuild window kept stale files"
