@@ -5415,3 +5415,61 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM b GROUP BY bkt))
         SELECT * FROM per UNION ALL SELECT * FROM glob
     """)
+
+
+@query(
+    "user_engagement_ewma",
+    oracle="""
+        WITH per AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vs
+            FROM events GROUP BY user_id)
+        SELECT user_id, len(vs) AS n_events,
+               round(list_reduce(vs, (acc, x) -> 0.75 * acc + 0.25 * x),
+                     6) AS ewma
+        FROM per
+    """,
+)
+def q_user_engagement_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha = 0.25, seeded with the first observation) — the decayed
+    engagement score every activity ranker keeps per entity.
+
+    The fold runs as an in-engine array reduction: one shuffle to
+    (user), `sort_array` over (ts_ns, event_id, value) structs for a
+    deterministic tie-broken event order, then `F.aggregate` folds
+    acc*0.75 + x*0.25 left-to-right. Both engines execute the
+    identical IEEE double sequence (DuckDB `list_reduce` seeds with
+    the first element exactly like the slice(2..)+element_at(1)
+    form), so the oracle matches to the last rounded digit.
+
+    Scale: per-key state is the user's own event list — bounded by
+    per-entity activity, not corpus size (max 86 events/user here).
+    For genuinely unbounded keys the EWMA recurrence is LINEAR, so a
+    segment folds to a (multiplier, offset) = (0.75^k, partial) pair
+    and segments compose associatively — i.e., it partial-aggregates
+    map-side like any algebraic agg; `streaming_stateful_counter` is
+    the incremental form of the same shape. The array fold is the
+    right plan while per-key cardinality is memory-bounded, and it
+    keeps the whole operator inside Tungsten codegen (zero Python).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_ns", "event_id", "value"))
+        ).alias("seq")
+    )
+    vs = F.transform(F.col("seq"), lambda s: s["value"])
+    per = per.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        F.round(
+            F.aggregate(
+                F.slice(vs, 2, F.size("seq") - 1),
+                F.element_at(vs, 1),
+                lambda acc, x: acc * 0.75 + x * 0.25,
+            ),
+            6,
+        ).alias("ewma"),
+    )
+    return per

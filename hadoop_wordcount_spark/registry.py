@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "sketch_theta_source_overlap",
     "lang_source_crosstab",
     "insert_overwrite_dynamic_partitions",
+    "user_engagement_ewma",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

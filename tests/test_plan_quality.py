@@ -462,11 +462,22 @@ def test_analyze_table_stats_recorded_and_broadcast(spark, sf_dir):
     a hint-free join against the analyzed small table must still pick
     BroadcastHashJoin — at 100 TB the optimizer only knows which side
     is broadcastable from exactly these stats."""
+    import os
+    import tempfile
+
     from hadoop_wordcount_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
-        "hwcs_stats_nation"
+    spark.sql("DROP TABLE IF EXISTS hwcs_stats_nation")
+    # external location under /tmp: a managed table would land in
+    # ./spark-warehouse (committed-scratch hazard) and a fresh
+    # session's in-memory catalog trips LOCATION_ALREADY_EXISTS on
+    # the leftover dir.
+    path = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks", "stats_nation"
     )
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "path", path
+    ).saveAsTable("hwcs_stats_nation")
     spark.sql("ANALYZE TABLE hwcs_stats_nation COMPUTE STATISTICS")
     spark.sql(
         "ANALYZE TABLE hwcs_stats_nation COMPUTE STATISTICS "

@@ -168,6 +168,24 @@ ALL_OPS = [
     # rollup)
     "collated_word_groups", "udtf_polymorphic_split",
     "group_apply_arrow", "union_schema_evolution",
+    # round-7 batch 4/5 (docs-backed; expected ~1: theta overlap's
+    # corpus-sized stages are the distinct-shingle shuffle + one
+    # mergeable sketch agg — the pairwise stage is S^2 sketches, flat
+    # in rows; crosstab is one (lang,source) count agg. The
+    # replica-suffixed tokens mean each replica contributes disjoint
+    # shingles, so per-source sketch cardinality grows with factor —
+    # past 2^14 nominal entries theta switches to estimation mode,
+    # which only SPEEDS the probe; exactness is claimed (and pinned)
+    # at oracle SFs alone. bitmap_exact_distinct and
+    # insert_overwrite_dynamic_partitions are orders-backed — not
+    # replicated, not probed (same note as the dialect entries
+    # above); their scale stories are cardinality-bounded bitmaps
+    # and delta-sized partition rewrites by construction.)
+    "sketch_theta_source_overlap", "lang_source_crosstab",
+    # events-backed; the replicator offsets user_id per replica so
+    # per-user sequences are bit-identical to the original — state is
+    # per-user activity, flat in replica count; expected ~1.
+    "user_engagement_ewma",
 ]
 
 
