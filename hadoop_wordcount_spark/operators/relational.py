@@ -1350,6 +1350,151 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_locf_impute",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, epoch_ns(ts) // 3600000000000 AS bkt,
+                   CAST(round(value * 1000, 0) AS BIGINT) AS mills
+            FROM events),
+        agg AS (
+            SELECT event_type, bkt,
+                   CAST(round(sum(mills) / count(*), 0) AS BIGINT) / 1000.0
+                       AS avg_v
+            FROM e GROUP BY 1, 2),
+        rng AS (SELECT event_type, min(bkt) AS mn, max(bkt) AS mx
+                FROM agg GROUP BY 1),
+        grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bkt FROM rng)
+        SELECT g.event_type, g.bkt,
+               last_value(a.avg_v IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS avg_value_locf,
+               a.avg_v IS NULL AS filled
+        FROM grid g
+        LEFT JOIN agg a ON g.event_type = a.event_type AND g.bkt = a.bkt
+    """,
+)
+def q_events_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation over a densified
+    hourly grid — the other half of gap handling: `events_resample`
+    fills empty buckets with ZEROS (counts), this fills them with the
+    LAST OBSERVED value (levels: sensor readings, prices, gauges),
+    via the `last_value ... IGNORE NULLS` window surface that no
+    other registry entry exercises. `filled` marks imputed rows so
+    downstream consumers can weight or exclude them.
+
+    Determinism: bucket averages are computed on exact mills
+    (value*1000 as BIGINT — the `_sum_money` discipline), rounded to
+    integer mills BEFORE the /1000.0 display divide; rounding a
+    3-decimal double directly diverges from DuckDB at half-ulp
+    boundaries (Spark rounds the shortest decimal repr, DuckDB the
+    scaled double — 32.2925 famously lands on different sides).
+
+    Plan: one partial+final agg per (type, hour) collapses the
+    corpus; grid = sequence()+explode per type (timespan-bounded,
+    ~8.8k rows/type/year regardless of event count); the LOCF window
+    is partitioned per type and runs over the GRID, never the raw
+    events — at 100 TB the window input is still |types| x |hours|.
+    First grid row per type is min(observed bucket), so no leading
+    NULL (LOCF needs no seed row).
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").alias("bkt"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("mills"),
+    )
+    agg = e.groupBy("event_type", "bkt").agg(
+        (F.round(F.sum("mills") / F.count(F.lit(1)), 0).cast("long") / 1000.0)
+        .alias("avg_v")
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("bkt").alias("mn"), F.max("bkt").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("bkt"))
+    )
+    j = grid.join(agg, ["event_type", "bkt"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "bkt",
+        F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_locf"),
+        F.col("avg_v").isNull().alias("filled"),
+    )
+
+
+@query(
+    "shipmonth_price_percentiles",
+    oracle="""
+        WITH l AS (
+            SELECT l_returnflag,
+                   CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                       AS ship_month,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+            FROM lineitem)
+        SELECT l_returnflag, ship_month,
+               CAST(count(*) AS BIGINT) AS n,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) / 100.0
+                   AS p50_cont,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) / 100.0
+                   AS p50_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) / 100.0
+                   AS p90_disc
+        FROM l GROUP BY 1, 2
+    """,
+)
+def q_shipmonth_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, ship-month) price percentiles via the SQL:2003
+    ORDERED-SET AGGREGATE surface — `percentile_cont / percentile_disc
+    ... WITHIN GROUP (ORDER BY ...)` — the one quantile spelling the
+    registry didn't cover (`percentile` function form:
+    value_percentiles_exact; window cume_dist/percent_rank form:
+    priority_price_quantiles; GK sketch: value_percentiles).
+
+    Determinism across engines: percentiles run over exact cents
+    BIGINTs. percentile_disc returns an actual data value (exact);
+    percentile_cont is pinned to 0.5, whose midpoint interpolation
+    (a+b)/2 on integer-valued doubles is exact in IEEE — fractional
+    quantiles like 0.9 interpolate with an inexact 0.9*(b-a) term
+    whose last ulp differs between engines' formulas, so the tail
+    quantile is percentile_disc on purpose.
+
+    Plan: ONE shuffle on the (flag x month) cohort key; exact
+    percentiles imply a per-cohort sort, kept safe at 100 TB by the
+    cohort key's bounded-but-numerous cells (3 flags x ~84 months),
+    same discipline as priority_price_quantiles — never ORDER BY over
+    a handful of giant groups, never an unpartitioned window. The GK
+    sketch twin is the mergeable bounded-memory path when cohort
+    cardinalities explode.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias(
+            "ship_month"
+        ),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return l.groupBy("l_returnflag", "ship_month").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
+            / 100.0
+        ).alias("p50_cont"),
+        (
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            / 100.0
+        ).alias("p50_disc"),
+        (
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            / 100.0
+        ).alias("p90_disc"),
+    )
+
+
+@query(
     "events_rollup_multires",
     oracle="""
         WITH e AS (

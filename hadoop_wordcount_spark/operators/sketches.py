@@ -647,3 +647,57 @@ def q_sketch_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_union",
         F.round(F.col("n_inter") / F.col("n_union"), 4).alias("jaccard"),
     )
+
+
+_ATK_K = 4096  # items returned by the sketch; >= |parts| at test SFs
+_ATK_TRACKED = 8192  # sketch capacity; exact while distinct <= this
+
+
+@query(
+    "heavy_hitters_parts",
+    oracle="""
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY cnt DESC, l_partkey LIMIT 25
+    """,
+)
+def q_heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most-ordered parts via Spark 4.1's native frequent-items
+    sketch (`approx_top_k`) — the third native DataSketches surface
+    after HLL (`approx_distinct_words`'s exact twin family) and Theta
+    (`sketch_theta_source_overlap`), and the engine-provided answer to
+    the question `cms_heavy_hitters` hand-rolls with Count-Min.
+
+    Correctness contract (the Theta trick again): a frequent-items
+    sketch is EXACT while no eviction has happened, i.e. while the
+    number of distinct keys stays <= maxItemsTracked. lineitem at the
+    oracle SFs has ~2k distinct part keys << 8192, so every (item,
+    count) pair in the sketch is the true count and the DuckDB oracle
+    is a plain GROUP BY. Beyond capacity the counts become
+    err <= n/maxItemsTracked overestimates — at 100 TB you either
+    widen the budget (space is O(maxItemsTracked)) or accept the
+    documented band; the plan shape is unchanged.
+
+    The sketch's own output order is arbitrary under count ties, so
+    the query re-ranks deterministically (cnt DESC, key ASC) before
+    the LIMIT — never trust sketch emission order in a result
+    contract.
+
+    Scale: ONE aggregation with map-side partial sketches (the sketch
+    is mergeable, so each partition ships one O(maxItemsTracked)
+    buffer — raw keys never shuffle, unlike the exact GROUP BY twin
+    whose shuffle is |distinct keys| rows per partition). The explode
+    + re-rank runs on <= k rows on the driver-side-sized tail.
+    Reference parity: WordCount.java:30-42 is the exact-count shape;
+    this is its bounded-memory heavy-hitter stand-in at corpus scale.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    sk = l.agg(
+        F.expr(
+            f"approx_top_k(l_partkey, {_ATK_K}, {_ATK_TRACKED})"
+        ).alias("tk")
+    )
+    items = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("l_partkey"), F.col("e.count").alias("cnt")
+    )
+    return items.orderBy(F.desc("cnt"), "l_partkey").limit(25)

@@ -126,6 +126,9 @@ _PRIORITY: list[str] = [
     "lang_source_crosstab",
     "insert_overwrite_dynamic_partitions",
     "user_engagement_ewma",
+    "heavy_hitters_parts",
+    "events_locf_impute",
+    "shipmonth_price_percentiles",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -406,3 +406,73 @@ def test_dynamic_overwrite_leaves_untouched_partition_files(spark, sf_dir):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     assert snap("1995-03") == before_untouched, "untouched partition was rewritten"
     assert snap("1999-03") != before_rebuilt, "rebuild window kept stale files"
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: heavy_hitters_parts / events_locf_impute /
+#          shipmonth_price_percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exactness_precondition(spark, sf_dir):
+    """heavy_hitters_parts' oracle contract rests on the sketch being
+    in its no-eviction (exact) regime: distinct part keys must stay
+    below maxItemsTracked at every oracle SF. If testdata regeneration
+    ever breaks this, the oracle comparison would go approximate —
+    fail here first with a clear message."""
+    from hadoop_wordcount_spark.operators.sketches import _ATK_K, _ATK_TRACKED
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    distinct = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert distinct <= _ATK_K <= _ATK_TRACKED, (
+        f"{distinct} distinct part keys exceed the sketch budget; "
+        "heavy_hitters_parts' exactness contract no longer holds"
+    )
+
+
+def test_heavy_hitters_partial_sketch_agg(spark, sf_dir):
+    """The 100 TB point of approx_top_k: per-partition sketch buffers
+    merge map-side, so raw keys never shuffle. Assert the partial
+    aggregate below the exchange carries the sketch accumulation."""
+    from hadoop_wordcount_spark.plans.inspect import formatted_plan
+
+    df = registry.QUERIES["heavy_hitters_parts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "approx_top_k" in plan
+    assert "partial_approx_top_k" in plan or "Functions [1]: [partial_" in plan, plan
+
+
+def test_locf_fills_with_previous_observation(spark, sf_dir):
+    """Every `filled` row must carry exactly the value of the nearest
+    earlier non-filled row of the same type (LOCF semantics), and the
+    first grid row per type is never filled (grid starts at the first
+    observed bucket, so LOCF needs no seed)."""
+    rows = registry.QUERIES["events_locf_impute"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.bkt)):
+        by_type.setdefault(r.event_type, []).append(r)
+    assert any(r.filled for r in rows), "no gaps in grid — test data degenerate"
+    for seq in by_type.values():
+        assert not seq[0].filled
+        last_observed = seq[0].avg_value_locf
+        for r in seq[1:]:
+            if r.filled:
+                assert r.avg_value_locf == last_observed
+            else:
+                last_observed = r.avg_value_locf
+
+
+def test_percentile_within_group_invariants(spark, sf_dir):
+    """Ordered-set aggregate sanity: p50_disc is an actual data value
+    on the cents grid (2-decimal), p50_cont lies between the two
+    middle order statistics, and p50 <= p90 per cohort."""
+    rows = registry.QUERIES["shipmonth_price_percentiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_disc <= r.p90_disc
+        assert abs(r.p50_disc * 100 - round(r.p50_disc * 100)) < 1e-6
+        assert abs(r.p90_disc * 100 - round(r.p90_disc * 100)) < 1e-6
+        # cont midpoint sits on the half-cent grid exactly
+        assert abs(r.p50_cont * 200 - round(r.p50_cont * 200)) < 1e-6
