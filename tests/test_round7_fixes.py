@@ -476,3 +476,44 @@ def test_percentile_within_group_invariants(spark, sf_dir):
         assert abs(r.p90_disc * 100 - round(r.p90_disc * 100)) < 1e-6
         # cont midpoint sits on the half-cent grid exactly
         assert abs(r.p50_cont * 200 - round(r.p50_cont * 200)) < 1e-6
+
+
+def test_hll_exactness_precondition(spark, sf_dir):
+    """hll_distinct_users' oracle contract: DataSketches HLL at
+    lgK=14 stays in its exact coupon regime through ~500 distinct
+    items (empirically: exact at 500, off at 2000). Pin (a) the
+    test-SF user cardinality sits inside a 3x margin of that bound,
+    and (b) the sketch estimate equals the exact count right at the
+    margin cardinality, so a pyspark upgrade that moved the promotion
+    threshold fails here, not in the oracle gate."""
+    from pyspark.sql import functions as F
+
+    from hadoop_wordcount_spark.operators.sketches import _HLL_LGK
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert n_users * 3 <= 500, (
+        f"{n_users} distinct users leaves <3x margin on the HLL exact regime"
+    )
+    margin = n_users * 3
+    est = (
+        spark.range(margin)
+        .select(F.col("id").cast("string").alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("s", F.lit(_HLL_LGK))))
+        .collect()[0][0]
+    )
+    assert est == margin, f"HLL no longer exact at {margin}: est={est}"
+
+
+def test_hll_all_row_is_union_not_sum(spark, sf_dir):
+    """The ALL row must merge sketches (distinct union), never add
+    per-type counts: users active in several event types count once.
+    With every user active in multiple types at test SFs, ALL ==
+    per-type cardinality == |users|, while the sum is ~5x that."""
+    rows = registry.QUERIES["hll_distinct_users"](spark, sf_dir).collect()
+    all_row = [r for r in rows if r.event_type == "ALL"]
+    per = [r.n_users for r in rows if r.event_type != "ALL"]
+    assert len(all_row) == 1
+    assert all_row[0].n_users < sum(per), "ALL row looks like a SUM, not a union"
