@@ -186,6 +186,18 @@ ALL_OPS = [
     # per-user sequences are bit-identical to the original — state is
     # per-user activity, flat in replica count; expected ~1.
     "user_engagement_ewma",
+    # round-7 batch 7/8 (events-backed; expected ~1: locf is one
+    # (type,hour) agg — the LOCF window runs over the fixed-timespan
+    # grid, flat in events; hll is one mergeable sketch agg whose
+    # per-type cardinality grows with the replicator's user offsets —
+    # past the coupon regime the sketch just switches to estimation,
+    # which only CHEAPENS the merge; exactness is claimed (and
+    # pinned) at oracle SFs alone. heavy_hitters_parts and
+    # shipmonth_price_percentiles read lineitem — not replicated,
+    # not probed; their scale stories are an O(capacity) mergeable
+    # sketch buffer and bounded-but-numerous percentile cohorts by
+    # construction.)
+    "events_locf_impute", "hll_distinct_users",
 ]
 
 
