@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "events_locf_impute",
     "shipmonth_price_percentiles",
     "hll_distinct_users",
+    "zorder_cell_layout",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -517,3 +517,57 @@ def test_hll_all_row_is_union_not_sum(spark, sf_dir):
     per = [r.n_users for r in rows if r.event_type != "ALL"]
     assert len(all_row) == 1
     assert all_row[0].n_users < sum(per), "ALL row looks like a SUM, not a union"
+
+
+def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """The z-order claim, proven on real parquet with real footer
+    stats: lay lineitem out 3 ways (sorted by quantity; sorted by
+    price; z-ordered on both), then for a predicate on EACH single
+    dimension count how many files contain matching rows
+    (_metadata.file_path of the filtered read — the files a stats-
+    pruning reader must touch). The single-column sorts each win
+    their own dimension and degenerate on the other (~all files);
+    the z layout stays bounded on BOTH."""
+    from hadoop_wordcount_spark.operators.sinks import zorder_value
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    qb = F.least(F.floor("l_quantity"), F.lit(63)).cast("long")
+    pb = F.least(F.floor(F.col("l_extendedprice") / 2000), F.lit(63)).cast("long")
+    n_files = 16
+    layouts = {
+        "by_qty": l.repartitionByRange(n_files, "l_quantity"),
+        "by_price": l.repartitionByRange(n_files, "l_extendedprice"),
+        "zorder": l.withColumn("zv", zorder_value(qb, pb))
+        .repartitionByRange(n_files, "zv")
+        .drop("zv"),
+    }
+    paths = {}
+    for name, df in layouts.items():
+        p = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = p
+
+    def files_touched(path: str, pred) -> int:
+        df = spark.read.parquet(path).select(
+            "l_quantity", "l_extendedprice", F.col("_metadata.file_path").alias("fp")
+        )
+        return df.filter(pred).select("fp").distinct().count()
+
+    qty_pred = (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 12)
+    price_pred = (F.col("l_extendedprice") >= 10000) & (
+        F.col("l_extendedprice") <= 14000
+    )
+    t = {
+        (layout, pred_name): files_touched(paths[layout], pred)
+        for layout in layouts
+        for pred_name, pred in (("qty", qty_pred), ("price", price_pred))
+    }
+    # each single sort degenerates on the opposite dimension…
+    assert t[("zorder", "price")] < t[("by_qty", "price")], t
+    assert t[("zorder", "qty")] < t[("by_price", "qty")], t
+    # …and the z layout stays bounded (strictly under a full scan)
+    # on both dimensions at once.
+    assert t[("zorder", "qty")] < n_files and t[("zorder", "price")] < n_files, t
