@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "shipmonth_price_percentiles",
     "hll_distinct_users",
     "zorder_cell_layout",
+    "heavy_hitters_incremental",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -571,3 +571,37 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     # …and the z layout stays bounded (strictly under a full scan)
     # on both dimensions at once.
     assert t[("zorder", "qty")] < n_files and t[("zorder", "price")] < n_files, t
+
+
+def test_sketch_state_lifecycle_equals_oneshot(spark, sf_dir):
+    """The incremental contract: accumulate-per-batch + combine must
+    equal the one-shot approx_top_k agg over the same relation (both
+    exact in the no-eviction regime), and the state column must be a
+    plain parquet-storable struct around a BINARY sketch payload —
+    i.e. persistable between nightly runs, which is the entire point
+    of the lifecycle."""
+    from pyspark.sql.types import BinaryType, StructType
+
+    from hadoop_wordcount_spark.operators.sketches import _ATK_K, _ATK_TRACKED
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+    )
+    per_day = e.groupBy("day").agg(
+        F.expr(f"approx_top_k_accumulate(user_id, {_ATK_TRACKED})").alias("st")
+    )
+    st_type = per_day.schema["st"].dataType
+    assert isinstance(st_type, StructType)
+    assert isinstance(st_type["sketch"].dataType, BinaryType)
+    incremental = registry.QUERIES["heavy_hitters_incremental"](spark, sf_dir)
+    oneshot = (
+        e.agg(F.expr(f"approx_top_k(user_id, {_ATK_K}, {_ATK_TRACKED})").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(F.col("x.item").alias("user_id"), F.col("x.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
