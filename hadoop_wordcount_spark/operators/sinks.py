@@ -531,3 +531,72 @@ def q_zorder_cell_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+@query(
+    "binary_asset_ingest",
+    oracle="""
+        SELECT lang, source,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(length(text) + 1) AS BIGINT) AS n_bytes
+        FROM documents GROUP BY lang, source
+    """,
+)
+def q_binary_asset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingestion via the `binaryFile` source — the Spark
+    surface a multimodal pipeline uses to pull image/audio/document
+    FILES into BinaryType rows (content + path/length metadata),
+    with recursiveFileLookup + pathGlobFilter doing the directory
+    walk engine-side.
+
+    The fixture is self-made so the oracle stays exact: documents are
+    laid out one text FILE per (lang, source) corpus — repartition on
+    the partition keys puts each group on exactly one task, so
+    partitionBy writes exactly one part file per value pair (pinned
+    in the output's n_files). The binaryFile read-back then proves
+    content fidelity in-engine: per file, decoded byte length and
+    line count must equal what the source relation says that corpus
+    serializes to (ASCII corpus: bytes == chars + one newline per
+    row; the write sorts by doc_id within groups, making file bytes
+    deterministic, though this report is order-insensitive anyway).
+
+    Scale: binaryFile scans parallelize over files; each row carries
+    its whole payload, so the 100 TB discipline is files ~ tens of
+    MB (webdataset-style shards), never millions of tiny objects
+    (driver listing) and never GB blobs (row > task memory). The
+    lang/source path layout keeps partition pruning available via
+    pathGlobFilter — the asset-side analog of hive partitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    path = _tmp("doc_assets", sf_dir)
+    (
+        d.select("lang", "source", "doc_id", F.col("text").alias("value"))
+        .repartition("lang", "source")
+        .sortWithinPartitions("doc_id")
+        .select("lang", "source", "value")
+        .write.mode("overwrite")
+        .partitionBy("lang", "source")
+        .text(path)
+    )
+    back = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "false")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    txt = F.decode(F.col("content"), "UTF-8")
+    return (
+        back.select(
+            F.regexp_extract("path", r"lang=([^/]+)", 1).alias("lang"),
+            F.regexp_extract("path", r"source=([^/]+)", 1).alias("source"),
+            F.col("length").alias("n_bytes_file"),
+            (F.size(F.split(txt, "\n")) - 1).alias("n_lines_file"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_lines_file").alias("n_lines"),
+            F.sum("n_bytes_file").alias("n_bytes"),
+        )
+    )

@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     "hll_distinct_users",
     "zorder_cell_layout",
     "heavy_hitters_incremental",
+    "binary_asset_ingest",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",
