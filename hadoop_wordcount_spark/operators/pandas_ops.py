@@ -432,3 +432,55 @@ def q_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="lang string, n_docs long, chars_total long, "
         "chars_max long, first_doc long",
     )
+
+
+@query(
+    "pandas_api_orders_report",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS revenue,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pandas_api_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark surface (`pyspark.pandas`): the same
+    per-status order rollup a data scientist writes in pandas idiom —
+    `groupby(...).agg(count / sum / nunique)` — executed by Catalyst.
+    `DataFrame.pandas_api()` wraps the relation zero-copy (no
+    collect, no Arrow transfer; it IS the same logical plan), the ps
+    groupby compiles to a hash aggregate, and `.to_spark()` unwraps.
+
+    Included because it's a real migration path users arrive on; the
+    100 TB notes are the pitfalls, not the power: (a) never let ps
+    attach its default sequential index (a global window over the
+    whole relation — wrap existing DataFrames or pass index_col;
+    this query wraps), (b) `nunique` is a real two-level distinct
+    shuffle, same cost as COUNT(DISTINCT) — no pandas magic, and
+    (c) anything that materializes an index order (`sort_index`,
+    positional `iloc`) forces global sorts that plain groupBy never
+    pays. Money discipline on exact cents as everywhere.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    pdf = o.pandas_api()
+    g = (
+        pdf.groupby("o_orderstatus")
+        .agg(
+            n_orders=("o_custkey", "count"),
+            cents=("cents", "sum"),
+            n_customers=("o_custkey", "nunique"),
+        )
+        .reset_index()
+    )
+    return g.to_spark().select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+    )

@@ -605,3 +605,17 @@ def test_sketch_state_lifecycle_equals_oneshot(spark, sf_dir):
     assert sorted(map(tuple, incremental.collect())) == sorted(
         map(tuple, oneshot.collect())
     )
+
+
+def test_pandas_api_wrap_adds_no_index_window(spark, sf_dir):
+    """pandas_api() must wrap zero-copy: the compiled plan is the
+    plain hash aggregate + distinct shuffle, with NO Window node (the
+    default-index trap attaches a global row-number window over the
+    whole relation) and no Python evaluation."""
+    from hadoop_wordcount_spark.plans.inspect import formatted_plan
+
+    df = registry.QUERIES["pandas_api_orders_report"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan  # no UDF eval: pure Catalyst
+    assert "HashAggregate" in plan
