@@ -5618,3 +5618,62 @@ def q_user_engagement_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma"),
     )
     return per
+
+
+@query(
+    "sql_scripting_threshold_report",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(round(
+                       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       / count(*), 0) AS BIGINT) AS thr
+            FROM orders)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_above,
+               round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     / 100.0, 2) AS revenue_above,
+               thr / 100.0 AS threshold
+        FROM orders, t
+        WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > thr
+        GROUP BY o_orderpriority, thr
+    """,
+)
+def q_sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 BEGIN…END) + session variables
+    (DECLARE / SET): compute a data-driven scalar into a variable,
+    then report against it — the procedural compute-then-use shape
+    that stored-procedure migrations arrive with. The last statement
+    of the compound is the script's result relation.
+
+    The variable holds the mean order price in EXACT integer cents
+    (the repo's rounding discipline — an inexact double threshold
+    would make borderline `>` comparisons engine-dependent); the
+    oracle is the same logic as one static CTE, which is also the
+    honest performance note: a script executes its statements
+    SEQUENTIALLY (the SET runs a separate scalar job before the main
+    query plans), so at 100 TB prefer the scalar-subquery form when
+    one optimizer pass can see the whole plan — scripting buys
+    control flow, not speed. Catalyst still optimizes each statement
+    fully; the threshold arrives as a bound literal, so pushdown in
+    the final SELECT matches the static query.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT;
+          SET thr = (SELECT CAST(round(
+                         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         / count(*), 0) AS BIGINT)
+                     FROM orders_script_v);
+          SELECT o_orderpriority,
+                 count(*) AS n_above,
+                 round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       / CAST(100 AS DOUBLE), 2) AS revenue_above,
+                 thr / CAST(100 AS DOUBLE) AS threshold
+          FROM orders_script_v
+          WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -134,6 +134,7 @@ _PRIORITY: list[str] = [
     "heavy_hitters_incremental",
     "binary_asset_ingest",
     "pandas_api_orders_report",
+    "sql_scripting_threshold_report",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",
