@@ -5677,3 +5677,66 @@ def q_sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFr
         END
         """
     )
+
+
+@query(
+    "event_csv_roundtrip",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE contains(props, ','))
+                    AS BIGINT) AS n_quoted,
+               CAST(count(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    """,
+)
+def q_event_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scalar codecs (`to_csv` / `from_csv`) — the fourth and last
+    embedded-record serialization surface next to JSON
+    (event_props_json), VARIANT (event_props_variant) and XML
+    (event_xml_roundtrip): serialize (event_id, event_type, props,
+    mills) to one CSV line per event, parse it back with an explicit
+    DDL schema, and audit fidelity per type. The interesting rows are
+    `n_quoted`: props is a JSON string full of commas and quotes, so
+    to_csv must quote/escape it and from_csv must undo both — the
+    audit counts a row as exact only if every parsed field equals its
+    source (the oracle claims n_exact = n; one mangled quote breaks
+    the hash). Value travels as exact integer mills so float
+    formatting round-trips losslessly.
+
+    Plan: two codegen'd projections (StructsToCsv, CsvToStructs) and
+    one partial+final agg — shuffle carries |types| rows. At 100 TB
+    this is the cheap path for CSV-embedded columns in logs;
+    schema_of_csv covers inference on a sampled row when the layout
+    is unknown (not used here: production parses with pinned DDL).
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "props",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("mills"),
+    )
+    line = F.to_csv(F.struct("event_id", "event_type", "props", "mills"))
+    parsed = e.select(
+        "event_id", "event_type", "props", "mills", line.alias("line")
+    ).select(
+        "event_id",
+        "event_type",
+        "props",
+        "mills",
+        F.from_csv(
+            F.col("line"),
+            F.lit("event_id BIGINT, event_type STRING, props STRING, mills BIGINT"),
+        ).alias("p"),
+    )
+    exact = (
+        (F.col("p.event_id") == F.col("event_id"))
+        & (F.col("p.event_type") == F.col("event_type"))
+        & (F.col("p.props") == F.col("props"))
+        & (F.col("p.mills") == F.col("mills"))
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props").contains(",").cast("long")).alias("n_quoted"),
+        F.sum(exact.cast("long")).alias("n_exact"),
+    )

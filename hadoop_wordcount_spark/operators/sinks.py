@@ -600,3 +600,38 @@ def q_binary_asset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes_file").alias("n_bytes"),
         )
     )
+
+
+@query(
+    "sink_roundtrip_avro",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_sink_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → Avro (deflate) → read back. Avro is the ROW-oriented
+    interchange format of the sink matrix (vs columnar parquet/ORC):
+    schema'd, splittable, append-friendly — what Kafka payloads and
+    streaming hand-offs speak, chosen when whole-row write/forward
+    throughput beats columnar scan pruning.
+
+    Environment note this query proves rather than stubs: pip
+    pyspark 4.1 ships the Avro classes inside spark-sql but not the
+    service-registration jar, so `format("avro")` fails while the
+    fully-qualified class name works — `sources.lakehouse.
+    avro_format()` resolves whichever spelling the runtime supports
+    (and raises the jar hint only when the classes are truly
+    absent). At 100 TB avro sinks shard like any file sink; the
+    columnar formats stay the ANALYTICS layout — avro is for
+    interchange, not scans."""
+    from hadoop_wordcount_spark.sources.lakehouse import avro_format
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _tmp("nation_avro", sf_dir)
+    fmt = avro_format(spark)
+    n.write.mode("overwrite").format(fmt).option(
+        "compression", "deflate"
+    ).save(path)
+    return spark.read.format(fmt).load(path)

@@ -135,6 +135,8 @@ _PRIORITY: list[str] = [
     "binary_asset_ingest",
     "pandas_api_orders_report",
     "sql_scripting_threshold_report",
+    "event_csv_roundtrip",
+    "sink_roundtrip_avro",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",

@@ -42,3 +42,38 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     if not spark.conf.get("spark.sql.catalog.iceberg", None):
         raise NotImplementedError(_ICEBERG_HINT)
     return spark.read.table(table)
+
+
+_AVRO_HINT = (
+    "Avro classes absent: Spark 4.1's spark-sql jar ships "
+    "org.apache.spark.sql.avro.*, and older/pruned distributions need "
+    "the spark-avro jar (org.apache.spark:spark-avro_2.13:<version>) "
+    "via --packages / spark.jars.packages."
+)
+_AVRO_CLASS = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def avro_format(spark: SparkSession) -> str:
+    """Usable format string for the Avro data source.
+
+    The pip pyspark 4.1 distribution ships the Avro classes inside
+    spark-sql but NOT the spark-avro jar whose META-INF service entry
+    registers the short name — so `format("avro")` fails with the
+    'built-in but external' error while the fully-qualified class
+    name resolves fine (DataSource lookup falls back to class names —
+    and the class name works identically on clusters that DO carry
+    the jar, so it is safe everywhere). Raise the setup hint only
+    when the classes are truly absent."""
+    try:
+        spark._jvm.java.lang.Class.forName(_AVRO_CLASS)
+        return _AVRO_CLASS
+    except Exception as exc:
+        raise NotImplementedError(_AVRO_HINT) from exc
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format(avro_format(spark)).load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.format(avro_format(df.sparkSession)).mode(mode).save(path)

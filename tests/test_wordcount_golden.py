@@ -129,6 +129,12 @@ def test_connector_stubs_fail_loudly(spark):
         read_iceberg(spark, "iceberg.db.t")
     with _pytest.raises(NotImplementedError, match="[Kk]afka"):
         kafka_events_stream(spark, "localhost:9092", "events")
+    # Avro is NOT gated here: the classes ship inside spark-sql 4.1
+    # and resolve via the fully-qualified format name even without
+    # the spark-avro service-registration jar.
+    from hadoop_wordcount_spark.sources.lakehouse import avro_format
+
+    assert avro_format(spark).endswith("AvroFileFormat")
 
 
 def test_run_query_cli(spark, tmp_path):

@@ -198,6 +198,17 @@ ALL_OPS = [
     # sketch buffer and bounded-but-numerous percentile cohorts by
     # construction.)
     "events_locf_impute", "hll_distinct_users",
+    # round-7 batch 9 (expected ~1: the incremental heavy-hitter
+    # lifecycle is one mergeable accumulate per (day) plus a combine
+    # over O(days) constant-size states; binary_asset_ingest is a
+    # corpus-linear text write + binaryFile scan whose file count is
+    # (lang x source)-bounded. pandas_api_orders_report,
+    # sql_scripting_threshold_report, zorder_cell_layout,
+    # shipmonth_price_percentiles and heavy_hitters_parts read
+    # orders/lineitem — not replicated, not probed; their scale
+    # stories are plain hash aggs, an O(capacity) sketch buffer, and
+    # codegen bit math by construction.)
+    "heavy_hitters_incremental", "binary_asset_ingest",
 ]
 
 
