@@ -1816,3 +1816,59 @@ def q_lang_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crosstab emits columns in first-seen order; project to the
     # pinned dimension order so the output schema is deterministic.
     return ct.select("lang_source", *_CROSSTAB_SOURCES)
+
+
+@query(
+    "utf8_ingest_hygiene",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT)
+                   AS n_invalid,
+               CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+                   AS n_kept_strict,
+               CAST(sum(length(text)
+                        + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS repaired_chars
+        FROM documents GROUP BY source
+    """,
+)
+def q_utf8_ingest_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding hygiene at ingest — the step every web-crawl corpus
+    runs before anything else, on Spark 4's UTF-8 validation family:
+    `is_valid_utf8` (audit), `try_validate_utf8` (drop policy:
+    invalid → NULL), `make_valid_utf8` (repair policy: ill-formed
+    byte sequences → U+FFFD). No other registry entry touches these.
+
+    The fixture corrupts a deterministic minority in-engine — every
+    7th doc's bytes get a dangling 0xC3 lead byte appended after
+    encode(), then the bytes are cast back to STRING (Spark strings
+    carry arbitrary bytes; validation exists precisely because binary
+    reads do this) — so the oracle can state the truth relationally:
+    corrupted docs are exactly doc_id % 7 == 0, and repair adds
+    exactly one replacement char per bad byte (probe-pinned: 0xC3 →
+    one U+FFFD; the clean ASCII corpus means length(text) counts both
+    chars and bytes).
+
+    Plan: pure codegen'd projections (encode/concat/cast/validate)
+    feeding one partial+final agg — shuffle carries |sources| rows.
+    At 100 TB this runs beside the scan at I/O speed; policy choice
+    (drop vs repair) is a column swap, not a plan change.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(
+        "CAST(concat(encode(text, 'utf-8'), "
+        "CASE WHEN doc_id % 7 = 0 THEN unhex('C3') ELSE unhex('') END) "
+        "AS STRING)"
+    )
+    x = d.select("source", "doc_id", "text", raw.alias("raw"))
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.expr("is_valid_utf8(raw)")).cast("long")).alias("n_invalid"),
+        F.sum(
+            F.expr("try_validate_utf8(raw)").isNotNull().cast("long")
+        ).alias("n_kept_strict"),
+        F.sum(F.length(F.expr("make_valid_utf8(raw)"))).alias(
+            "repaired_chars"
+        ),
+    )

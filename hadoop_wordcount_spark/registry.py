@@ -137,6 +137,7 @@ _PRIORITY: list[str] = [
     "sql_scripting_threshold_report",
     "event_csv_roundtrip",
     "sink_roundtrip_avro",
+    "utf8_ingest_hygiene",
     # -- round-6 head (all green in CORRECTNESS_r06) retained next so
     # any budget overshoot re-verifies the newest entries first ------
     "grep_regex_groups",
