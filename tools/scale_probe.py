@@ -209,6 +209,12 @@ ALL_OPS = [
     # stories are plain hash aggs, an O(capacity) sketch buffer, and
     # codegen bit math by construction.)
     "heavy_hitters_incremental", "binary_asset_ingest",
+    # round-7 batch 10 (docs-backed; expected ~1: encode/validate/
+    # repair are codegen'd scan-level projections into one
+    # |sources|-row agg). event_csv_roundtrip is events-backed with
+    # the same scan-level shape; sink_roundtrip_avro and the dialect
+    # entries read nation/orders — not replicated, not probed.
+    "utf8_ingest_hygiene", "event_csv_roundtrip",
 ]
 
 
