@@ -1755,7 +1755,12 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, shuffle only for the per-chunk stats aggregate
     (bounded by chunk count). At 100 TB this key feeds
     repartitionByRange + sortWithinPartitions at write time; the
-    day bucket via datediff keeps both engines timezone-free."""
+    day bucket via datediff keeps both engines timezone-free.
+    The pruning claim is proven END-TO-END on written parquet in
+    `tests/test_round7_fixes.py::test_zorder_layout_prunes_both_dims`:
+    the same single-dimension predicates touch fewer files under the
+    z layout than under the opposite single-column sort, and stay
+    bounded on both dimensions at once."""
     x = (F.col("o_custkey") % 256).cast("long")
     y = (
         F.datediff(

@@ -441,98 +441,6 @@ def q_insert_overwrite_dynamic_partitions(
     return spark.table(tbl).select("mon", "n_orders", "rev", "src")
 
 
-_Z_BITS = 6  # 6+6-bit Morton code: quantity x price-band
-
-
-def zorder_value(qb, pb):  # Column x Column -> Column
-    """12-bit Morton (Z-order) interleave of two 6-bit bucket columns,
-    as pure integer div/mod arithmetic (identical semantics in any
-    engine, fully inside whole-stage codegen — no UDF)."""
-    z = F.lit(0)
-    for i in range(_Z_BITS):
-        z = (
-            z
-            + ((qb / (1 << i)).cast("long") % 2) * (1 << (2 * i))
-            + ((pb / (1 << i)).cast("long") % 2) * (1 << (2 * i + 1))
-        )
-    return z
-
-
-@query(
-    "zorder_cell_layout",
-    oracle="""
-        WITH b AS (
-            SELECT CAST(least(floor(l_quantity), 63) AS BIGINT) AS qb,
-                   CAST(least(floor(l_extendedprice / 2000), 63) AS BIGINT)
-                       AS pb,
-                   l_extendedprice
-            FROM lineitem),
-        z AS (
-            SELECT l_extendedprice,
-                   ( ((qb // 1) % 2) * 1    + ((pb // 1) % 2) * 2
-                   + ((qb // 2) % 2) * 4    + ((pb // 2) % 2) * 8
-                   + ((qb // 4) % 2) * 16   + ((pb // 4) % 2) * 32
-                   + ((qb // 8) % 2) * 64   + ((pb // 8) % 2) * 128
-                   + ((qb // 16) % 2) * 256 + ((pb // 16) % 2) * 512
-                   + ((qb // 32) % 2) * 1024 + ((pb // 32) % 2) * 2048
-                   ) AS zval
-            FROM b)
-        SELECT zval // 16 AS z_cell, CAST(count(*) AS BIGINT) AS n,
-               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
-                     / 100.0, 2) AS revenue,
-               CAST(min(zval) AS BIGINT) AS z_min,
-               CAST(max(zval) AS BIGINT) AS z_max
-        FROM z GROUP BY 1
-    """,
-)
-def q_zorder_cell_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) space-filling-curve cells over
-    (quantity, price-band) — the multi-dimensional DATA-LAYOUT
-    primitive behind Delta OPTIMIZE ZORDER BY / Iceberg sort orders,
-    expressed with plain Spark: interleave the bits of two bucketed
-    dimensions into one sort key, lay files out along it, and parquet
-    min/max stats prune file reads for predicates on EITHER
-    dimension (a single-column sort serves one dimension and fails
-    the other; the curve bounds both).
-
-    This query materializes the curve itself: per 16-z-wide cell, row
-    count, exact revenue, and the cell's z extent — the histogram a
-    layout optimizer reads to choose file split points.
-    `tests/test_round7_fixes.py::test_zorder_layout_prunes_both_dims`
-    proves the pruning claim end-to-end: the SAME box predicate
-    touches fewer files under the z layout than single-dimension
-    sorts, on real written parquet with real footer stats.
-
-    The Morton code is 12 static div/mod/multiply terms — whole-stage
-    codegen, no UDF, no shuffle before the one cell rollup. At 100 TB
-    the layout write is repartitionByRange(zval) + sortWithinPartitions
-    (one range exchange, the sampling caveat in DEVNOTES applies);
-    re-clustering is incremental per partition. Bit depth 6+6 keeps
-    the example readable; production uses 16-21 bits/dim and the
-    identical expression shape.
-    """
-    l = load_table(spark, sf_dir, "lineitem")
-    qb = F.least(F.floor("l_quantity"), F.lit(63)).cast("long")
-    pb = F.least(F.floor(F.col("l_extendedprice") / 2000), F.lit(63)).cast(
-        "long"
-    )
-    z = l.select(
-        zorder_value(qb, pb).alias("zval"),
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("cents"),
-    )
-    return (
-        z.groupBy((F.col("zval") / 16).cast("long").alias("z_cell"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
-            F.min("zval").alias("z_min"),
-            F.max("zval").alias("z_max"),
-        )
-    )
-
-
 @query(
     "binary_asset_ingest",
     oracle="""

@@ -130,7 +130,6 @@ _PRIORITY: list[str] = [
     "events_locf_impute",
     "shipmonth_price_percentiles",
     "hll_distinct_users",
-    "zorder_cell_layout",
     "heavy_hitters_incremental",
     "binary_asset_ingest",
     "pandas_api_orders_report",

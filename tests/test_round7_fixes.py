@@ -528,19 +528,19 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     pruning reader must touch). The single-column sorts each win
     their own dimension and degenerate on the other (~all files);
     the z layout stays bounded on BOTH."""
-    from hadoop_wordcount_spark.operators.sinks import zorder_value
+    from hadoop_wordcount_spark.operators.relational import zorder_key
     from hadoop_wordcount_spark.sources.tables import load_table
 
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice"
     )
-    qb = F.least(F.floor("l_quantity"), F.lit(63)).cast("long")
-    pb = F.least(F.floor(F.col("l_extendedprice") / 2000), F.lit(63)).cast("long")
+    qb = F.least(F.floor("l_quantity"), F.lit(255)).cast("long")
+    pb = F.least(F.floor(F.col("l_extendedprice") / 500), F.lit(255)).cast("long")
     n_files = 16
     layouts = {
         "by_qty": l.repartitionByRange(n_files, "l_quantity"),
         "by_price": l.repartitionByRange(n_files, "l_extendedprice"),
-        "zorder": l.withColumn("zv", zorder_value(qb, pb))
+        "zorder": l.withColumn("zv", zorder_key(qb, pb))
         .repartitionByRange(n_files, "zv")
         .drop("zv"),
     }
