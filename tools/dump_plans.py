@@ -108,6 +108,18 @@ HEADLINE = [
     ("expectations_report", "data-quality gate: six independent "
      "scalar-count checks unioned; the referential check is a "
      "broadcast LEFT ANTI join"),
+    ("hll_distinct_users", "native HLL rollup: partial_hll_sketch_agg "
+     "map-side, ALL row merges |types| sketch payloads — user ids "
+     "never shuffle"),
+    ("heavy_hitters_incremental", "sketch-state lifecycle: per-day "
+     "approx_top_k_accumulate partials, one combine over O(days) "
+     "binary states, explode + TakeOrdered re-rank"),
+    ("events_locf_impute", "LOCF gap fill: (type, hour) partial+final "
+     "agg collapses events; sequence() grid + last_value IGNORE NULLS "
+     "window runs over timespan-bounded rows only"),
+    ("shipmonth_price_percentiles", "ordered-set aggregates: ONE "
+     "cohort-key exchange into a sort-based percentile agg over exact "
+     "cents — bounded-but-numerous cells, no global sort"),
 ]
 
 
