@@ -18,12 +18,19 @@ are PRE-BUILT untimed before each of their consumers and reported
 once as their own ``shared_stages`` lines — so consumer timings are
 marginal work, stable run-over-run, and the build cost appears
 exactly once instead of being charged to whichever consumer runs
-first (or to all of them). ``SPARK_GRAFT_BENCH_MODE=warm`` restores
-the shared-cache behavior (amortized totals, run-order-dependent
-per-query attribution); ``SPARK_GRAFT_BENCH_MODE=both`` runs the cold
-pass then a warm pass and emits ``queries``/``value`` (cold) plus
-``queries_warm``/``value_warm`` — cross-round comparisons against the
-warm-protocol r01-r03 baselines should read the warm columns.
+first (or to all of them). Cold + ``shared_stages`` is the SOLE
+published protocol: the former warm pass reported eviction-order
+artifacts (the accumulated 269-query cache landed a shared build on
+whichever consumer ran first alphabetically, e.g. a 44.9 s "warm"
+row for a 1.9 s query) and was dropped per the r7 verdict.
+
+Host-steal canary: a fixed CPU-bound probe pair (pure-Python spin +
+``word_count`` at sf0.01) is timed before, midway through, and after
+the sweep and published under ``canary`` — round-over-round tail
+comparisons should first normalize by the canary ratio. The r7
+driver tail ran a near-uniform 1.38x slower than r6 across unrelated
+families (hypervisor steal), which was only diagnosable indirectly;
+the canary makes it attributable at a glance.
 """
 
 from __future__ import annotations
@@ -41,6 +48,29 @@ from hadoop_wordcount_spark.session import get_spark
 registry.load_all()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CANARY_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _canary_probe(spark) -> dict[str, float]:
+    """Fixed CPU-bound probe: a pure-Python spin (measures raw host
+    CPU / hypervisor steal, no JVM involved) and word_count at sf0.01
+    (measures the Spark task path). Constant work by construction —
+    any round-over-round drift in these numbers is the HOST, not the
+    queries, so tail comparisons divide by the canary ratio first."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    py_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    registry.QUERIES["word_count"](spark, CANARY_SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    wc_s = time.perf_counter() - t0
+    return {
+        "python_spin_s": round(py_s, 3),
+        "word_count_sf001_s": round(wc_s, 3),
+    }
 
 
 def main() -> None:
@@ -65,9 +95,6 @@ def main() -> None:
         registry.QUERIES[warm](spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-
-    cold = os.environ.get("SPARK_GRAFT_BENCH_MODE", "cold") != "warm"
-    both = os.environ.get("SPARK_GRAFT_BENCH_MODE", "cold") == "both"
 
     # Shared cached stages, benched as their OWN lines. Several
     # queries deliberately share a cached stage (the banded
@@ -126,30 +153,38 @@ def main() -> None:
     }
     stage_times: dict[str, float] = {}
 
-    t_total = time.perf_counter()
-    for name in sorted(registry.QUERIES):
-        fn = registry.QUERIES[name]
-        if cold:
-            spark.catalog.clearCache()
-            # Also drop the trained-IVF memo — cold means cold.
-            from hadoop_wordcount_spark.operators.similarity import reset_ivf_memo
+    names = sorted(registry.QUERIES)
+    midpoint = len(names) // 2
+    canary = {"start": _canary_probe(spark)}
 
-            reset_ivf_memo()
-            stage = stage_of.get(name)
-            if stage is not None:
-                t0 = time.perf_counter()
-                try:
-                    shared_stages[stage][0]()
-                    # Report the build cost once: the median build is
-                    # the honest number, but first-build suffices and
-                    # keeps one line per stage — keep the FIRST.
-                    stage_times.setdefault(
-                        stage, round(time.perf_counter() - t0, 3)
-                    )
-                except Exception as exc:
-                    failures.setdefault(
-                        f"shared:{stage}", f"{type(exc).__name__}: {exc}"[:200]
-                    )
+    t_total = time.perf_counter()
+    for idx, name in enumerate(names):
+        if idx == midpoint:
+            t_pause = time.perf_counter()
+            canary["mid"] = _canary_probe(spark)
+            # Canary time is excluded from the published total.
+            t_total += time.perf_counter() - t_pause
+        fn = registry.QUERIES[name]
+        spark.catalog.clearCache()
+        # Also drop the trained-IVF memo — cold means cold.
+        from hadoop_wordcount_spark.operators.similarity import reset_ivf_memo
+
+        reset_ivf_memo()
+        stage = stage_of.get(name)
+        if stage is not None:
+            t0 = time.perf_counter()
+            try:
+                shared_stages[stage][0]()
+                # Report the build cost once: the median build is
+                # the honest number, but first-build suffices and
+                # keeps one line per stage — keep the FIRST.
+                stage_times.setdefault(
+                    stage, round(time.perf_counter() - t0, 3)
+                )
+            except Exception as exc:
+                failures.setdefault(
+                    f"shared:{stage}", f"{type(exc).__name__}: {exc}"[:200]
+                )
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
@@ -158,38 +193,19 @@ def main() -> None:
         except Exception as exc:  # record, keep benching the rest
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(time.perf_counter() - t_total, 3)
+    canary["end"] = _canary_probe(spark)
 
     out = {
         "metric": "total_wall_clock_all_queries",
         "value": total,
         "unit": "sec",
-        "mode": "cold" if cold else "warm",
+        "mode": "cold",
         "queries": timings,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "canary": canary,
     }
     if stage_times:
         out["shared_stages"] = stage_times
-
-    if both:
-        # Second pass with shared caches intact: the amortized
-        # (run-order-dependent) per-query cost, the protocol the
-        # round-1..3 baselines were recorded under. Published
-        # alongside cold so cross-round comparisons against
-        # warm-protocol baselines stay apples-to-apples.
-        warm_timings: dict[str, float] = {}
-        t_warm = time.perf_counter()
-        for name in sorted(registry.QUERIES):
-            t0 = time.perf_counter()
-            try:
-                registry.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                warm_timings[name] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:
-                failures.setdefault(name, f"{type(exc).__name__}: {exc}"[:200])
-        out["mode"] = "cold+warm"
-        out["queries_warm"] = warm_timings
-        out["value_warm"] = round(time.perf_counter() - t_warm, 3)
 
     if failures:
         out["failures"] = failures

@@ -705,6 +705,59 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_percentiles_bounds",
+    oracle="""
+        SELECT event_type,
+               true AS p50_in_bounds,
+               true AS p95_in_bounds
+        FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED bracket twin of the rows-only GK sketch
+    `value_percentiles` (r7 verdict #5): percentile_approx(accuracy=A)
+    guarantees the returned element's rank is within eps*n of the
+    target rank, eps = 1/A. This query CHECKS that guarantee per
+    group against exact ranks and emits booleans; the DuckDB oracle
+    asserts `true` — if the sketch ever leaves its error band, the
+    hash compare fails. The returned estimate is always an element of
+    the data, so its rank interval is [count(value < est) + 1,
+    count(value <= est)]; in-bounds means that interval intersects
+    [p*n - eps*n - 1, p*n + eps*n + 1] (the +-1 absorbs the
+    discrete-rank rounding convention). 100 TB: one broadcast of the
+    per-group estimates (group-cardinality rows) joined back to the
+    fact — two scans, no extra shuffle beyond the two group-bys."""
+    eps = 1.0 / 10000
+    e = _t(spark, sf_dir, "events")
+    est = e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_est"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_est"),
+    )
+    j = e.join(F.broadcast(est), "event_type")
+    stats = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") <= F.col("p50_est")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("p50_est")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("p95_est")).cast("long")).alias("le95"),
+        F.sum((F.col("value") < F.col("p95_est")).cast("long")).alias("lt95"),
+    )
+
+    def _ok(p: float, lt: str, le: str):
+        target = F.lit(p) * F.col("n")
+        band = F.lit(eps) * F.col("n") + F.lit(1.0)
+        # rank interval [lt+1, le] intersects [target-band, target+band]
+        return (F.col(lt) + F.lit(1) <= target + band) & (
+            F.col(le) >= target - band
+        )
+
+    return stats.select(
+        "event_type",
+        _ok(0.5, "lt50", "le50").alias("p50_in_bounds"),
+        _ok(0.95, "lt95", "le95").alias("p95_in_bounds"),
+    )
+
+
+@query(
     "colocated_join",
     oracle=f"""
         SELECT c_nationkey, count(*) AS n, {_sum_money_sql("o_totalprice")} AS total

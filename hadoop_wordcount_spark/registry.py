@@ -43,73 +43,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # steal-window cannot contaminate a whole family at once (see
 # DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
-    # -- Round-7 verification head, exactly the 50-row driver budget.
-    # The r6 verdict's #1 directive: finish the driver ledger in one
-    # head. Order: (a) the 14 queries that have NEVER had a driver
-    # CORRECTNESS row through r06 (all judge-verified green in the r6
-    # session, but the official ledger should say so), then (b) the 36
-    # whose last green row is r01/r02 (multimodal, sinks, window/lag,
-    # scalar/JSON, classic joins). 14 + 36 = 50 = one round budget;
-    # after this round every oracled registry entry has an official
-    # driver row none older than r03. Families are interleaved where
-    # cheap so a bursty host steal-window cannot contaminate a whole
-    # family at once (see DEVNOTES on the r04 alphabetical-block
-    # anomaly) — the r01/r02 block below alternates sink/window/
-    # multimodal/join/scalar entries for the same reason.
-    # (a) never driver-checked through r06:
-    "tpch_q11_like",
-    "tpch_q19_like",
-    "tpch_q15_like",
-    "tpch_q13_like",
-    "tpch_q22_like",
-    "vocab_coverage",
-    "lang_mix_by_source",
-    "context_length_yield",
-    "event_cooccurrence_lift",
-    "orders_rfm_segments",
-    "words_except_all",
-    "words_intersect_all",
-    "ngram_entropy",
-    "zipf_fit",
-    # (b) stale — last green row r01/r02:
-    "sink_roundtrip_orc",
-    "sink_partitioned_parquet",
-    "window_topk_orders",
-    "rank_dense_ntile",
-    "running_event_value",
-    "lag_event_gap",
-    "multimodal_meta",
-    "multimodal_decode",
-    "scalar_functions_mix",
-    "event_props_json",
-    "join_orders_customer",
-    "map_ops_mix",
-    "join_multi",
-    "multimodal_resize",
-    "frame_sample",
-    "asof_last_error",
-    "unpivot_status",
-    "event_props_struct",
-    "anti_join_customers",
-    "value_percentiles",
-    "batch_sessionize",
-    "salted_aggregation",
-    "outer_join_nations",
-    "stats_aggregates",
-    "range_join_lineitem",
-    "value_histogram",
-    "skew_salted_join",
-    "orders_by_month",
-    "merge_upsert",
-    "grouping_rollup",
-    "sql_tpch_q3",
-    "cube_agg",
-    "pivot_status",
-    "array_ops_mix",
-    "semi_join_customers",
-    "broadcast_join_parts",
-    # -- NEW in round 7, immediately after the debt head: covered on
-    # any budget overshoot, else first in round 8's head --------------
+    # -- Round-8 verification head, exactly the 50-row driver budget.
+    # The r7 verdict's #1 directive: (a) the 27 round-7 additions with
+    # no official driver row yet (all judge-verified green in the r7
+    # session — any failure here is a regression), then (b) the new
+    # round-8 oracled bracket twin of the GK sketch
+    # (value_percentiles_bounds, r7 verdict #5), then (c) 22 of the
+    # oldest-rowed entries (last green row r03), families interleaved
+    # so a bursty host steal-window cannot contaminate a whole family
+    # at once (see DEVNOTES on the r04 alphabetical-block anomaly).
+    # 27 + 1 + 22 = 50 = one round budget. Rows-only entries live in
+    # _ROWS_ONLY_TAIL at the very end — a driver slot spent on an
+    # `err: no_oracle` row is a wasted slot (r7 verdict #5).
+    # (a) round-7 additions, judge-verified, no driver row yet:
     "tpch_q1_like",
     "interval_overlap_skew",
     "eval_holdout_exact_k",
@@ -137,36 +83,67 @@ _PRIORITY: list[str] = [
     "event_csv_roundtrip",
     "sink_roundtrip_avro",
     "utf8_ingest_hygiene",
-    # -- round-6 head (all green in CORRECTNESS_r06) retained next so
-    # any budget overshoot re-verifies the newest entries first ------
-    "grep_regex_groups",
-    "aqe_skew_join",
-    "tpch_q6_like",
-    "tpch_q20_like",
-    "tpch_q21_like",
-    "priority_price_quantiles",
-    "taxonomy_tag_docs",
-    "pq_encode_stats",
-    "pq_adc_search",
-    "orders_cohort_retention",
-    "lateral_topn_orders",
-    "sql_udf_pricing",
-    "sql_pivot_clause",
-    "interval_overlap_pairs",
-    "interval_event_lookup",
-    "mode_median_by_type",
-    "union_schema_evolution",
-    "streaming_static_join",
-    "try_arithmetic_audit",
-    "collated_word_groups",
-    "parameterized_sql_lookup",
-    "file_lineage_report",
-    "csv_malformed_audit",
-    "udtf_polymorphic_split",
-    "group_apply_arrow",
-    "aqe_rebalance_write",
-    # -- last green r03/r04/r05 follows (fresh enough); registration
-    # order fills the remainder ---------------------------------------
+    # (b) new round-8 oracled GK-bound twin (r7 verdict #5):
+    "value_percentiles_bounds",
+    # (c) oldest-rowed entries (last green r03), interleaved:
+    "word_count",
+    "streaming_dedup",
+    "bigram_logprob",
+    "bucketed_join",
+    "pipeline_curate",
+    "python_datasource_scan",
+    "bm25_topk",
+    "events_resample",
+    "decontaminate_vs_eval",
+    "udtf_split_sentences",
+    "top_k_words",
+    "streaming_foreach_batch",
+    "inverted_index",
+    "colocated_join",
+    "pack_sequences",
+    "map_in_arrow_scale",
+    "topk_words_per_doc",
+    "events_rollup_multires",
+    "zorder_layout",
+    "streaming_quality_gate",
+    "unigram_logprob",
+    "join_wordcount_docs",
+    # -- NEW in round 8, immediately after the head: covered on any
+    # budget overshoot, else first in round 9's head -------------------
+    # (added as they are implemented this round)
+    # -- remaining r03-rowed entries, then r04 follows via
+    # registration order --------------------------------------------
+    "distinct_words",
+    "doc_chunk_windows",
+    "event_props_variant",
+    "funnel_conversion",
+    "grep_filter",
+    "outlier_filter_p99",
+    "pipeline_train_corpus",
+    "repeated_spans",
+    "repeated_spans_verified",
+    "sql_pipe_q6",
+    "text_source_wordcount",
+    "trailing_window_sum",
+    "union_corpora",
+    "value_percentiles_exact",
+    "wc_tokens",
+    "window_dedup_latest",
+    "word_count_sorted",
+    "words_except",
+    "words_intersect",
+]
+
+# Rows-only entries (no ANSI oracle by design — GK sketch, LSH
+# recall-bounded, HLL-sketch profile). Their assurance comes from
+# pytest error/recall bounds, not driver slots; a driver row for them
+# can only ever read `err: no_oracle`. Permanently last in iteration
+# order (r7 verdict #5).
+_ROWS_ONLY_TAIL: list[str] = [
+    "value_percentiles",
+    "approx_distinct_words",
+    "sim_search_lsh",
+    "profile_table_sketch",
 ]
 
 
@@ -192,7 +169,14 @@ def load_all() -> None:
     from hadoop_wordcount_spark.streaming import stream_queries  # noqa: F401
 
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
-    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    ordered.update(
+        {
+            n: f
+            for n, f in QUERIES.items()
+            if n not in ordered and n not in _ROWS_ONLY_TAIL
+        }
+    )
+    ordered.update({n: QUERIES[n] for n in _ROWS_ONLY_TAIL if n in QUERIES})
     QUERIES.clear()
     QUERIES.update(ordered)
     oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -746,9 +746,16 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the state source reads one store per shuffle partition in
     parallel (partition_id is exposed as a column); state volume is
-    O(distinct keys), not O(events). A fresh checkpoint dir per call
-    keeps the query rerunnable; availableNow drains the bounded
-    fixture exactly once."""
+    O(distinct keys), not O(events). The checkpoint dir is a
+    deterministic per-SF path, WIPED at the start of each call —
+    repeated bench/probe runs reuse one directory instead of
+    accumulating mkdtemp state dirs (r7 advice), and the wipe
+    guarantees a from-scratch drain rather than a no-op restart. The
+    memory-sink view exists only to drive the stream; the returned
+    DataFrame reads the checkpoint files, so the view is dropped
+    immediately after the drain."""
+    import os
+    import shutil
     import tempfile
 
     ev = events_stream(spark, sf_dir)
@@ -756,7 +763,9 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 3).alias("sv"),
     )
-    ckpt = tempfile.mkdtemp(prefix="hwcs_state_read_")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    ckpt = os.path.join(tempfile.gettempdir(), f"hwcs_state_read_{sf_tag}")
+    shutil.rmtree(ckpt, ignore_errors=True)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -772,6 +781,7 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.dropTempView(name)
     st = spark.read.format("statestore").load(ckpt)
     return st.select(
         F.col("key.event_type").alias("event_type"),

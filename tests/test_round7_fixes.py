@@ -284,16 +284,22 @@ def test_events_type_ts_unique_all_sfs(spark):
 def test_theta_sparse_exact_capacity(spark, sf):
     """`sketch_theta_source_overlap`'s oracle is only valid while the
     Theta sketches run in exact (sparse) mode: every per-source
-    distinct-shingle count must sit below 2^lgK nominal entries at
-    the oracle SFs. Pin that capacity contract per SF."""
+    distinct-shingle count — AND every pairwise theta_union of two
+    sources — must sit below 2^lgK nominal entries at the oracle SFs.
+    The union bound is the binding one (r7 advice): a testdata regen
+    with two large sources could keep each per-source count under
+    capacity while their union drops into estimation mode. The sum of
+    the two largest per-source cardinalities upper-bounds any
+    pairwise union, so pin that."""
     from hadoop_wordcount_spark.operators.sketches import _THETA_LGK
     from hadoop_wordcount_spark.operators.wordcount import tokens_col
     from hadoop_wordcount_spark.sources.tables import load_table
 
     d = load_table(spark, sf, "documents")
     tk = F.col("tk")
-    n = (
-        d.select("source", tokens_col(F.col("text")).alias("tk"))
+    counts = sorted(
+        r[0]
+        for r in d.select("source", tokens_col(F.col("text")).alias("tk"))
         .filter(F.size("tk") >= 3)
         .select(
             "source",
@@ -314,12 +320,20 @@ def test_theta_sparse_exact_capacity(spark, sf):
         .distinct()
         .groupBy("source")
         .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
+        .select("count")
+        .collect()
     )
+    n = counts[-1]
     assert n < (1 << _THETA_LGK), (
         f"per-source shingle cardinality {n} exceeds theta nominal "
         f"capacity 2^{_THETA_LGK}; the exact-mode oracle contract is void"
+    )
+    union_bound = sum(counts[-2:])
+    assert union_bound < (1 << _THETA_LGK), (
+        f"sum of two largest per-source shingle cardinalities "
+        f"{union_bound} exceeds theta nominal capacity 2^{_THETA_LGK}; "
+        f"a pairwise theta_union could leave exact mode and void the "
+        f"overlap oracle"
     )
 
 

@@ -203,7 +203,7 @@ ALL_OPS = [
     # over O(days) constant-size states; binary_asset_ingest is a
     # corpus-linear text write + binaryFile scan whose file count is
     # (lang x source)-bounded. pandas_api_orders_report,
-    # sql_scripting_threshold_report, zorder_cell_layout,
+    # sql_scripting_threshold_report,
     # shipmonth_price_percentiles and heavy_hitters_parts read
     # orders/lineitem — not replicated, not probed; their scale
     # stories are plain hash aggs, an O(capacity) sketch buffer, and
@@ -435,15 +435,15 @@ def _write_md(store: dict) -> None:
         "under per-table isomorphism schemes (token suffixes for "
         "documents, per-replica isometries for embeddings, id offsets "
         "for events — see tools/scale_probe.py) so within-replica "
-        "structure is preserved. interval_overlap_pairs / "
+        "structure is preserved and NOTHING matches across replicas: "
+        "the probe measures operator scaling, not planted "
+        "cross-replica duplication. interval_overlap_pairs / "
         "interval_overlap_skew are probed against the DENSITY-HELD "
         "events replica (per-replica whole-day clock shifts: constant "
         "per-day occupancy, corpus grows in TIME) because the standard "
         "id-offset scheme multiplies temporal density and makes the "
         "true overlapping-pair count quadratic by construction. "
-        "structure is preserved and NOTHING matches across replicas: "
-        "the probe measures operator scaling, not planted cross-replica "
-        "duplication. dedup_clusters runs right after "
+        "dedup_clusters runs right after "
         "dedup_minhash_banded at each factor, so its number is the "
         "INCREMENTAL connected-components cost on the warm banded "
         "cache; dedup_cluster_representatives likewise reuses the "
