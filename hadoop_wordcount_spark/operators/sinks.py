@@ -543,3 +543,70 @@ def q_sink_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression", "deflate"
     ).save(path)
     return spark.read.format(fmt).load(path)
+
+
+@query(
+    "writer_v2_lifecycle",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_writer_v2_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameWriterV2 lifecycle against a REAL V2 catalog — the
+    round-7 gate ("needs Delta/Iceberg jars") shrunk by an
+    environment find: Spark's own JDBCTableCatalog backed by the
+    Derby jars it BUNDLES for the Hive metastore is a fully V2
+    catalog, no extra jars. Exercises createOrReplace() (priority
+    groups '1'/'2'), append() (the rest), overwrite(lit(True))
+    (truncate-and-replace with the full recomputed aggregate), then
+    reads the table back through the catalog — the oracle is the
+    plain GROUP BY the final overwrite wrote. overwritePartitions()
+    alone stays gated: JDBC tables are unpartitioned, so dynamic
+    partition overwrite is structurally inapplicable (probe:
+    UNSUPPORTED_FEATURE.TABLE_OPERATION "does not support dynamic
+    overwrite"); its v1 equivalent is covered by
+    insert_overwrite_dynamic_partitions.
+
+    Scale: jdbc:derby:memory is the single-JVM stand-in; on a
+    cluster the SAME writeTo() code targets a shared catalog
+    (Postgres/MySQL JDBC, or Iceberg/Delta where
+    overwritePartitions() lights up). The aggregate crossing into
+    the catalog is |priorities| rows — the fact table never leaves
+    Spark."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cat = "jdbccat"
+    spark.conf.set(
+        f"spark.sql.catalog.{cat}",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set(
+        f"spark.sql.catalog.{cat}.url",
+        f"jdbc:derby:memory:hwcs_v2_{sf};create=true",
+    )
+    spark.conf.set(
+        f"spark.sql.catalog.{cat}.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {cat}.ns")
+    tbl = f"{cat}.ns.orders_priority_agg"
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    head = agg.filter(F.col("o_orderpriority") < F.lit("3"))
+    tail = agg.filter(F.col("o_orderpriority") >= F.lit("3"))
+    head.writeTo(tbl).createOrReplace()
+    tail.writeTo(tbl).append()
+    # Truncate-and-replace with the recomputed full aggregate: the
+    # V2 overwrite path (SupportsTruncate) — NOT a re-read of the
+    # table being overwritten (self-overwrite is undefined).
+    agg.writeTo(tbl).overwrite(F.lit(True))
+    return spark.table(tbl)

@@ -110,7 +110,7 @@ _PRIORITY: list[str] = [
     "join_wordcount_docs",
     # -- NEW in round 8, immediately after the head: covered on any
     # budget overshoot, else first in round 9's head -------------------
-    # (added as they are implemented this round)
+    "writer_v2_lifecycle",
     # -- remaining r03-rowed entries, then r04 follows via
     # registration order --------------------------------------------
     "distinct_words",
