@@ -169,3 +169,98 @@ def test_budget_allocation_sums_exactly(spark, sf_dir):
     assert sum(r.alloc for r in rows) == 1_000_000
     for r in rows:
         assert r.alloc in (r.base_alloc, r.base_alloc + 1)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: estimation-regime boundary crossings (r7 verdict #8).
+# The oracle contracts for the native sketch queries rest on staying
+# in the EXACT regime at test SFs (pins above/in test_round7_fixes).
+# These tests cross the boundary deliberately — synthetic cardinality
+# far past capacity — and assert the documented error band, so the
+# "what happens at 100 TB" claim in the docstrings is itself tested.
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimation_regime_error_band(spark):
+    """DataSketches HLL at lgK=14 past the coupon regime: RSE is
+    1.04/sqrt(2^14) ~ 0.81%. 100k distinct is ~200x the exact bound;
+    assert the estimate lands within ~3.7 sigma (3%). Deterministic:
+    spark.range + the sketch's fixed hash seed."""
+    n = 100_000
+    est = (
+        spark.range(n)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("id", F.lit(14))
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    assert abs(est - n) / n < 0.03, f"HLL estimate {est} vs {n}"
+
+
+def test_theta_estimation_regime_error_band(spark):
+    """Theta at lgK=14 past nominal capacity samples at theta<1; RSE
+    ~ 1/sqrt(16384) ~ 0.78%. Single-sketch estimate, union of two
+    100k sets (true 150k), and intersection (true 50k) must all land
+    within a few sigma. Set algebra error compounds — the
+    intersection gets the widest band (5%)."""
+    n = 100_000
+    est = (
+        spark.range(n)
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("id", F.lit(14))
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    assert abs(est - n) / n < 0.03, f"theta estimate {est} vs {n}"
+
+    a = spark.range(0, 100_000).agg(
+        F.theta_sketch_agg("id", F.lit(14)).alias("sk_a")
+    )
+    b = spark.range(50_000, 150_000).agg(
+        F.theta_sketch_agg("id", F.lit(14)).alias("sk_b")
+    )
+    r = (
+        a.crossJoin(b)
+        .select(
+            F.theta_sketch_estimate(
+                F.theta_union("sk_a", "sk_b", F.lit(14))
+            ).alias("u"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).alias("i"),
+        )
+        .collect()[0]
+    )
+    assert abs(r.u - 150_000) / 150_000 < 0.04, f"union {r.u}"
+    assert abs(r.i - 50_000) / 50_000 < 0.05, f"intersection {r.i}"
+
+
+def test_approx_top_k_estimation_regime_error_band(spark):
+    """Frequent-items past maxItemsTracked (50k distinct noise keys
+    vs capacity 8192, evictions guaranteed): the documented
+    guarantee is (a) any key with true count > eps*n survives, and
+    (b) reported counts overestimate by at most ~3.5*n/M. Heavy key:
+    10k of 260k rows >> 3.5*260k/8192 ~ 111."""
+    heavy = spark.range(10_000).select(F.lit(999_999).alias("k"))
+    noise = spark.range(250_000).select((F.col("id") % 50_000).alias("k"))
+    n_total = 260_000
+    bound = 3.5 * n_total / 8192
+    rows = (
+        heavy.unionAll(noise)
+        .agg(F.expr("approx_top_k(k, 10, 8192)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select("e.item", "e.count")
+        .collect()
+    )
+    hh = [r for r in rows if r.item == 999_999]
+    assert hh, f"heavy hitter evicted: {rows[:5]}"
+    est = hh[0]["count"]
+    assert 10_000 - bound <= est <= 10_000 + bound, (
+        f"heavy-hitter estimate {est} outside +-{bound:.0f} of 10000"
+    )
