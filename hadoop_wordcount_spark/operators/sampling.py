@@ -521,3 +521,65 @@ def q_eval_holdout_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 25)
     )
+
+
+@query(
+    "temporal_split_audit",
+    oracle="""
+        WITH b AS (SELECT date_trunc('month', max(ts)) AS cut FROM events),
+        pu AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts <  (SELECT cut FROM b) THEN 1 ELSE 0 END)
+                       AS tr,
+                   sum(CASE WHEN ts >= (SELECT cut FROM b) THEN 1 ELSE 0 END)
+                       AS ho
+            FROM events GROUP BY user_id)
+        SELECT CAST(sum(tr) AS BIGINT)                     AS n_train_events,
+               CAST(sum(ho) AS BIGINT)                     AS n_holdout_events,
+               CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train_users,
+               CAST(sum(CASE WHEN ho > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_holdout_users,
+               CAST(sum(CASE WHEN tr > 0 AND ho > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                             AS n_leaky_users
+        FROM pu
+    """,
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/holdout split with a GROUP-LEAKAGE audit — the
+    split every forecasting/recsys training pipeline needs instead of
+    a random one: holdout = the last calendar month present in the
+    data (a data-derived but deterministic boundary), train =
+    everything before, and the audit counts users appearing on BOTH
+    sides. Random splits (`dataset_split`) leak entity history into
+    eval; this query quantifies exactly that leakage so the pipeline
+    can decide user-level exclusion vs time-based features only.
+
+    Plan: the boundary is a 1-row aggregate broadcast into a
+    conditional per-user aggregation — ONE shuffle on user_id (the
+    audit's grain), then a single global partial+final agg. No join
+    of events against events, no window. At 100 TB: events shuffle
+    once on user_id; with events pre-bucketed by user_id even that
+    exchange disappears. The leak set itself (user ids on both
+    sides) falls out of the same per-user pass if the pipeline wants
+    the exclusion list materialized instead of counted."""
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(F.date_trunc("month", F.max("ts")).alias("cut"))
+    per_user = (
+        e.select("user_id", "ts")
+        .crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") < F.col("cut")).cast("long")).alias("tr"),
+            F.sum((F.col("ts") >= F.col("cut")).cast("long")).alias("ho"),
+        )
+    )
+    return per_user.agg(
+        F.sum("tr").alias("n_train_events"),
+        F.sum("ho").alias("n_holdout_events"),
+        F.sum((F.col("tr") > 0).cast("long")).alias("n_train_users"),
+        F.sum((F.col("ho") > 0).cast("long")).alias("n_holdout_users"),
+        F.sum(((F.col("tr") > 0) & (F.col("ho") > 0)).cast("long")).alias(
+            "n_leaky_users"
+        ),
+    )

@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     # -- NEW in round 8, immediately after the head: covered on any
     # budget overshoot, else first in round 9's head -------------------
     "writer_v2_lifecycle",
+    "temporal_split_audit",
     # -- remaining r03-rowed entries, then r04 follows via
     # registration order --------------------------------------------
     "distinct_words",

@@ -102,3 +102,33 @@ def test_value_percentiles_bounds_detects_violation(spark):
     )
     row = stats.select(ok.alias("ok")).collect()[0]
     assert row.ok is False
+
+
+def test_temporal_split_audit_invariants(spark, sf_dir):
+    """Split accounting: train+holdout events == table total; leaky
+    users bounded by both side cardinalities; holdout non-empty (the
+    boundary is the last month PRESENT, so it always contains the
+    max-ts event)."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    r = registry.QUERIES["temporal_split_audit"](spark, sf_dir).collect()[0]
+    total = load_table(spark, sf_dir, "events").count()
+    assert r.n_train_events + r.n_holdout_events == total
+    assert r.n_holdout_events > 0
+    assert r.n_leaky_users <= min(r.n_train_users, r.n_holdout_users)
+
+
+def test_temporal_split_audit_plan(spark, sf_dir):
+    """One user_id exchange and a broadcast boundary — the events
+    table must not self-join or window-sort."""
+    from hadoop_wordcount_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(
+        registry.QUERIES["temporal_split_audit"](spark, sf_dir)
+    )
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" not in plan
+    # 2 scans (boundary + events), each appearing twice in formatted
+    # output (tree + detail section); a self-join would add more.
+    assert plan.count("Scan parquet") <= 4
