@@ -1703,6 +1703,49 @@ def q_profile_table_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_table_sketch_bounds",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+               count(DISTINCT {c}) AS n_distinct_exact,
+               true AS within_band FROM orders"""
+        for c, _ in _PROFILE_COLS
+    ),
+)
+def q_profile_table_sketch_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracled bracket twin of the rows-only `profile_table_sketch`
+    (the `value_percentiles_bounds` pattern): each column's HLL++
+    distinct estimate (default rsd=0.05) must land within 3 sigma
+    (15%) of the exact count. Emits the exact per-column distincts
+    (hash-checked) plus the in-band boolean — sketch drift now fails
+    the driver's hash compare, not just a pytest bound. Both sides
+    are single wide aggregates over one scan each."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, _dbl in _PROFILE_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"ex__{c}"),
+            F.approx_count_distinct(c).alias(f"ap__{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"ex__{c}").alias("n_distinct_exact"),
+                (
+                    F.abs(F.col(f"ap__{c}") - F.col(f"ex__{c}"))
+                    <= 0.15 * F.col(f"ex__{c}")
+                ).alias("within_band"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query(
     "window_dedup_latest",
     oracle="""
         WITH r AS (

@@ -121,6 +121,52 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_search_lsh_bounds",
+    oracle=f"SELECT CAST({TOP_K} AS BIGINT) AS k, true AS recall_ok",
+)
+def q_sim_search_lsh_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled bracket twin of the rows-only `sim_search_lsh` (the
+    `value_percentiles_bounds` pattern): recall@{TOP_K} of the LSH
+    result against the exact euclidean top-{TOP_K} must hold the 0.8
+    floor the pytest bound pins (deterministic: seed=42 LSH on fixed
+    data). The driver's hash compare now fails if the LSH operating
+    point ever degrades, instead of relying on pytest alone. Cost:
+    the LSH query itself + one exact brute-force pass (k-heap, no
+    shuffle of vectors) + a {TOP_K}x{TOP_K} id join."""
+    lsh_ids = q_sim_search_lsh(spark, sf_dir).select("vec_id")
+    emb = _emb(spark, sf_dir)
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .head()[0]
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qcol,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact_ids = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hits = lsh_ids.join(F.broadcast(exact_ids), "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.col("n_hits") >= F.lit(int(0.8 * TOP_K))).alias("recall_ok"),
+    )
+
+
+@query(
     "knn_block_join",
     oracle="""
         WITH probes AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),

@@ -176,6 +176,40 @@ def q_approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_words_bounds",
+    oracle=(
+        f"SELECT count(DISTINCT word) AS n_words_exact, "
+        f"true AS within_band FROM ({_ORACLE_TOKENS})"
+    ),
+)
+def q_approx_distinct_words_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracled bracket twin of the rows-only `approx_distinct_words`
+    (the `value_percentiles_bounds` pattern): HLL++ at the default
+    rsd=0.05 must land within 3 sigma (15%) of the exact distinct
+    count. The query emits the EXACT count (hash-checked against
+    DuckDB) plus the in-band boolean — if the sketch ever drifts out
+    of its documented band, the driver's hash compare fails instead
+    of a pytest-only bound. Cost: one exact-distinct pass (the thing
+    the sketch exists to avoid — affordable at oracle SFs, the twin
+    stays off the 100 TB path) + one sketch pass, crossed on one-row
+    aggregates."""
+    toks = tokenize(_docs(spark, sf_dir), text_col="text")
+    approx = toks.agg(
+        F.approx_count_distinct("word").alias("n_approx")
+    )
+    exact = toks.agg(F.countDistinct("word").alias("n_words_exact"))
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "n_words_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_words_exact"))
+            <= 0.15 * F.col("n_words_exact")
+        ).alias("within_band"),
+    )
+
+
+@query(
     "grep_filter",
     oracle=(
         "SELECT doc_id, lang, source FROM documents "

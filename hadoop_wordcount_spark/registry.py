@@ -112,6 +112,9 @@ _PRIORITY: list[str] = [
     # budget overshoot, else first in round 9's head -------------------
     "writer_v2_lifecycle",
     "temporal_split_audit",
+    "approx_distinct_words_bounds",
+    "profile_table_sketch_bounds",
+    "sim_search_lsh_bounds",
     # -- remaining r03-rowed entries, then r04 follows via
     # registration order --------------------------------------------
     "distinct_words",

@@ -215,7 +215,45 @@ ALL_OPS = [
     # the same scan-level shape; sink_roundtrip_avro and the dialect
     # entries read nation/orders — not replicated, not probed.
     "utf8_ingest_hygiene", "event_csv_roundtrip",
+    # round-8: the r7 verdict asked for probe rows on the
+    # orders/lineitem-backed round-7 entries, so the replicator now
+    # covers the relational fact tables too (RELATIONAL_OPS below:
+    # key-offset replicas of orders/lineitem/customer, dims copied
+    # verbatim — dims are FIXED-SIZE under TPC-H-style scaling, which
+    # is also why sink_roundtrip_avro, a 25-row nation roundtrip,
+    # stays unprobed: its cost is structurally flat by construction).
+    # Expected ~1 for all: scan→partial→final aggs (q1, group_by_all,
+    # unpivot, transpose, scripting, pandas_api), an O(groups x 4KB)
+    # bitmap shuffle (bitmap_exact_distinct), O(capacity) mergeable
+    # sketch buffers (heavy_hitters_parts), bounded-but-numerous
+    # percentile cohorts (shipmonth), WindowGroupLimit k-heaps
+    # (listagg over growing customer), delta-sized partition rewrites
+    # (insert_overwrite), and a 5-row catalog write on a linear agg
+    # (writer_v2_lifecycle).
+    "tpch_q1_like", "shipmonth_price_percentiles", "heavy_hitters_parts",
+    "bitmap_exact_distinct", "orders_priority_transpose",
+    "sql_group_by_all_report", "sql_unpivot_clause",
+    "pandas_api_orders_report", "sql_scripting_threshold_report",
+    "insert_overwrite_dynamic_partitions", "writer_v2_lifecycle",
+    "sql_listagg_nation_top",
+    # round-8 events-backed additions (expected ~1: one user_id
+    # shuffle + global agg; two group-bys + broadcast of per-group
+    # estimates).
+    "temporal_split_audit", "value_percentiles_bounds",
 ]
+
+# Ops that read the relational fact tables — their presence in a
+# probe run triggers `_replicate_relational` (orders/lineitem/
+# customer replicated with key offsets; region/nation/supplier/part
+# copied verbatim: dims are fixed-size under TPC-H-style scaling).
+RELATIONAL_OPS = {
+    "tpch_q1_like", "shipmonth_price_percentiles", "heavy_hitters_parts",
+    "bitmap_exact_distinct", "orders_priority_transpose",
+    "sql_group_by_all_report", "sql_unpivot_clause",
+    "pandas_api_orders_report", "sql_scripting_threshold_report",
+    "insert_overwrite_dynamic_partitions", "writer_v2_lifecycle",
+    "sql_listagg_nation_top",
+}
 
 
 # Ops probed against the DENSITY-HELD events replica (r6 verdict
@@ -293,6 +331,47 @@ def _replicate(spark, n: int, path: str) -> int:
     ).write.mode("overwrite").parquet(os.path.join(path, "events.parquet"))
 
     return base_docs * n, base_vecs * n
+
+
+def _replicate_relational(spark, n: int, path: str) -> None:
+    """Replicate the TPC-H-ish fact tables Nx with key offsets —
+    per-replica orders→lineitem and customer→orders join structure is
+    bit-identical to the original (offsets applied consistently on
+    both sides), nothing joins across replicas. Dims (region, nation,
+    supplier, part) are copied verbatim: under TPC-H-style scaling
+    dimension tables are fixed-size, so per-dim group counts stay
+    constant while per-group row counts grow — exactly the regime a
+    real fact table grows in."""
+    reps = spark.range(n).select(F.col("id").alias("rep"))
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ok_stride = o.agg(F.max("o_orderkey")).head()[0] + 1
+    ck_stride = c.agg(F.max("c_custkey")).head()[0] + 1
+
+    o.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("rep") * ok_stride).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("rep") * ck_stride).alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+    ).write.mode("overwrite").parquet(os.path.join(path, "orders.parquet"))
+
+    c.crossJoin(F.broadcast(reps)).select(
+        (F.col("c_custkey") + F.col("rep") * ck_stride).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    ).write.mode("overwrite").parquet(os.path.join(path, "customer.parquet"))
+
+    l.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("rep") * ok_stride).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ).write.mode("overwrite").parquet(os.path.join(path, "lineitem.parquet"))
+
+    for dim in ("region", "nation", "supplier", "part"):
+        spark.read.parquet(f"{SF_DIR}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, f"{dim}.parquet"))
 
 
 def _replicate_events_shifted(spark, n: int, path: str) -> None:
@@ -386,6 +465,8 @@ def main() -> None:
         if any(q in TIME_SHIFT_OPS for q in ops):
             shift_path = path + "_shift"
             _replicate_events_shifted(spark, n, shift_path)
+        if any(q in RELATIONAL_OPS for q in ops):
+            _replicate_relational(spark, n, path)
         for q in ops:
             if q in ("word_count", "dedup_exact", "text_stats_agg"):
                 continue
