@@ -132,3 +132,18 @@ def test_temporal_split_audit_plan(spark, sf_dir):
     # 2 scans (boundary + events), each appearing twice in formatted
     # output (tree + detail section); a self-join would add more.
     assert plan.count("Scan parquet") <= 4
+
+
+def test_writer_v2_overwrite_partitions_gate(spark, sf_dir):
+    """The one V2 verb still gated after the Derby-catalog find:
+    dynamic partition overwrite. Pin the exact failure mode so the
+    gate claim in writer_v2_lifecycle's docstring stays honest — if a
+    Spark upgrade ever makes JDBC tables support it, this fails and
+    the query should start exercising overwritePartitions() too."""
+    import pytest as _pytest
+
+    # The lifecycle query configures the catalog and creates the table.
+    registry.QUERIES["writer_v2_lifecycle"](spark, sf_dir).collect()
+    df = spark.table("jdbccat.ns.orders_priority_agg")
+    with _pytest.raises(Exception, match="TABLE_OPERATION|dynamic overwrite"):
+        df.writeTo("jdbccat.ns.orders_priority_agg").overwritePartitions()
