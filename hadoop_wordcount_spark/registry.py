@@ -83,8 +83,18 @@ _PRIORITY: list[str] = [
     "event_csv_roundtrip",
     "sink_roundtrip_avro",
     "utf8_ingest_hygiene",
-    # (b) new round-8 oracled GK-bound twin (r7 verdict #5):
+    # (b) round-8 additions — never driver-checked (same principle as
+    # the (a) block: entries with NO ledger row outrank re-checks).
+    # The GK-bound twin is the r7 verdict #5 ask; the other three
+    # bracket twins extend the same pattern to every rows-only entry;
+    # writer_v2_lifecycle is the verdict #7 V2-catalog unlock;
+    # temporal_split_audit is the round-8 coverage addition:
     "value_percentiles_bounds",
+    "writer_v2_lifecycle",
+    "temporal_split_audit",
+    "approx_distinct_words_bounds",
+    "profile_table_sketch_bounds",
+    "sim_search_lsh_bounds",
     # (c) oldest-rowed entries (last green r03), interleaved:
     "word_count",
     "streaming_dedup",
@@ -103,20 +113,14 @@ _PRIORITY: list[str] = [
     "pack_sequences",
     "map_in_arrow_scale",
     "topk_words_per_doc",
+    # -- immediately after the 50-slot head: the rest of the r03-rowed
+    # entries (covered on any budget overshoot), then r04 follows via
+    # registration order ------------------------------------------------
     "events_rollup_multires",
     "zorder_layout",
     "streaming_quality_gate",
     "unigram_logprob",
     "join_wordcount_docs",
-    # -- NEW in round 8, immediately after the head: covered on any
-    # budget overshoot, else first in round 9's head -------------------
-    "writer_v2_lifecycle",
-    "temporal_split_audit",
-    "approx_distinct_words_bounds",
-    "profile_table_sketch_bounds",
-    "sim_search_lsh_bounds",
-    # -- remaining r03-rowed entries, then r04 follows via
-    # registration order --------------------------------------------
     "distinct_words",
     "doc_chunk_windows",
     "event_props_variant",
