@@ -350,23 +350,34 @@ def _replicate_relational(spark, n: int, path: str) -> None:
     ok_stride = o.agg(F.max("o_orderkey")).head()[0] + 1
     ck_stride = c.agg(F.max("c_custkey")).head()[0] + 1
 
+    # Replicas are written 32-way: the source tables are single files,
+    # and crossJoin(broadcast) preserves input partitioning, so an
+    # unrepartitioned replica would be 1-2 parquet files — capping
+    # scan parallelism and measuring a FILE-LAYOUT accident instead of
+    # operator scaling (a real fact table at any scale is many files).
     o.crossJoin(F.broadcast(reps)).select(
         (F.col("o_orderkey") + F.col("rep") * ok_stride).alias("o_orderkey"),
         (F.col("o_custkey") + F.col("rep") * ck_stride).alias("o_custkey"),
         "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
-    ).write.mode("overwrite").parquet(os.path.join(path, "orders.parquet"))
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(path, "orders.parquet")
+    )
 
     c.crossJoin(F.broadcast(reps)).select(
         (F.col("c_custkey") + F.col("rep") * ck_stride).alias("c_custkey"),
         "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
-    ).write.mode("overwrite").parquet(os.path.join(path, "customer.parquet"))
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(path, "customer.parquet")
+    )
 
     l.crossJoin(F.broadcast(reps)).select(
         (F.col("l_orderkey") + F.col("rep") * ok_stride).alias("l_orderkey"),
         "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
         "l_linestatus", "l_shipdate",
-    ).write.mode("overwrite").parquet(os.path.join(path, "lineitem.parquet"))
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(path, "lineitem.parquet")
+    )
 
     for dim in ("region", "nation", "supplier", "part"):
         spark.read.parquet(f"{SF_DIR}/{dim}.parquet").write.mode(
