@@ -526,10 +526,16 @@ def _write_md(store: dict) -> None:
         "replicated alongside). Each factor replicates every table Nx "
         "under per-table isomorphism schemes (token suffixes for "
         "documents, per-replica isometries for embeddings, id offsets "
-        "for events — see tools/scale_probe.py) so within-replica "
+        "for events, key-offset replicas of the orders/lineitem/"
+        "customer fact tables with dims copied verbatim — dims are "
+        "fixed-size under TPC-H-style scaling — see "
+        "tools/scale_probe.py) so within-replica "
         "structure is preserved and NOTHING matches across replicas: "
         "the probe measures operator scaling, not planted "
-        "cross-replica duplication. interval_overlap_pairs / "
+        "cross-replica duplication. Fact-table replicas are written "
+        "32-way (single-file sources would otherwise cap scan "
+        "parallelism at 1-2 splits and measure a file-layout "
+        "accident). interval_overlap_pairs / "
         "interval_overlap_skew are probed against the DENSITY-HELD "
         "events replica (per-replica whole-day clock shifts: constant "
         "per-day occupancy, corpus grows in TIME) because the standard "
