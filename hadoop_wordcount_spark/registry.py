@@ -46,13 +46,12 @@ _PRIORITY: list[str] = [
     # -- Round-8 verification head, exactly the 50-row driver budget.
     # The r7 verdict's #1 directive: (a) the 27 round-7 additions with
     # no official driver row yet (all judge-verified green in the r7
-    # session — any failure here is a regression), then (b) the new
-    # round-8 oracled bracket twin of the GK sketch
-    # (value_percentiles_bounds, r7 verdict #5), then (c) 22 of the
+    # session — any failure here is a regression), then (b) the 7
+    # round-8 additions (never driver-checked), then (c) 16 of the
     # oldest-rowed entries (last green row r03), families interleaved
     # so a bursty host steal-window cannot contaminate a whole family
     # at once (see DEVNOTES on the r04 alphabetical-block anomaly).
-    # 27 + 1 + 22 = 50 = one round budget. Rows-only entries live in
+    # 27 + 7 + 16 = 50 = one round budget. Rows-only entries live in
     # _ROWS_ONLY_TAIL at the very end — a driver slot spent on an
     # `err: no_oracle` row is a wasted slot (r7 verdict #5).
     # (a) round-7 additions, judge-verified, no driver row yet:
@@ -95,6 +94,7 @@ _PRIORITY: list[str] = [
     "approx_distinct_words_bounds",
     "profile_table_sketch_bounds",
     "sim_search_lsh_bounds",
+    "streaming_outer_join_watermark",
     # (c) oldest-rowed entries (last green r03), interleaved:
     "word_count",
     "streaming_dedup",
@@ -112,10 +112,10 @@ _PRIORITY: list[str] = [
     "colocated_join",
     "pack_sequences",
     "map_in_arrow_scale",
-    "topk_words_per_doc",
     # -- immediately after the 50-slot head: the rest of the r03-rowed
     # entries (covered on any budget overshoot), then r04 follows via
     # registration order ------------------------------------------------
+    "topk_words_per_doc",
     "events_rollup_multires",
     "zorder_layout",
     "streaming_quality_gate",

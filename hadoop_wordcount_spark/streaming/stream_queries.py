@@ -788,3 +788,92 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_in_state"),
         F.round(F.col("value.sum"), 3).alias("sum_in_state"),
     )
+
+
+@query(
+    "streaming_outer_join_watermark",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        wm AS (
+            -- The global watermark is the MIN across both watermark
+            -- nodes (each = its side's max event time, floored to
+            -- Spark's millisecond watermark grid, minus the 10-minute
+            -- delay). In ns: floor_ms(min(max_c, max_p)) - 10min.
+            SELECT (epoch_ns(least(
+                       (SELECT max(ts) FROM c),
+                       (SELECT max(ts) FROM p))) // 1000000) * 1000000
+                   - 600000000000 AS w_ns),
+        j AS (
+            SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT user_id,
+               CAST(count(p_ts) AS BIGINT) AS n_pairs,
+               CAST(count(*) FILTER (
+                   p_ts IS NULL
+                   AND epoch_ns(c_ts) + 3600000000000
+                       < (SELECT w_ns FROM wm)) AS BIGINT) AS n_expired
+        FROM j
+        GROUP BY user_id
+        HAVING count(p_ts) > 0
+            OR count(*) FILTER (
+                   p_ts IS NULL
+                   AND epoch_ns(c_ts) + 3600000000000
+                       < (SELECT w_ns FROM wm)) > 0
+    """,
+)
+def q_streaming_outer_join_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner join
+    (`streaming_stream_join`) cannot show: an unmatched left row
+    (click with no same-user purchase in the following hour) is held
+    in state and emitted WITH NULLS only once the watermark passes
+    its entire join window, because until then a matching purchase
+    could still arrive. The oracle reproduces the eviction rule
+    exactly: global watermark = min over both inputs of (per-side max
+    event time floored to the millisecond watermark grid) - 10min
+    delay; an unmatched click emits iff c_ts + 1h < watermark
+    (empirically pinned: clicks inside the horizon stay in state at
+    stream end and are absent from the settled output — see
+    test_round8_fixes). availableNow's trailing no-data micro-batch
+    is what lets the final watermark evict; without it bounded runs
+    would never emit ANY outer row.
+
+    Scale: state is bounded by the join horizon (1h of clicks + 1h of
+    purchases per key-range), the defining property that makes
+    stream-stream outer joins runnable forever; the output emits
+    matched pairs eagerly and outer rows exactly one horizon late —
+    the unavoidable completeness/latency trade the watermark encodes.
+    """
+    events = events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    settled = run_to_memory(
+        joined.select(F.col("c_user").alias("user_id"), "p_ts"),
+        output_mode="append",
+    )
+    return settled.groupBy("user_id").agg(
+        F.count("p_ts").alias("n_pairs"),
+        F.sum(F.col("p_ts").isNull().cast("long")).alias("n_expired"),
+    )

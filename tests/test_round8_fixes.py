@@ -147,3 +147,63 @@ def test_writer_v2_overwrite_partitions_gate(spark, sf_dir):
     df = spark.table("jdbccat.ns.orders_priority_agg")
     with _pytest.raises(Exception, match="TABLE_OPERATION|dynamic overwrite"):
         df.writeTo("jdbccat.ns.orders_priority_agg").overwritePartitions()
+
+
+def test_streaming_outer_join_holds_unexpired_rows(spark):
+    """The left-outer stream-stream join's defining behavior: an
+    unmatched click whose join window the watermark has NOT passed
+    stays in state and is ABSENT from the settled output, while every
+    unmatched click older than the horizon emits with nulls. Derive
+    the expected partition from the documented rule (global watermark
+    = min of per-side ms-floored max ts - 10min; expire iff
+    c_ts + 1h < W) and assert the streaming output matches it
+    exactly — not just in aggregate."""
+    import datetime
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        (r.user_id, r.n_pairs, r.n_expired)
+        for r in registry.QUERIES["streaming_outer_join_watermark"](
+            spark, sf
+        ).collect()
+    }
+    e = load_table(spark, sf, "events")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    max_c = c.agg(F.max("ts")).head()[0]
+    max_p = p.agg(F.max("p_ts")).head()[0]
+    wm = min(max_c, max_p).replace(microsecond=0) + datetime.timedelta(
+        milliseconds=min(max_c, max_p).microsecond // 1000
+    ) - datetime.timedelta(minutes=10)
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    expired = F.col("p_ts").isNull() & (
+        F.col("ts") + F.expr("INTERVAL 1 HOUR") < F.lit(wm)
+    )
+    expect = {
+        (r.user_id, r.n_pairs, r.n_expired)
+        for r in j.groupBy("user_id")
+        .agg(
+            F.count("p_ts").alias("n_pairs"),
+            F.sum(expired.cast("long")).alias("n_expired"),
+        )
+        .filter((F.col("n_pairs") > 0) | (F.col("n_expired") > 0))
+        .collect()
+    }
+    assert out == expect
+    # the interesting case must exist: at least one unmatched click
+    # held in state (absent from output)
+    held = j.filter(
+        F.col("p_ts").isNull()
+        & (F.col("ts") + F.expr("INTERVAL 1 HOUR") >= F.lit(wm))
+    ).count()
+    assert held > 0, "fixture degenerate: no click inside the horizon"
