@@ -112,9 +112,11 @@ _PRIORITY: list[str] = [
     "colocated_join",
     "pack_sequences",
     "map_in_arrow_scale",
-    # -- immediately after the 50-slot head: the rest of the r03-rowed
-    # entries (covered on any budget overshoot), then r04 follows via
-    # registration order ------------------------------------------------
+    # -- immediately after the 50-slot head: the newest round-8 entry
+    # (the head was already full at 27+7+16), then the rest of the
+    # r03-rowed entries (covered on any budget overshoot), then r04
+    # follows via registration order --------------------------------
+    "streaming_join_window_pipeline",
     "topk_words_per_doc",
     "events_rollup_multires",
     "zorder_layout",

@@ -877,3 +877,79 @@ def q_streaming_outer_join_watermark(
         F.count("p_ts").alias("n_pairs"),
         F.sum(F.col("p_ts").isNull().cast("long")).alias("n_expired"),
     )
+
+
+@query(
+    "streaming_join_window_pipeline",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        wm AS (
+            SELECT (epoch_ns(least(
+                       (SELECT max(ts) FROM c),
+                       (SELECT max(ts) FROM p))) // 1000000) * 1000000
+                   - 600000000000 AS w_ns),
+        j AS (
+            SELECT c.ts AS c_ts
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT epoch_ns(time_bucket(INTERVAL 1 HOUR, c_ts)) // 1000000000
+                   AS hour_s,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM j
+        GROUP BY hour_s
+        HAVING (hour_s + 3600) * 1000000000 <= (SELECT w_ns FROM wm)
+    """,
+)
+def q_streaming_join_window_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-STATEFUL streaming pipeline (Spark 3.5+/4 watermark
+    propagation): a stream-stream time-interval join chained into an
+    event-time windowed aggregation IN ONE streaming query — two
+    stateful operators, one checkpoint, something older Structured
+    Streaming rejected outright ("multiple streaming aggregations not
+    supported"). Hourly counts of click→purchase conversion pairs,
+    append mode: a window emits only once the watermark passes its
+    end, so the settled output is the batch join+window restricted to
+    closed windows. The oracle reproduces that cutoff exactly (global
+    watermark = min over both inputs of ms-floored max event time -
+    10min delay; emit iff window_end <= W) — hash-verified at all
+    three SFs, with the one open trailing window at sf0.1 pinned
+    absent by pytest.
+
+    Scale: join state bounded by the 1h interval horizon, agg state
+    by open windows per key-range — both watermark-evicted; this
+    fused shape replaces a two-job architecture (join → Kafka →
+    aggregate) with one lineage, one state lifecycle."""
+    events = events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(F.window("c_ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.unix_timestamp("win.start").alias("hour_s"),
+            "n_pairs",
+        )
+    )
+    return run_to_memory(agg, output_mode="append")

@@ -207,3 +207,55 @@ def test_streaming_outer_join_holds_unexpired_rows(spark):
         & (F.col("ts") + F.expr("INTERVAL 1 HOUR") >= F.lit(wm))
     ).count()
     assert held > 0, "fixture degenerate: no click inside the horizon"
+
+
+def test_multi_stateful_pipeline_holds_open_window(spark):
+    """The join→window pipeline must withhold windows the watermark
+    has not closed. At sf0.1 the fixture has a trailing click→purchase
+    pair whose hour-window end exceeds the final watermark — assert
+    it is present in the batch equivalent and ABSENT from the settled
+    streaming output (and everything else matches)."""
+    import calendar
+    import datetime
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    out = {
+        (r.hour_s, r.n_pairs)
+        for r in registry.QUERIES["streaming_join_window_pipeline"](
+            spark, sf
+        ).collect()
+    }
+    e = load_table(spark, sf, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    bj = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    batch = {
+        (r.hour_s, r.n_pairs)
+        for r in bj.groupBy(F.window("c_ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.unix_timestamp("win.start").alias("hour_s"), "n_pairs")
+        .collect()
+    }
+    mx_c = c.agg(F.max("c_ts")).head()[0]
+    mx_p = p.agg(F.max("p_ts")).head()[0]
+    mn = min(mx_c, mx_p)
+    wm = mn.replace(
+        microsecond=(mn.microsecond // 1000) * 1000
+    ) - datetime.timedelta(minutes=10)
+    cut = calendar.timegm(wm.timetuple())
+    expect = {(s, n) for (s, n) in batch if s + 3600 <= cut}
+    assert out == expect
+    held = batch - out
+    assert held, "fixture degenerate: no open trailing window at sf0.1"
