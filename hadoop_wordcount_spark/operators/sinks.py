@@ -577,22 +577,16 @@ def q_writer_v2_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwritePartitions() lights up). The aggregate crossing into
     the catalog is |priorities| rows — the fact table never leaves
     Spark."""
+    from hadoop_wordcount_spark.sources.lakehouse import jdbc_catalog
+
+    cat = jdbc_catalog(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    cat = "jdbccat"
-    spark.conf.set(
-        f"spark.sql.catalog.{cat}",
-        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
-    )
-    spark.conf.set(
-        f"spark.sql.catalog.{cat}.url",
-        f"jdbc:derby:memory:hwcs_v2_{sf};create=true",
-    )
-    spark.conf.set(
-        f"spark.sql.catalog.{cat}.driver",
-        "org.apache.derby.jdbc.EmbeddedDriver",
-    )
-    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {cat}.ns")
-    tbl = f"{cat}.ns.orders_priority_agg"
+    # Per-SF TABLE names inside ONE shared Derby database: Spark
+    # caches the catalog instance per session at first use, so a
+    # per-SF *URL* would silently keep pointing at the first SF's
+    # database (and foreachBatch clones resolve the catalog fresh,
+    # splitting reads from writes). One DB + per-SF tables is immune.
+    tbl = f"{cat}.ns.orders_priority_agg_{sf}"
 
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(

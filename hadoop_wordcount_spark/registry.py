@@ -117,6 +117,7 @@ _PRIORITY: list[str] = [
     # r03-rowed entries (covered on any budget overshoot), then r04
     # follows via registration order --------------------------------
     "streaming_join_window_pipeline",
+    "streaming_foreach_batch_jdbc",
     "topk_words_per_doc",
     "events_rollup_multires",
     "zorder_layout",

@@ -77,3 +77,34 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 def write_avro(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.format(avro_format(df.sparkSession)).mode(mode).save(path)
+
+
+_JDBC_CATALOG = "jdbccat"
+_JDBC_URL = "jdbc:derby:memory:hwcs_v2;create=true"
+
+
+def jdbc_catalog(spark: SparkSession) -> str:
+    """Configure (idempotently) and return the name of a REAL V2
+    catalog available in this container with zero extra jars:
+    Spark's JDBCTableCatalog over the embedded Derby that pyspark
+    bundles for the Hive metastore. Unlocks the DataFrameWriterV2
+    lifecycle (createOrReplace/append/overwrite/replace) and SQL DDL
+    against `jdbccat.ns.*`.
+
+    One SHARED in-memory database, always: Spark caches the catalog
+    instance per session at first use, so callers must NOT vary the
+    URL per dataset (the cached instance would keep the first URL
+    while a foreachBatch clone resolves the new one — reads and
+    writes silently split). Vary the TABLE name instead; the `ns`
+    namespace is pre-created."""
+    spark.conf.set(
+        f"spark.sql.catalog.{_JDBC_CATALOG}",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set(f"spark.sql.catalog.{_JDBC_CATALOG}.url", _JDBC_URL)
+    spark.conf.set(
+        f"spark.sql.catalog.{_JDBC_CATALOG}.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {_JDBC_CATALOG}.ns")
+    return _JDBC_CATALOG

@@ -953,3 +953,76 @@ def q_streaming_join_window_pipeline(
         )
     )
     return run_to_memory(agg, output_mode="append")
+
+
+@query(
+    "streaming_foreach_batch_jdbc",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_foreach_batch_jdbc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming → JDBC serving store: the running per-type aggregate
+    lands in a REAL external table (the bundled-Derby JDBC V2
+    catalog, writer_v2_lifecycle's find) via foreachBatch — the
+    production pattern for feeding a dashboard/serving database from
+    a stream. Complete mode + per-batch `overwrite(lit(True))`
+    (truncate-and-replace through the V2 write path) makes every
+    batch idempotent: replaying a micro-batch after a crash rewrites
+    the same settled content, which is the exactly-once recipe for
+    sinks without transactional MERGE. The returned DataFrame reads
+    the table back THROUGH the catalog, so the oracle checks the full
+    stream→JDBC→catalog-scan loop.
+
+    Scale: what crosses into the serving store is the aggregate
+    (|event_type| rows), never the stream; at 100 TB the same
+    foreachBatch body targets Postgres/MySQL, and update-mode with
+    keyed MERGE replaces truncate when the key space is large."""
+    import os
+
+    from hadoop_wordcount_spark.sources.lakehouse import jdbc_catalog
+
+    cat = jdbc_catalog(spark)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Shared DB, per-SF table (see jdbc_catalog: the catalog instance
+    # is session-cached, so per-dataset URLs silently split reads
+    # from foreachBatch-clone writes).
+    short = f"event_type_serving_{sf_tag}"
+    tbl = f"{cat}.ns.{short}"
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        jdbc_catalog(s)  # the clone resolves the catalog itself
+        names = [t.name for t in s.catalog.listTables(f"{cat}.ns")]
+        if short in names:
+            batch_df.writeTo(tbl).overwrite(F.lit(True))
+        else:
+            batch_df.writeTo(tbl).create()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(land)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(tbl)

@@ -142,11 +142,15 @@ def test_writer_v2_overwrite_partitions_gate(spark, sf_dir):
     the query should start exercising overwritePartitions() too."""
     import pytest as _pytest
 
+    import os
+
     # The lifecycle query configures the catalog and creates the table.
     registry.QUERIES["writer_v2_lifecycle"](spark, sf_dir).collect()
-    df = spark.table("jdbccat.ns.orders_priority_agg")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"jdbccat.ns.orders_priority_agg_{sf}"
+    df = spark.table(tbl)
     with _pytest.raises(Exception, match="TABLE_OPERATION|dynamic overwrite"):
-        df.writeTo("jdbccat.ns.orders_priority_agg").overwritePartitions()
+        df.writeTo(tbl).overwritePartitions()
 
 
 def test_streaming_outer_join_holds_unexpired_rows(spark):
