@@ -5841,3 +5841,62 @@ def q_event_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("props").contains(",").cast("long")).alias("n_quoted"),
         F.sum(exact.cast("long")).alias("n_exact"),
     )
+
+
+@query(
+    "event_value_autocorr",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bkt,
+                   avg(value) AS v
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        lagged AS (
+            SELECT event_type, v,
+                   lag(v)    OVER (PARTITION BY event_type ORDER BY bkt)
+                       AS v1,
+                   lag(v, 2) OVER (PARTITION BY event_type ORDER BY bkt)
+                       AS v2
+            FROM hourly)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)    AS n_buckets,
+               round(corr(v, v1), 4)       AS ac1,
+               round(corr(v, v2), 4)       AS ac2
+        FROM lagged GROUP BY event_type
+    """,
+)
+def q_event_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-2 autocorrelation of the hourly mean `value` series
+    per event type — the standard time-series diagnostic (is the
+    metric momentum-driven or white noise?) that anomaly detectors
+    and forecasters (`orders_forecast_ma`, `event_anomaly_mad`) need
+    before choosing a model. Pearson corr of the series against its
+    own lag over aligned hourly buckets; the first k rows of each
+    series drop out as NULL lag pairs, matching the textbook ACF
+    denominator-(n-k) variant both engines implement via corr().
+
+    Plan: one (event_type, hour) partial+final agg collapses the
+    fact table to a bounded series (<= types x hours rows), THEN the
+    window lag and the corr agg run on the collapsed series — the
+    window never sees fact-grain data, so the single-partition-risk
+    of `ORDER BY bkt` applies to ~9k rows/type-year, not 100 TB of
+    events. At scale: the hourly rollup is the only big shuffle
+    (map-side combined); everything after is dimension-sized. Longer
+    lags or daily grains are parameter swaps on the same plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bkt"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bkt")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.corr("v", "v1"), 4).alias("ac1"),
+        F.round(F.corr("v", "v2"), 4).alias("ac2"),
+    )

@@ -1872,3 +1872,202 @@ def q_utf8_ingest_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repaired_chars"
         ),
     )
+
+
+# PII patterns shared verbatim by Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded quantifiers and literal escapes only.
+_PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"555-[0-9]{4}"
+
+
+@query(
+    "pii_scrub_report",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || doc_id
+                                || '@example.com now' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' host 10.0.' || (doc_id % 256)
+                                || '.' || (doc_id % 100) ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call 555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0') ELSE '' END AS t
+            FROM documents),
+        scrubbed AS (
+            SELECT source, t,
+                   len(regexp_extract_all(t, '{_PII_EMAIL}')) AS ne,
+                   len(regexp_extract_all(t, '{_PII_IP}'))    AS ni,
+                   len(regexp_extract_all(t, '{_PII_PHONE}')) AS np,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_IP}', '<IP>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+            FROM seeded)
+        SELECT source,
+               CAST(count(*) AS BIGINT)                      AS n_docs,
+               CAST(sum(ne) AS BIGINT)                       AS n_email,
+               CAST(sum(ni) AS BIGINT)                       AS n_ip,
+               CAST(sum(np) AS BIGINT)                       AS n_phone,
+               CAST(count(*) FILTER (WHERE ne + ni + np = 0) AS BIGINT)
+                   AS n_docs_clean,
+               CAST(sum(length(t) - length(clean)) AS BIGINT)
+                   AS chars_redacted
+        FROM scrubbed GROUP BY source
+    """,
+)
+def q_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the curation stage every
+    public-web training corpus runs before release (emails, IPs,
+    phone-like numbers -> typed placeholders), reported per source so
+    the pipeline can quarantine the dirtiest feeds.
+
+    The synthetic corpus is digit-free, so the fixture seeds PII
+    deterministically in-engine from doc_id (every 3rd doc an email,
+    every 5th an IPv4, every 7th a phone) — the same
+    construct-then-audit pattern as `utf8_ingest_hygiene` — letting
+    the oracle recompute ground truth relationally. Patterns are
+    restricted to the regex subset Java and RE2 share verbatim.
+
+    Plan: seeding, `regexp_count` x3 and the chained global
+    `regexp_replace` scrub are all codegen'd projections feeding one
+    partial+final agg keyed by source — the shuffle carries
+    |sources| rows. At 100 TB: regex cost is linear in bytes beside
+    the scan, no Python, no second pass; swapping detect-only vs
+    scrub-and-write is a column selection, not a plan change. The
+    scrub order (email, then IP, then phone) is load-bearing for
+    exactness: replacements insert no digits, so later patterns
+    cannot match inside earlier placeholders.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    x = d.select("source", seeded.alias("t")).select(
+        "source",
+        "t",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).alias("ne"),
+        F.regexp_count("t", F.lit(_PII_IP)).alias("ni"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).alias("np"),
+        clean.alias("clean"),
+    )
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ne").cast("long").alias("n_email"),
+        F.sum("ni").cast("long").alias("n_ip"),
+        F.sum("np").cast("long").alias("n_phone"),
+        F.sum(
+            ((F.col("ne") + F.col("ni") + F.col("np")) == 0).cast("long")
+        ).alias("n_docs_clean"),
+        F.sum(F.length("t") - F.length("clean")).alias("chars_redacted"),
+    )
+
+
+@query(
+    "unicode_nfc_audit",
+    oracle="""
+        WITH seeded AS (
+            SELECT lang,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'cafe' || chr(769) || ' ' || text
+                        ELSE text END AS t
+            FROM documents),
+        norm AS (
+            SELECT lang, t, nfc_normalize(t) AS n FROM seeded)
+        SELECT lang,
+               CAST(count(*) AS BIGINT)                          AS n_docs,
+               CAST(count(*) FILTER (WHERE n <> t) AS BIGINT)    AS n_denorm,
+               CAST(sum(length(t)) AS BIGINT)                    AS chars_raw,
+               CAST(sum(length(t) - length(n)) AS BIGINT)        AS chars_saved
+        FROM norm GROUP BY lang
+    """,
+)
+def q_unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit — canonical-composition hygiene
+    (e + U+0301 -> é) that real crawl pipelines run so that dedup
+    hashes, tokenizers and equality joins see ONE byte form per
+    grapheme. Two byte-distinct spellings of the same text defeat
+    exact dedup (`dedup_exact`) and fragment vocabulary counts; this
+    query measures how much of the corpus is non-NFC and how many
+    code points normalization saves, per language.
+
+    The ASCII corpus is NFC-trivially, so the fixture seeds a
+    decomposed sequence onto every 5th doc in-engine (deterministic
+    from doc_id, same pattern as `utf8_ingest_hygiene`); DuckDB's
+    independent `nfc_normalize` recomputes the truth, making this a
+    genuine cross-implementation check of the normalizer (Python
+    unicodedata vs DuckDB's utf8proc).
+
+    Spark has no built-in NFC function (checked Spark 4.1 —
+    collations compare NFC-insensitively but expose no normalizer),
+    so this is a sanctioned Arrow-vectorized pandas UDF over the one
+    column that needs it: batch-wise `unicodedata.normalize`, O(bytes)
+    per batch, no shuffle added — the plan is scan -> project(UDF) ->
+    one |langs|-row partial+final agg. At 100 TB the UDF is the only
+    Python in the pipeline and is embarrassingly parallel; everything
+    around it stays codegen'd.
+    """
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("cafe"), F.lit("\u0301 "), F.col("text")),
+    ).otherwise(F.col("text"))
+    x = d.select("lang", seeded.alias("t")).select(
+        "lang", "t", nfc("t").alias("n")
+    )
+    return x.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n") != F.col("t")).cast("long")).alias("n_denorm"),
+        F.sum(F.length("t")).alias("chars_raw"),
+        F.sum(F.length("t") - F.length("n")).alias("chars_saved"),
+    )

@@ -95,7 +95,16 @@ _PRIORITY: list[str] = [
     "profile_table_sketch_bounds",
     "sim_search_lsh_bounds",
     "streaming_outer_join_watermark",
-    # (c) oldest-rowed entries (last green r03), interleaved:
+    # (b2) later round-8 additions, never driver-checked (never-
+    # checked entries outrank re-checks, so these displace five of
+    # the (c) re-check slots they were originally parked behind):
+    "streaming_join_window_pipeline",
+    "streaming_foreach_batch_jdbc",
+    "pii_scrub_report",
+    "unicode_nfc_audit",
+    "event_value_autocorr",
+    # (c) oldest-rowed entries (last green r03), interleaved;
+    # 27 + 7 + 5 + 11 = 50 = one round budget:
     "word_count",
     "streaming_dedup",
     "bigram_logprob",
@@ -107,17 +116,14 @@ _PRIORITY: list[str] = [
     "decontaminate_vs_eval",
     "udtf_split_sentences",
     "top_k_words",
+    # -- immediately after the 50-slot head: the r03-rowed entries
+    # displaced by the (b2) block (covered on any budget overshoot),
+    # then r04 follows via registration order ------------------------
     "streaming_foreach_batch",
     "inverted_index",
     "colocated_join",
     "pack_sequences",
     "map_in_arrow_scale",
-    # -- immediately after the 50-slot head: the newest round-8 entry
-    # (the head was already full at 27+7+16), then the rest of the
-    # r03-rowed entries (covered on any budget overshoot), then r04
-    # follows via registration order --------------------------------
-    "streaming_join_window_pipeline",
-    "streaming_foreach_batch_jdbc",
     "topk_words_per_doc",
     "events_rollup_multires",
     "zorder_layout",

@@ -263,3 +263,66 @@ def test_multi_stateful_pipeline_holds_open_window(spark):
     assert out == expect
     held = batch - out
     assert held, "fixture degenerate: no open trailing window at sf0.1"
+
+
+def test_pii_scrub_exactness_invariants(spark, sf_dir):
+    """pii_scrub_report's oracle equivalence rests on two fixture
+    facts: (1) seeded PII counts are exactly the doc_id residue
+    classes (every 3rd doc one email, every 5th one IP, every 7th one
+    phone — the base corpus is digit-free so patterns can only match
+    seeds), and (2) the scrub order email->IP->phone inserts no
+    digits, so later patterns never match inside earlier
+    placeholders. Pin both via the totals."""
+    pdf = registry.QUERIES["pii_scrub_report"](spark, sf_dir).toPandas()
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*), sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END),"
+        f" sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END),"
+        f" sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    con.close()
+    assert int(pdf["n_docs"].sum()) == n[0]
+    assert int(pdf["n_email"].sum()) == n[1]
+    assert int(pdf["n_ip"].sum()) == n[2]
+    assert int(pdf["n_phone"].sum()) == n[3]
+    # every doc is either clean or carries >= 1 seeded match
+    assert int(pdf["chars_redacted"].sum()) > 0
+
+
+def test_unicode_nfc_audit_counts_seeded_docs(spark, sf_dir):
+    """unicode_nfc_audit: exactly the doc_id % 5 == 0 docs are
+    non-NFC, and normalization saves exactly ONE code point per
+    seeded doc (e + U+0301 -> single é)."""
+    pdf = registry.QUERIES["unicode_nfc_audit"](spark, sf_dir).toPandas()
+    import duckdb
+
+    con = duckdb.connect()
+    n5 = con.execute(
+        f"SELECT sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert int(pdf["n_denorm"].sum()) == n5
+    assert int(pdf["chars_saved"].sum()) == n5
+
+
+def test_event_value_autocorr_window_sees_collapsed_series(spark, sf_dir):
+    """event_value_autocorr's scale contract: the ORDER BY window
+    runs AFTER the hourly rollup, so its input is the bounded
+    (event_type, hour) series, never fact-grain events. Pin by plan
+    shape: the Window node must sit above an Aggregate, and the
+    window's child must not be the parquet scan."""
+    df = registry.QUERIES["event_value_autocorr"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+    # rollup (Aggregate) is below the Window in the tree dump
+    w_pos = plan.index("Window")
+    assert "Aggregate" in plan[w_pos:], plan
+    # sanity on values: |ac| <= 1 where defined
+    pdf = df.toPandas()
+    for c in ("ac1", "ac2"):
+        vals = pdf[c].dropna()
+        assert ((vals <= 1.0) & (vals >= -1.0)).all()
