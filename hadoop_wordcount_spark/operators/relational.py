@@ -5900,3 +5900,388 @@ def q_event_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("v", "v1"), 4).alias("ac1"),
         F.round(F.corr("v", "v2"), 4).alias("ac2"),
     )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                       AS rev_cents
+            FROM orders GROUP BY 1, 2),
+        mom AS (
+            SELECT mo, sum(rev_cents) AS tot_cents, count(*) AS n_years
+            FROM monthly GROUP BY mo),
+        g AS (SELECT avg(tot_cents * 1.0 / n_years) AS grand FROM mom)
+        SELECT mo AS month,
+               CAST(n_years AS BIGINT)             AS n_years,
+               CAST(tot_cents AS BIGINT)           AS total_rev_cents,
+               round((tot_cents * 1.0 / n_years) / grand, 4)
+                   AS seasonality_index
+        FROM mom, g
+    """,
+)
+def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index — classical multiplicative
+    seasonal decomposition's seasonal factor: average revenue of each
+    calendar month across years, divided by the grand mean of those
+    12 averages. Demand planners read index > 1 as a peak month;
+    `orders_forecast_ma` smooths the trend, this extracts the
+    seasonal shape the smoother removes.
+
+    Money is integer-scaled to cents before any aggregation (the
+    `tpch_q1_like` exactness pattern) so every quantity up to the
+    final index division is exact integer arithmetic — double-sum
+    order divergence at a .xx5 rounding boundary broke the penny
+    column's oracle compare at sf0.001 before this; totals are
+    published in exact cents instead of a rounded average.
+
+    Plan: fact-grain (year, month) partial+final agg (the only big
+    shuffle, map-side combined to <= years x 12 rows), then a 12-row
+    month agg, then the 1-row grand mean broadcast back as a literal
+    join — no window, no second fact pass. At 100 TB: one shuffle of
+    ~96 rows of partials per task; the index table is
+    dimension-sized by construction. Weekly or daily indices are a
+    grain swap on the same plan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    mom = monthly.groupBy("mo").agg(
+        F.sum("rev_cents").alias("tot_cents"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    grand = mom.agg(
+        F.avg(F.col("tot_cents") / F.col("n_years")).alias("grand")
+    )
+    return mom.crossJoin(F.broadcast(grand)).select(
+        F.col("mo").alias("month"),
+        F.col("n_years").cast("long").alias("n_years"),
+        F.col("tot_cents").cast("long").alias("total_rev_cents"),
+        F.round(
+            (F.col("tot_cents") / F.col("n_years")) / F.col("grand"), 4
+        ).alias("seasonality_index"),
+    )
+
+
+@query(
+    "value_ks_drift",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type,
+                   least(CAST(floor(value / 5.0) AS BIGINT), 99) AS bin,
+                   CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END   AS we
+            FROM events),
+        cells AS (
+            SELECT event_type, bin,
+                   sum(1 - we) AS n_wd, sum(we) AS n_we
+            FROM binned GROUP BY event_type, bin),
+        cum AS (
+            SELECT event_type,
+                   sum(n_wd) OVER w AS c_wd,
+                   sum(n_we) OVER w AS c_we,
+                   sum(n_wd) OVER (PARTITION BY event_type) AS t_wd,
+                   sum(n_we) OVER (PARTITION BY event_type) AS t_we
+            FROM cells
+            WINDOW w AS (PARTITION BY event_type ORDER BY bin))
+        SELECT event_type,
+               CAST(max(t_wd) AS BIGINT) AS n_weekday,
+               CAST(max(t_we) AS BIGINT) AS n_weekend,
+               round(max(abs(c_wd * 1.0 / t_wd - c_we * 1.0 / t_we)), 4)
+                   AS ks_stat
+        FROM cum GROUP BY event_type
+    """,
+)
+def q_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    weekday and weekend `value` distributions per event type — the
+    standard distribution-shift gate a training pipeline runs before
+    mixing data from two regimes (here a deterministic calendar
+    split; in production last-month vs this-month). KS = max gap
+    between the two empirical CDFs, computed on a fixed 100-bin grid
+    (width 5, clamped at 99) so the statistic is exact on binned
+    values and every quantity is integer arithmetic until the final
+    division — bit-identical across engines.
+
+    Plan: fact rows collapse to <= types x 100 cells in ONE
+    partial+final agg (the only fact-grain shuffle); the CDF cumsums
+    run as windows over the bounded cell table (its re-shuffle to
+    event_type moves <= types x 100 rows — dimension-sized), and the
+    max-gap agg reuses that partitioning with no further exchange.
+    At 100 TB the plan is scan + one shuffle of
+    ~100 rows/type of partials — the refinement knob (more bins) only
+    grows the bounded table. isodow is weekday(ts)+1, pinned
+    identical to DuckDB's isodow in tests."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 5.0).cast("long"), F.lit(99)).alias(
+            "bin"
+        ),
+        (F.expr("weekday(ts) + 1") >= 6).cast("long").alias("we"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(1 - F.col("we")).alias("n_wd"), F.sum("we").alias("n_we")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    tot = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        F.sum("n_wd").over(w).alias("c_wd"),
+        F.sum("n_we").over(w).alias("c_we"),
+        F.sum("n_wd").over(tot).alias("t_wd"),
+        F.sum("n_we").over(tot).alias("t_we"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("t_wd").cast("long").alias("n_weekday"),
+        F.max("t_we").cast("long").alias("n_weekend"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c_wd") / F.col("t_wd")
+                    - F.col("c_we") / F.col("t_we")
+                )
+            ),
+            4,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "orders_repeat_survival",
+    oracle="""
+        WITH gaps AS (
+            SELECT date_diff('day', o_orderdate,
+                       lead(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)) AS gap
+            FROM orders),
+        binned AS (
+            SELECT least(CAST(floor(gap / 30.0) AS BIGINT), 12) AS gap_bucket
+            FROM gaps WHERE gap IS NOT NULL),
+        cells AS (
+            SELECT gap_bucket, count(*) AS n_gaps
+            FROM binned GROUP BY gap_bucket),
+        cum AS (
+            SELECT gap_bucket, n_gaps,
+                   sum(n_gaps) OVER (ORDER BY gap_bucket) AS c,
+                   sum(n_gaps) OVER ()                    AS t
+            FROM cells)
+        SELECT gap_bucket,
+               CAST(n_gaps AS BIGINT)        AS n_gaps,
+               round(1.0 - c * 1.0 / t, 4)   AS survival_frac
+        FROM cum
+    """,
+)
+def q_orders_repeat_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase survival curve — the Kaplan-Meier-flavored
+    retention table: distribution of day-gaps between a customer's
+    consecutive orders, binned to 30-day buckets (clamped at 12 =
+    'a year or more'), with survival_frac = share of inter-order
+    gaps LONGER than the bucket's upper edge. Retention modeling and
+    churn-window choice read directly off this curve;
+    `customer_cohort_retention` slices by cohort, this is the
+    marginal curve.
+
+    Exactness: gaps are integer days (datediff), buckets integer,
+    counts integer; the single survival division happens on exact
+    integers and rounds at 4dp.
+
+    Plan: the lead() window partitions by o_custkey — fact-grain but
+    keyed on the high-cardinality customer key, so it parallelizes
+    as one hash exchange + per-customer sorts of ~order-count rows
+    (the same audited shape as `lag_event_gap`); gaps then collapse
+    to <= 13 cells in a partial+final agg, and the survival cumsum
+    runs on the 13-row table (its single-partition window is
+    dimension-bounded BY CONSTRUCTION). At 100 TB: one customer-key
+    shuffle, everything after is constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "gap"
+        )
+    ).filter(F.col("gap").isNotNull())
+    cells = (
+        gaps.select(
+            F.least(
+                F.floor(F.col("gap") / 30.0).cast("long"), F.lit(12)
+            ).alias("gap_bucket")
+        )
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+    wc = Window.orderBy("gap_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    return cells.select(
+        "gap_bucket",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.round(
+            1.0 - F.sum("n_gaps").over(wc) / F.sum("n_gaps").over(wt), 4
+        ).alias("survival_frac"),
+    )
+
+
+@query(
+    "pareto_skyline_customers",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                       AS spend_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey)
+        SELECT c.o_custkey              AS custkey,
+               CAST(c.spend_cents AS BIGINT) AS spend_cents,
+               CAST(c.n_orders AS BIGINT)    AS n_orders
+        FROM cust c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cust o
+            WHERE o.spend_cents >= c.spend_cents
+              AND o.n_orders   >= c.n_orders
+              AND (o.spend_cents > c.spend_cents
+                   OR o.n_orders > c.n_orders))
+    """,
+)
+def q_pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator — customers not dominated
+    on (total spend, order count): no other customer is >= on both
+    axes and strictly better on one. The classic multi-criteria
+    'best customers' query that no single ORDER BY can answer;
+    `orders_abc_pareto` ranks one axis, this intersects two.
+
+    The naive skyline is an all-pairs NOT EXISTS — quadratic and
+    banned by this repo's scale rules. Implemented instead as the
+    standard two-phase distributed skyline:
+      1. GRID PRUNE: bucket spend_cents into fixed $100k cells; a
+         1-row-per-bucket table of max(n_orders) (tiny) yields, via
+         a window over buckets, the best order-count in any STRICTLY
+         higher spend bucket. Any customer at or below that count is
+         dominated (higher bucket => strictly more spend) and drops
+         before the expensive phase. Survivors ~ skyline size +
+         boundary effects, not corpus size.
+      2. EXACT: the surviving candidates (broadcast-sized) go
+         through the exact dominance LEFT ANTI self-join. Soundness:
+         domination chains terminate at an unpruned maximal row, so
+         pruned rows can never be needed as witnesses — candidates
+         vs candidates decides the true skyline.
+    All quantities are exact integers (cents, counts) — no FP in any
+    comparison. At 100 TB phase 1 is one customer agg + one
+    dimension-sized broadcast; phase 2's nested-loop join touches
+    only the pruned frontier band."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).alias("spend_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bucket = F.floor(F.col("spend_cents") / F.lit(10_000_000)).alias("bkt")
+    bmax = cust.select(bucket, "n_orders").groupBy("bkt").agg(
+        F.max("n_orders").alias("bkt_max")
+    )
+    wh = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher = bmax.select(
+        "bkt", F.max("bkt_max").over(wh).alias("max_higher")
+    )
+    cand = (
+        cust.withColumn("bkt", bucket)
+        .join(F.broadcast(higher), "bkt")
+        .filter(
+            F.col("max_higher").isNull()
+            | (F.col("n_orders") > F.col("max_higher"))
+        )
+        .select("o_custkey", "spend_cents", "n_orders")
+    )
+    other = cand.select(
+        F.col("spend_cents").alias("o_spend"),
+        F.col("n_orders").alias("o_n"),
+    )
+    dominated = (
+        (F.col("o_spend") >= F.col("spend_cents"))
+        & (F.col("o_n") >= F.col("n_orders"))
+        & (
+            (F.col("o_spend") > F.col("spend_cents"))
+            | (F.col("o_n") > F.col("n_orders"))
+        )
+    )
+    return cand.join(F.broadcast(other), dominated, "left_anti").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("spend_cents").cast("long").alias("spend_cents"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "events_entropy_rate",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS a,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS b
+            FROM events),
+        pairs AS (
+            SELECT a, b, count(*) AS n_ab
+            FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+        marg AS (
+            SELECT a, n_ab, sum(n_ab) OVER (PARTITION BY a) AS n_a,
+                   sum(n_ab) OVER () AS n
+            FROM pairs)
+        SELECT CAST(sum(n_ab) AS BIGINT) AS n_transitions,
+               CAST(count(*) AS BIGINT)  AS n_distinct_pairs,
+               round(-sum((n_ab * 1.0 / n)
+                          * ln(n_ab * 1.0 / n_a)), 4) AS entropy_rate_nats
+        FROM marg
+    """,
+)
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of the per-user event-type process —
+    H(next | current) = -sum p(a,b) ln p(b|a) over observed
+    transitions. The sequence-mining complement to
+    `event_path_mining` (which lists top paths): one number saying
+    how PREDICTABLE user behavior is; feeds session-model choice and
+    anomaly baselines the way `ngram_entropy` does for tokens.
+
+    Exactness: transition counts are integers; probabilities are
+    single divisions of exact integers evaluated inside one final
+    1-row agg, so the only FP summation is the entropy sum itself —
+    over |event_types|^2 (= dozens) terms, far below 4dp rounding
+    sensitivity.
+
+    Plan: lead() partitions on the high-cardinality user_id (the
+    audited `lag_event_gap` shape: one hash exchange, per-user
+    sorts), transitions collapse to a <= |types|^2 pair table in a
+    partial+final agg, and the conditional/joint marginals are
+    windows over that bounded table, finishing in a 1-row agg. At
+    100 TB: one user shuffle + one types^2-sized table — the
+    entropy arithmetic never touches fact grain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pairs = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    wa = Window.partitionBy("a")
+    wn = Window.partitionBy()
+    marg = pairs.select(
+        "n_ab",
+        F.sum("n_ab").over(wa).alias("n_a"),
+        F.sum("n_ab").over(wn).alias("n"),
+    )
+    return marg.agg(
+        F.sum("n_ab").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_distinct_pairs"),
+        F.round(
+            -F.sum(
+                (F.col("n_ab") / F.col("n"))
+                * F.log(F.col("n_ab") / F.col("n_a"))
+            ),
+            4,
+        ).alias("entropy_rate_nats"),
+    )

@@ -583,3 +583,61 @@ def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leaky_users"
         ),
     )
+
+
+@query(
+    "docs_mixture_reweight",
+    oracle="""
+        WITH per_lang AS (
+            SELECT lang,
+                   count(*)                            AS n_docs,
+                   sum(len(string_split(text, ' ')))   AS n_tokens
+            FROM documents GROUP BY lang),
+        tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM per_lang)
+        SELECT lang,
+               CAST(n_docs AS BIGINT)                        AS n_docs,
+               CAST(n_tokens AS BIGINT)                      AS n_tokens,
+               round(n_tokens * 1.0 / t, 4)                  AS actual_share,
+               round(1.0 / k, 4)                             AS target_share,
+               round((1.0 / k) / (n_tokens * 1.0 / t), 4)    AS weight
+        FROM per_lang, tot
+    """,
+)
+def q_docs_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting table — the multinomial sampling
+    weights a pretraining pipeline applies to hit a TARGET language
+    mixture (uniform here) from the corpus's ACTUAL token shares:
+    weight_k = target_share / actual_share, i.e. how many epochs of
+    language k must be sampled per epoch of the corpus. This is the
+    planning table; `corpus_mixture_sample` is the executor that
+    draws the sample once weights are chosen. Shares are token-level
+    (what the training loop consumes), not doc-level.
+
+    Exactness: token counts are integers (single-space split, the
+    corpus contract), shares/weights are single divisions of exact
+    integers rounded at 4dp — no double-sum ordering anywhere.
+
+    Plan: one fact-grain partial+final agg to |langs| rows (token
+    counting is a map-side length expression, the shuffle carries
+    |langs| partials), then a broadcast of the 1-row total back onto
+    the lang table. At 100 TB: one scan, one dimension-sized
+    shuffle; retargeting the mixture (non-uniform shares) swaps the
+    target literal, not the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("t"), 4).alias("actual_share"),
+        F.round(F.lit(1.0) / F.col("k"), 4).alias("target_share"),
+        F.round(
+            (F.lit(1.0) / F.col("k")) / (F.col("n_tokens") / F.col("t")), 4
+        ).alias("weight"),
+    )

@@ -1393,3 +1393,107 @@ def q_embedding_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_KMEANS_K = 8
+
+
+@query(
+    "kmeans_lloyd_step",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < {_KMEANS_K}),
+        sc AS (
+            SELECT e.vec_id, c.cid,
+                   list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv) AS s,
+                   list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[])             AS xx,
+                   e.embedding[1] AS x0
+            FROM embeddings e CROSS JOIN c),
+        best AS (
+            SELECT vec_id, cid, s, xx, x0,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s, cid) AS rn
+            FROM sc)
+        SELECT cid AS cluster_id,
+               CAST(count(*) AS BIGINT)   AS n_assigned,
+               round(avg(xx + s), 4)      AS avg_d2,
+               round(avg(x0), 4)          AS new_c0
+        FROM best WHERE rn = 1 GROUP BY cid
+    """,
+)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding column —
+    the iterative-ML workhorse (IVF coarse quantizers, semantic
+    cluster maps, `semdedup_prune`'s cells all start here), expressed
+    as a SINGLE declarative pass: assignment is an argmin over K
+    score expressions unrolled into a codegen'd projection, update is
+    a K-key aggregation. A full k-means run is this plan iterated
+    with the centroid literals swapped between passes; one step is
+    the unit the oracle can check exactly.
+
+    Exact cross-engine argmin: for fixed x, argmin_c ||x-c||^2 =
+    argmin_c (c.c - 2 x.c), so both engines evaluate THE SAME
+    left-to-right dot-product accumulations in double (Spark
+    zip_with/aggregate; DuckDB list_dot_product) — bit-identical
+    scores, ties broken on centroid id. Reported avg_d2 adds back
+    x.x per row before averaging (same formula both sides).
+
+    Plan: the K initial centroids (vec_id < K) are a
+    dimension-bounded driver pull (the sanctioned broadcast-literal
+    pattern, similarity.py's query-vector precedent) baked into ONE
+    projection computing all K scores + array_min argmin — so there
+    is NO K-times row blowup, NO join: scan -> project -> K-key
+    partial+final agg. At 100 TB each task streams its vectors once,
+    emits K partial centroids; the shuffle carries K rows per task.
+    Larger K moves the unroll into a broadcast join against a
+    centroid table (`ann_ivf_search`'s layout) — same semantics,
+    documented trade."""
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    scored = []
+    for row in sorted(cents, key=lambda r: r["vec_id"]):
+        cv = [float(v) for v in row["embedding"]]
+        cc = 0.0
+        for v in cv:
+            cc += v * v
+        xc = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in cv]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored.append(
+            F.struct(
+                (F.lit(cc) - 2.0 * xc).alias("s"),
+                F.lit(int(row["vec_id"])).alias("cid"),
+            )
+        )
+    xx = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = emb.select(
+        F.array_min(F.array(*scored)).alias("best"),
+        xx.alias("xx"),
+        F.get("embedding", 0).cast("double").alias("x0"),
+    )
+    return best.groupBy(F.col("best.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg(F.col("xx") + F.col("best.s")), 4).alias("avg_d2"),
+        F.round(F.avg("x0"), 4).alias("new_c0"),
+    )

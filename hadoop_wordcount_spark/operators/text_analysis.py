@@ -2071,3 +2071,188 @@ def q_unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("t")).alias("chars_raw"),
         F.sum(F.length("t") - F.length("n")).alias("chars_saved"),
     )
+
+
+@query(
+    "feature_hash_collisions",
+    oracle="""
+        WITH words AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        hashed AS (
+            SELECT w, substr(md5(w), 1, 3) AS bkt
+            FROM words WHERE w <> ''),
+        loads AS (
+            SELECT bkt, count(*) AS load FROM hashed GROUP BY bkt)
+        SELECT CAST(4096 AS BIGINT)                          AS dim,
+               CAST(sum(load) AS BIGINT)                     AS n_words,
+               CAST(count(*) AS BIGINT)                      AS n_buckets_used,
+               CAST(count(*) FILTER (WHERE load = 1) AS BIGINT)
+                   AS n_singleton_buckets,
+               CAST(max(load) AS BIGINT)                     AS max_bucket_load,
+               round(1.0 - sum(CASE WHEN load = 1 THEN 1 ELSE 0 END)
+                           * 1.0 / sum(load), 4)             AS collision_rate
+        FROM loads
+    """,
+)
+def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick audit — before a pipeline commits to fixed-dim
+    hashed features (the standard way to featurize unbounded vocab at
+    100 TB without a driver-side dictionary), it needs the collision
+    profile at the chosen dimensionality. Buckets are the first 3
+    lowercase-hex chars of md5(word) (4096 buckets) — the same
+    engine-portable md5 recipe `dataset_split` pins — so DuckDB
+    recomputes the identical assignment; collision_rate is the
+    fraction of vocabulary words sharing a bucket.
+
+    Tokenization here is the raw single-space split (the corpus is
+    single-space normalized), mirrored exactly by the oracle's
+    string_split; the empty-token filter matches the engine-wide
+    StringTokenizer fidelity rule (MapClass.java:22).
+
+    Plan: explode -> distinct (map-side partial dedup, one word-key
+    shuffle) -> md5 projection -> 4096-key agg -> 1-row report. At
+    100 TB the vocab distinct is the only real shuffle and is exactly
+    `distinct_words`' audited plan; the bucket agg is
+    dimension-bounded. Resizing dim = substr length swap (16^k)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    loads = (
+        words.select(F.substring(F.md5(F.col("w")), 1, 3).alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    return loads.agg(
+        F.lit(4096).cast("long").alias("dim"),
+        F.sum("load").alias("n_words"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum((F.col("load") == 1).cast("long")).alias(
+            "n_singleton_buckets"
+        ),
+        F.max("load").alias("max_bucket_load"),
+        F.round(
+            1.0
+            - F.sum((F.col("load") == 1).cast("long"))
+            / F.sum("load"),
+            4,
+        ).alias("collision_rate"),
+    )
+
+
+@query(
+    "kwic_concordance",
+    oracle="""
+        WITH tok AS (
+            SELECT string_split(text, ' ') AS toks FROM documents),
+        ix AS (
+            SELECT toks, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM tok),
+        pos AS (
+            SELECT toks[i - 1] AS prev_w, w, toks[i + 1] AS next_w
+            FROM ix)
+        SELECT coalesce(prev_w, '<BOS>') AS prev_w,
+               coalesce(next_w, '<EOS>') AS next_w,
+               CAST(count(*) AS BIGINT)  AS n
+        FROM pos WHERE w = 'spark'
+        GROUP BY 1, 2
+        ORDER BY n DESC, prev_w, next_w
+        LIMIT 20
+    """,
+)
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance — the corpus linguist's primary
+    tool (and a debugging staple for tokenizer/quality work): for a
+    target word, the distribution of its immediate (prev, next)
+    contexts, top 20. A training-data pipeline uses this to inspect
+    how a term is actually used before writing filters around it.
+
+    Implementation is pure ARRAY algebra — no window, no self-join:
+    posexplode gives each token its position and `F.get` (0-based,
+    NULL-safe out-of-range) reads the neighbors straight out of the
+    row's token array, so context assembly is a codegen'd projection.
+    Document edges surface as <BOS>/<EOS> markers. The oracle
+    recomputes contexts via DuckDB list indexing (1-based, NULL
+    out-of-range) — independent machinery, same semantics.
+
+    Plan: scan -> split -> posexplode -> filter(w = target) -> one
+    (prev, next)-keyed partial+final agg -> TakeOrderedAndProject.
+    The keyword filter drops ~all rows BEFORE the shuffle, so the
+    exchange carries only the target's occurrences; top-20 is a
+    k-heap, never a global sort. At 100 TB: linear scan cost,
+    shuffle proportional to the keyword's frequency — the worst case
+    (stopword target) is still bounded by context-pair cardinality
+    after map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(F.split(F.col("text"), " ").alias("toks")).select(
+        "toks", F.posexplode("toks").alias("pos", "w")
+    )
+    ctx = exploded.filter(F.col("w") == "spark").select(
+        F.coalesce(F.get("toks", F.col("pos") - 1), F.lit("<BOS>")).alias(
+            "prev_w"
+        ),
+        F.coalesce(F.get("toks", F.col("pos") + 1), F.lit("<EOS>")).alias(
+            "next_w"
+        ),
+    )
+    return (
+        ctx.groupBy("prev_w", "next_w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("prev_w"), F.asc("next_w"))
+        .limit(20)
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_words,
+               CAST(sum(len(regexp_extract_all(text, '{{0}}'))) AS BIGINT)
+                   AS n_bpe_tokens,
+               round(sum(len(regexp_extract_all(text, '{{0}}'))) * 1.0
+                     / sum(len(string_split(text, ' '))), 4)
+                   AS fertility,
+               round(sum(length(text)) * 1.0
+                     / sum(len(regexp_extract_all(text, '{{0}}'))), 4)
+                   AS chars_per_token
+        FROM documents GROUP BY lang
+    """.replace("{0}", TOKEN_REGEX),
+)
+def q_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens emitted per
+    whitespace word, and characters per token. The table every
+    multilingual pretraining effort keeps in front of it: languages
+    with high fertility cost proportionally more compute per word
+    and skew any token-budgeted mixture (`docs_mixture_reweight`
+    consumes exactly these token counts). Uses the engine-wide
+    TOKEN_REGEX pre-tokenizer (letter runs / digit runs / single
+    symbols) against the raw single-space word count.
+
+    Exactness: all counts integer, two final divisions, 4dp.
+
+    Plan: both tokenizations are codegen'd length expressions on the
+    scan — no explode, the counts never materialize token rows — and
+    the agg shuffles |langs| partials. At 100 TB this is the
+    cheapest possible shape: one pass, regex-linear in bytes,
+    dimension-sized everything after."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_bpe = F.regexp_count("text", F.lit(TOKEN_REGEX))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_words).alias("n_words"),
+        F.sum(n_bpe).alias("n_bpe_tokens"),
+        F.round(F.sum(n_bpe) / F.sum(n_words), 4).alias("fertility"),
+        F.round(F.sum(F.length("text")) / F.sum(n_bpe), 4).alias(
+            "chars_per_token"
+        ),
+    )

@@ -103,9 +103,22 @@ _PRIORITY: list[str] = [
     "pii_scrub_report",
     "unicode_nfc_audit",
     "event_value_autocorr",
+    "feature_hash_collisions",
+    "orders_seasonality_index",
+    "value_ks_drift",
+    "kwic_concordance",
+    "docs_mixture_reweight",
+    "kmeans_lloyd_step",
+    "orders_repeat_survival",
+    "pareto_skyline_customers",
+    "events_entropy_rate",
+    "tokenizer_fertility_by_lang",
     # (c) oldest-rowed entries (last green r03), interleaved;
-    # 27 + 7 + 5 + 11 = 50 = one round budget:
+    # 27 + 7 + 15 + 1 = 50 = one round budget:
     "word_count",
+    # -- immediately after the 50-slot head: the r03-rowed entries
+    # displaced by the (b2) block (covered on any budget overshoot),
+    # then r04 follows via registration order ------------------------
     "streaming_dedup",
     "bigram_logprob",
     "bucketed_join",
@@ -116,9 +129,6 @@ _PRIORITY: list[str] = [
     "decontaminate_vs_eval",
     "udtf_split_sentences",
     "top_k_words",
-    # -- immediately after the 50-slot head: the r03-rowed entries
-    # displaced by the (b2) block (covered on any budget overshoot),
-    # then r04 follows via registration order ------------------------
     "streaming_foreach_batch",
     "inverted_index",
     "colocated_join",

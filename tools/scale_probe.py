@@ -240,6 +240,32 @@ ALL_OPS = [
     # shuffle + global agg; two group-bys + broadcast of per-group
     # estimates).
     "temporal_split_audit", "value_percentiles_bounds",
+    # round-8 coverage batch 2 (expected ~1 throughout):
+    # - pii/nfc/feature-hash/mixture/kwic are documents-backed scans
+    #   with dimension-bounded aggs (feature-hash's vocab distinct is
+    #   the linear term; kwic's replica caveat: the token-suffix
+    #   scheme rewrites 'spark'->'sparkq<rep>z', so the probe times
+    #   the dominant scan+explode+filter stages against an empty
+    #   match set — the agg it skips is context-pair-bounded anyway).
+    # - autocorr/ks_drift collapse events to bounded cell tables
+    #   before any window.
+    # - kmeans is one scan x K unrolled projections + K-key agg.
+    # - seasonality/survival are one fact shuffle + bounded rollups.
+    # - skyline: under verbatim key-offset replicas every frontier
+    #   customer recurs n-fold as exact ties (all non-dominated), so
+    #   the candidate set and output grow n-fold by construction and
+    #   the exact anti-join costs |candidates|^2 — a replica-tie
+    #   artifact, not a data-scaling property; alpha read against it
+    #   accordingly.
+    "pii_scrub_report", "unicode_nfc_audit", "event_value_autocorr",
+    "feature_hash_collisions", "kwic_concordance", "docs_mixture_reweight",
+    "kmeans_lloyd_step", "value_ks_drift", "orders_seasonality_index",
+    "orders_repeat_survival", "pareto_skyline_customers",
+    # batch 2 continued (expected ~1: entropy's user shuffle +
+    # types^2 table; fertility is pure length expressions + |langs|
+    # agg — the replica scheme offsets user ids, so sequence LENGTHS
+    # stay base-sized while the user population grows linearly):
+    "events_entropy_rate", "tokenizer_fertility_by_lang",
 ]
 
 # Ops that read the relational fact tables — their presence in a
@@ -253,6 +279,8 @@ RELATIONAL_OPS = {
     "pandas_api_orders_report", "sql_scripting_threshold_report",
     "insert_overwrite_dynamic_partitions", "writer_v2_lifecycle",
     "sql_listagg_nation_top",
+    "orders_seasonality_index", "orders_repeat_survival",
+    "pareto_skyline_customers",
 }
 
 
