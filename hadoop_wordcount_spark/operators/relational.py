@@ -6094,9 +6094,13 @@ def q_orders_repeat_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one hash exchange + per-customer sorts of ~order-count rows
     (the same audited shape as `lag_event_gap`); gaps then collapse
     to <= 13 cells in a partial+final agg, and the survival cumsum
-    runs on the 13-row table (its single-partition window is
-    dimension-bounded BY CONSTRUCTION). At 100 TB: one customer-key
-    shuffle, everything after is constant-size."""
+    runs WINDOW-FREE through `ranking.global_cumsum`'s bounded path
+    (broadcast count-ahead fold — the repo's no-single-partition-
+    window rule, SCALE.md) with the grand total broadcast from a
+    1-row agg. At 100 TB: one customer-key shuffle, everything after
+    is constant-size."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = o.select(
@@ -6113,16 +6117,14 @@ def q_orders_repeat_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gap_bucket")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
-    wc = Window.orderBy("gap_bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = global_cumsum(
+        cells, [("gap_bucket", False)], "n_gaps", out="c", size_hint=13
     )
-    wt = Window.partitionBy()
-    return cells.select(
+    tot = cells.agg(F.sum("n_gaps").alias("t"))
+    return cum.crossJoin(F.broadcast(tot)).select(
         "gap_bucket",
         F.col("n_gaps").cast("long").alias("n_gaps"),
-        F.round(
-            1.0 - F.sum("n_gaps").over(wc) / F.sum("n_gaps").over(wt), 4
-        ).alias("survival_frac"),
+        F.round(1.0 - F.col("c") / F.col("t"), 4).alias("survival_frac"),
     )
 
 
@@ -6159,8 +6161,10 @@ def q_pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard two-phase distributed skyline:
       1. GRID PRUNE: bucket spend_cents into fixed $100k cells; a
          1-row-per-bucket table of max(n_orders) (tiny) yields, via
-         a window over buckets, the best order-count in any STRICTLY
-         higher spend bucket. Any customer at or below that count is
+         a strictly-upper-triangle self-join on that dimension-sized
+         table (window-free — the no-single-partition-window rule,
+         SCALE.md), the best order-count in any STRICTLY higher
+         spend bucket. Any customer at or below that count is
          dominated (higher bucket => strictly more spend) and drops
          before the expensive phase. Survivors ~ skyline size +
          boundary effects, not corpus size.
@@ -6183,11 +6187,15 @@ def q_pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmax = cust.select(bucket, "n_orders").groupBy("bkt").agg(
         F.max("n_orders").alias("bkt_max")
     )
-    wh = Window.orderBy(F.desc("bkt")).rowsBetween(
-        Window.unboundedPreceding, -1
+    upper = bmax.select(
+        F.col("bkt").alias("u_bkt"), F.col("bkt_max").alias("u_max")
     )
-    higher = bmax.select(
-        "bkt", F.max("bkt_max").over(wh).alias("max_higher")
+    higher = (
+        bmax.join(
+            F.broadcast(upper), F.col("u_bkt") > F.col("bkt"), "left"
+        )
+        .groupBy("bkt")
+        .agg(F.max("u_max").alias("max_higher"))
     )
     cand = (
         cust.withColumn("bkt", bucket)
@@ -6256,8 +6264,9 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: lead() partitions on the high-cardinality user_id (the
     audited `lag_event_gap` shape: one hash exchange, per-user
     sorts), transitions collapse to a <= |types|^2 pair table in a
-    partial+final agg, and the conditional/joint marginals are
-    windows over that bounded table, finishing in a 1-row agg. At
+    partial+final agg; the row-marginal is a window PARTITIONED on
+    `a` and the joint total a broadcast 1-row agg (no partitionless
+    window — the SCALE.md rule), finishing in a 1-row agg. At
     100 TB: one user shuffle + one types^2-sized table — the
     entropy arithmetic never touches fact grain."""
     e = load_table(spark, sf_dir, "events")
@@ -6268,12 +6277,10 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("b").isNotNull())
     pairs = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
     wa = Window.partitionBy("a")
-    wn = Window.partitionBy()
+    tot = pairs.agg(F.sum("n_ab").alias("n"))
     marg = pairs.select(
-        "n_ab",
-        F.sum("n_ab").over(wa).alias("n_a"),
-        F.sum("n_ab").over(wn).alias("n"),
-    )
+        "n_ab", F.sum("n_ab").over(wa).alias("n_a")
+    ).crossJoin(F.broadcast(tot))
     return marg.agg(
         F.sum("n_ab").cast("long").alias("n_transitions"),
         F.count(F.lit(1)).alias("n_distinct_pairs"),
@@ -6285,3 +6292,216 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_rate_nats"),
     )
+
+
+@query(
+    "lineitem_regr_family",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n,
+               round(regr_slope(l_extendedprice, l_quantity), 4)
+                   AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 4)
+                   AS r2,
+               round(regr_avgx(l_extendedprice, l_quantity), 4)
+                   AS avg_qty,
+               round(regr_avgy(l_extendedprice, l_quantity), 4)
+                   AS avg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI regression-aggregate FAMILY (regr_slope / intercept /
+    r2 / count / avgx / avgy) — in-database OLS of extended price on
+    quantity per return flag. `discount_elasticity` builds the same
+    statistic from covar/var primitives by hand; this entry covers
+    the dedicated SQL surface both engines ship, the one BI tools
+    emit. (regr_* also defines the pairwise NULL contract: a row
+    drops when EITHER side is NULL — regr_count exposes exactly
+    that, which avg()-based reconstructions silently get wrong.)
+
+    Plan: all six are distributive moment aggregates — one
+    partial+final agg keyed on the 3-value flag, map-side combined;
+    the shuffle carries a handful of moment tuples per task. At
+    100 TB this is the cheapest statistical query shape there is;
+    adding regressors = more moment columns, same single pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bkt,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2),
+        tot AS (
+            SELECT event_type, bkt, x,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   sum(x)   OVER (PARTITION BY event_type) AS total
+            FROM hourly),
+        cus AS (
+            SELECT event_type, bkt, n, total,
+                   sum(n * x - total) OVER (
+                       PARTITION BY event_type ORDER BY bkt) AS cusum_scaled
+            FROM tot),
+        ranked AS (
+            SELECT event_type, bkt, n, cusum_scaled,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(cusum_scaled) DESC, bkt) AS rn
+            FROM cus)
+        SELECT event_type,
+               CAST(n AS BIGINT)                      AS n_buckets,
+               CAST(epoch(bkt) AS BIGINT)             AS changepoint_epoch_s,
+               round(abs(cusum_scaled) * 1.0 / n, 4)  AS max_abs_cusum
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event-rate series
+    per event type — the classic level-shift detector (max |cumsum
+    of deviations from the mean|, its argmax marking the most likely
+    shift point). Monitoring pipelines run exactly this to decide
+    whether a data feed changed regime mid-corpus;
+    `event_anomaly_mad` flags point outliers, this finds the shift.
+
+    EXACT-integer core: the deviation is scaled to n*x_i - total
+    (both integers), so the running CUSUM, its |argmax| and the
+    tie-break are integer arithmetic — engines cannot diverge on the
+    changepoint location even where window summation orders differ
+    (DuckDB segment-tree vs Spark running frame). Only the final
+    rescale by 1/n is FP, rounded at 4dp.
+
+    Plan: fact rows collapse to the bounded (type, hour) series in
+    one partial+final agg; the count/total/CUSUM windows and the
+    argmax row_number all run on that dimension-sized table
+    partitioned by the same key. At 100 TB: one fact shuffle, then
+    ~9k-row series per type — the detector itself is free."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    wc = Window.partitionBy("event_type").orderBy("bkt")
+    cus = hourly.select(
+        "event_type",
+        "bkt",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum(
+            F.col("x") * F.count(F.lit(1)).over(wt)
+            - F.sum("x").over(wt)
+        )
+        .over(wc)
+        .alias("cusum_scaled"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("bkt").asc()
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_buckets"),
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', bkt)"
+            )
+            .cast("long")
+            .alias("changepoint_epoch_s"),
+            F.round(F.abs(F.col("cusum_scaled")) / F.col("n"), 4).alias(
+                "max_abs_cusum"
+            ),
+        )
+    )
+
+
+@query(
+    "value_decile_bins",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type,
+                   least(CAST(floor(value / 5.0) AS BIGINT), 99) AS bin
+            FROM events),
+        cells AS (
+            SELECT event_type, bin, count(*) AS c
+            FROM binned GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, bin,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+                       AS cc,
+                   sum(c) OVER (PARTITION BY event_type) AS t
+            FROM cells)
+        SELECT event_type,
+               CAST(max(t) AS BIGINT) AS n_events,
+               CAST(min(CASE WHEN 10 * cc >= 1 * t THEN bin END) AS BIGINT)
+                   AS d1,
+               CAST(min(CASE WHEN 10 * cc >= 3 * t THEN bin END) AS BIGINT)
+                   AS d3,
+               CAST(min(CASE WHEN 10 * cc >= 5 * t THEN bin END) AS BIGINT)
+                   AS d5,
+               CAST(min(CASE WHEN 10 * cc >= 7 * t THEN bin END) AS BIGINT)
+                   AS d7,
+               CAST(min(CASE WHEN 10 * cc >= 9 * t THEN bin END) AS BIGINT)
+                   AS d9
+        FROM cum GROUP BY event_type
+    """,
+)
+def q_value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binned decile mapping per event type — the quantile
+    table feature-binning and cross-population quantile NORMALIZATION
+    start from: the smallest width-5 value bin whose cumulative count
+    reaches each decile boundary. The decile test `10*cum >= d*total`
+    is INTEGER arithmetic end to end (no percentile interpolation, no
+    FP ranks), so unlike `value_percentiles`' GK sketch or
+    percentile_cont's interpolated doubles, the result hash-compares
+    exactly by construction at any scale.
+
+    Plan: the `value_ks_drift` shape — fact rows collapse to
+    <= types x 100 cells in one partial+final agg; the CDF cumsum and
+    the five threshold-min aggregates run on the bounded cell table.
+    At 100 TB: one fact-grain shuffle; finer quantiles or bins grow
+    only the constant-sized tail. Map a source's values through
+    another population's table and you have distribution alignment
+    (quantile normalization) with the same two-shuffle budget."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / 5.0).cast("long"), F.lit(99)
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wt).alias("t"),
+    )
+    aggs = [F.max("t").cast("long").alias("n_events")]
+    for d in (1, 3, 5, 7, 9):
+        aggs.append(
+            F.min(
+                F.when(10 * F.col("cc") >= d * F.col("t"), F.col("bin"))
+            )
+            .cast("long")
+            .alias(f"d{d}")
+        )
+    return cum.groupBy("event_type").agg(*aggs)

@@ -113,12 +113,17 @@ _PRIORITY: list[str] = [
     "pareto_skyline_customers",
     "events_entropy_rate",
     "tokenizer_fertility_by_lang",
-    # (c) oldest-rowed entries (last green r03), interleaved;
-    # 27 + 7 + 15 + 1 = 50 = one round budget:
-    "word_count",
+    "lineitem_regr_family",
+    "python_stream_sink",
+    "events_changepoint_cusum",
+    "value_decile_bins",
+    # (b2) now fills the head: 27 + 7 + 19 > 50, so the oldest-rowed
+    # re-checks start the overshoot tail. Never-checked entries
+    # always outrank re-checks.
     # -- immediately after the 50-slot head: the r03-rowed entries
     # displaced by the (b2) block (covered on any budget overshoot),
     # then r04 follows via registration order ------------------------
+    "word_count",
     "streaming_dedup",
     "bigram_logprob",
     "bucketed_join",

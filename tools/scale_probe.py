@@ -266,6 +266,13 @@ ALL_OPS = [
     # agg — the replica scheme offsets user ids, so sequence LENGTHS
     # stay base-sized while the user population grows linearly):
     "events_entropy_rate", "tokenizer_fertility_by_lang",
+    # lineitem-backed moment aggregates (expected ~1: one flag-keyed
+    # partial+final agg of six distributive moments):
+    "lineitem_regr_family",
+    # events-backed changepoint/quantile batch (expected ~1: both are
+    # the ks_drift shape — one fact agg to a bounded cell/series
+    # table, integer windows on the bounded table):
+    "events_changepoint_cusum", "value_decile_bins",
 ]
 
 # Ops that read the relational fact tables — their presence in a
@@ -280,7 +287,7 @@ RELATIONAL_OPS = {
     "insert_overwrite_dynamic_partitions", "writer_v2_lifecycle",
     "sql_listagg_nation_top",
     "orders_seasonality_index", "orders_repeat_survival",
-    "pareto_skyline_customers",
+    "pareto_skyline_customers", "lineitem_regr_family",
 }
 
 
