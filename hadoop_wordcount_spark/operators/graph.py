@@ -367,3 +367,108 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_members"),
         F.min("v").alias("min_member"),
     )
+
+
+_KHOP_SEED = "spark"
+_KHOP_LEVELS = 3
+
+
+def _oracle_khop() -> str:
+    levels = []
+    prev_reach = "l0"
+    prev_frontier = "l0"
+    for i in range(1, _KHOP_LEVELS + 1):
+        levels.append(
+            f"""
+        f{i} AS (
+            SELECT DISTINCT e.dst AS word
+            FROM edges e JOIN {prev_frontier} ON e.src = {prev_frontier}.word
+            WHERE e.dst NOT IN (SELECT word FROM {prev_reach})),
+        l{i} AS (
+            SELECT word FROM {prev_reach}
+            UNION SELECT word FROM f{i})"""
+        )
+        prev_frontier = f"f{i}"
+        prev_reach = f"l{i}"
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS hop, CAST(count(*) AS BIGINT) AS n_new FROM f{i}"
+        for i in range(1, _KHOP_LEVELS + 1)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM tok WHERE len(tk) >= 2),
+        edges AS (
+            SELECT DISTINCT string_split(p, ' ')[1] AS src,
+                            string_split(p, ' ')[2] AS dst
+            FROM bi),
+        l0 AS (SELECT '{_KHOP_SEED}' AS word),{",".join(levels)}
+        {unions}
+    """
+
+
+@query("bigram_khop_reach", oracle=_oracle_khop())
+def q_bigram_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability over the word-transition graph — how
+    many NEW words become reachable from a seed term at each hop.
+    The frontier-expansion join is THE building block of distributed
+    graph traversal (connected components, shortest paths, taint/
+    influence propagation); `pagerank_bigram` iterates weighted
+    propagation over all nodes, this iterates the frontier from one.
+
+    Fixed hop count ({_KHOP_LEVELS}) unrolls BFS into one declarative
+    DAG — the same no-recursion trick as `pagerank_bigram`'s
+    chained-CTE oracle, so an 'iterative' traversal hash-checks
+    exactly (set semantics, integer counts; no FP anywhere).
+
+    Plan per hop: frontier JOIN edges on src (the frontier is
+    broadcast-sized here; at scale it's a hash join keyed on src),
+    then LEFT ANTI against the reached set for dedup — Spark's
+    standard BFS step. Edges build once from one bigram agg and are
+    reused by every hop. At 100 TB the reached set is the growing
+    side: production BFS checkpoints it per hop (`dedup_clusters`'
+    localCheckpoint pattern) — noted, not needed for a fixed 3-hop
+    DAG."""
+    d = _docs(spark, sf_dir)
+    tk = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    bi = d.select(tk.alias("tk")).filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.element_at("tk", i + 1).alias("src"),
+                    F.element_at("tk", i + 2).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    )
+    edges = bi.select("e.src", "e.dst").distinct()
+    reached = spark.createDataFrame([(_KHOP_SEED,)], ["word"])
+    frontier = reached
+    out = []
+    for hop in range(1, _KHOP_LEVELS + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("word", "src")),
+                "src",
+            )
+            .select(F.col("dst").alias("word"))
+            .distinct()
+            .join(reached, "word", "left_anti")
+        )
+        out.append(
+            nxt.agg(
+                F.lit(hop).alias("hop"),
+                F.count(F.lit(1)).cast("long").alias("n_new"),
+            )
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -6505,3 +6505,157 @@ def q_value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"d{d}")
         )
     return cum.groupBy("event_type").agg(*aggs)
+
+
+@query(
+    "events_anova_f",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   count(*) AS ng,
+                   sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS sc,
+                   sum(CAST(round(value * 100.0, 0) AS BIGINT)
+                       * CAST(round(value * 100.0, 0) AS BIGINT)) AS sc2
+            FROM events GROUP BY event_type),
+        tot AS (
+            SELECT sum(ng) AS n, sum(sc) AS s, count(*) AS k FROM g),
+        parts AS (
+            SELECT k, n,
+                   sum(sc * 1.0 * sc / ng) - (s * 1.0 * s) / n AS ssb_c2,
+                   sum(sc2 - sc * 1.0 * sc / ng)               AS ssw_c2
+            FROM g, tot GROUP BY k, n, s)
+        SELECT CAST(k AS BIGINT)                              AS k_groups,
+               CAST(n AS BIGINT)                              AS n_rows,
+               round((ssb_c2 / (k - 1)) / (ssw_c2 / (n - k)), 4)
+                   AS f_stat,
+               round(ssb_c2 / (ssb_c2 + ssw_c2), 6)           AS eta_sq
+        FROM parts
+    """,
+)
+def q_events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of `value` across event types — the F statistic
+    (between-group vs within-group variance) and eta-squared effect
+    size: the standard 'does this categorical actually explain the
+    metric' test a feature-selection or drift pipeline runs before
+    trusting a grouping. Complements `value_ks_drift` (two-sample,
+    distribution-free) with the k-group parametric test.
+
+    Exactness discipline: values scale to integer CENTS first, so
+    every per-group sum and sum-of-squares is an exact integer; the
+    sums of squares (SSB/SSW in cents^2) and the final F are then a
+    fixed arithmetic expression over <= |types| exact integers —
+    identical in both engines, rounded at 4dp. (cents^2 sums stay
+    under 2^63 through ~10^14 rows at this value range — noted, not
+    binding here.)
+
+    Plan: ONE partial+final agg keyed on event_type (three
+    distributive sums), then a 1-row reduce — the cheapest possible
+    statistical shape, same as `lineitem_regr_family`. At 100 TB:
+    one scan, one |types|-row shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100.0, 0).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"),
+    )
+    parts = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sc").alias("s"),
+        F.sum(F.col("sc") * 1.0 * F.col("sc") / F.col("ng")).alias("sb_raw"),
+        F.sum(F.col("sc2") - F.col("sc") * 1.0 * F.col("sc") / F.col("ng"))
+        .alias("ssw_c2"),
+    ).select(
+        "k",
+        "n",
+        (F.col("sb_raw") - F.col("s") * 1.0 * F.col("s") / F.col("n")).alias(
+            "ssb_c2"
+        ),
+        "ssw_c2",
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("ssb_c2") / (F.col("k") - 1))
+            / (F.col("ssw_c2") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(
+            F.col("ssb_c2") / (F.col("ssb_c2") + F.col("ssw_c2")), 6
+        ).alias("eta_sq"),
+    )
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+        WITH cell AS (
+            SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY lang, source),
+        rowm AS (SELECT lang, sum(o) AS rn FROM cell GROUP BY lang),
+        colm AS (SELECT source, sum(o) AS cn FROM cell GROUP BY source),
+        tot AS (SELECT sum(o) AS n FROM cell),
+        ex AS (
+            SELECT c.o, r.rn * 1.0 * m.cn / t.n AS e
+            FROM cell c
+            JOIN rowm r USING (lang) JOIN colm m USING (source)
+            CROSS JOIN tot t)
+        SELECT CAST((SELECT count(*) FROM rowm) AS BIGINT)   AS n_rows_dim,
+               CAST((SELECT count(*) FROM colm) AS BIGINT)   AS n_cols_dim,
+               CAST((SELECT n FROM tot) AS BIGINT)           AS n_docs,
+               round(sum((o - e) * (o - e) / e), 4)          AS chi2
+        FROM ex
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between lang and source —
+    the categorical-vs-categorical dependence test completing the
+    statistical-test trio (`events_anova_f`: categorical->numeric;
+    `value_ks_drift`: two-sample numeric). A curation pipeline runs
+    exactly this to learn whether language mix is uniform across
+    feeds (it shouldn't be — and a chi2 near zero would expose
+    synthetic round-robin data); `lang_source_crosstab` renders the
+    table, this scores it.
+
+    Exactness: observed and marginal counts are integers; each
+    expected count is one multiply/divide of exact integers, so the
+    chi2 sum is over |langs|x|sources| deterministic doubles — far
+    below 4dp sensitivity.
+
+    Plan: ONE fact-grain (lang, source) agg; marginals re-aggregate
+    the ~100-cell table; the expected/observed join is
+    dimension-sized and broadcast. At 100 TB: one scan + one
+    100-cell shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cell.groupBy("lang").agg(F.sum("o").alias("rn"))
+    colm = cell.groupBy("source").agg(F.sum("o").alias("cn"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    ex = (
+        cell.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("rn") * 1.0 * F.col("cn") / F.col("n")).alias("e"),
+        )
+    )
+    dims = (
+        rowm.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(colm.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(tot)
+    )
+    chi = ex.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2")
+    )
+    return dims.crossJoin(chi).select(
+        F.col("nr").cast("long").alias("n_rows_dim"),
+        F.col("nc").cast("long").alias("n_cols_dim"),
+        F.col("n").cast("long").alias("n_docs"),
+        "chi2",
+    )

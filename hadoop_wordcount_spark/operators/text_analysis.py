@@ -2256,3 +2256,79 @@ def q_tokenizer_fertility_by_lang(
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "word_burstiness_dispersion",
+    oracle="""
+        WITH per_doc AS (
+            SELECT w, doc_id, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) t
+            WHERE w <> '' GROUP BY w, doc_id),
+        nd AS (SELECT count(*) AS n FROM documents),
+        agg AS (
+            SELECT w,
+                   count(*)      AS df,
+                   sum(c)        AS cf,
+                   sum(c * c)    AS cf2
+            FROM per_doc GROUP BY w)
+        SELECT w,
+               CAST(df AS BIGINT) AS doc_freq,
+               CAST(cf AS BIGINT) AS total_count,
+               round((cf2 * 1.0 / n - (cf * 1.0 / n) * (cf * 1.0 / n))
+                     / (cf * 1.0 / n), 4) AS dispersion
+        FROM agg, nd
+        ORDER BY cf DESC, w
+        LIMIT 20
+    """,
+)
+def q_word_burstiness_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Word burstiness via the index of dispersion (variance-to-mean
+    ratio of PER-DOCUMENT counts, zeros included) for the top-20
+    words — the corpus-quality diagnostic that separates evenly
+    spread function words (dispersion ~<= 1, Poisson-like) from
+    bursty content/boilerplate terms concentrated in few documents
+    (dispersion >> 1). Template detection and stopword induction
+    read directly off this; `zipf_fit` looks at global frequency,
+    this at how frequency distributes over documents.
+
+    Zeros-included moments WITHOUT materializing zeros: with N docs,
+    mean = cf/N and E[x^2] = sum(c^2)/N already account for every
+    doc where the word is absent — integer cf/cf2/N throughout, two
+    exact divisions at the end, 4dp.
+
+    Plan: explode -> (word, doc) agg (map-side combined; the one
+    fact-grain shuffle) -> vocab-sized word agg -> broadcast N ->
+    top-20 k-heap. At 100 TB identical shape to `tfidf`'s DF stage."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    agg = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("cf2"),
+    )
+    mean = F.col("cf") * 1.0 / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("cf").cast("long").alias("total_count"),
+            F.round(
+                (F.col("cf2") * 1.0 / F.col("n") - mean * mean) / mean, 4
+            ).alias("dispersion"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("w"))
+        .limit(20)
+    )

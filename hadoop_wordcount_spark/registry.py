@@ -117,7 +117,11 @@ _PRIORITY: list[str] = [
     "python_stream_sink",
     "events_changepoint_cusum",
     "value_decile_bins",
-    # (b2) now fills the head: 27 + 7 + 19 > 50, so the oldest-rowed
+    "bigram_khop_reach",
+    "events_anova_f",
+    "chi_square_independence",
+    "word_burstiness_dispersion",
+    # (b2) now fills the head: 27 + 7 + 23 > 50, so the oldest-rowed
     # re-checks start the overshoot tail. Never-checked entries
     # always outrank re-checks.
     # -- immediately after the 50-slot head: the r03-rowed entries

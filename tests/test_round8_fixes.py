@@ -651,3 +651,83 @@ def test_decile_bins_monotone(spark, sf_dir):
     ).fetchone()[0]
     con.close()
     assert int(pdf["n_events"].sum()) == n
+
+
+def test_khop_reach_monotone_disjoint(spark, sf_dir):
+    """bigram_khop_reach: hop levels are disjoint by construction
+    (anti-join against the reached set) and total reach never
+    exceeds the vocabulary size."""
+    import duckdb
+
+    pdf = registry.QUERIES["bigram_khop_reach"](spark, sf_dir).toPandas()
+    assert sorted(pdf["hop"].tolist()) == [1, 2, 3]
+    con = duckdb.connect()
+    vocab = con.execute(
+        f"""SELECT count(DISTINCT w) FROM (
+              SELECT unnest(string_split(text,' ')) AS w
+              FROM '{sf_dir}/documents.parquet') WHERE w <> ''"""
+    ).fetchone()[0]
+    con.close()
+    assert int(pdf["n_new"].sum()) < vocab
+    assert (pdf["n_new"] >= 0).all()
+
+
+def test_anova_f_matches_scipy_formula(spark, sf_dir):
+    """events_anova_f: recompute F from raw per-group pandas moments
+    (independent arithmetic path) — must agree to 1e-3 relative."""
+    import duckdb
+
+    row = (
+        registry.QUERIES["events_anova_f"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).df()
+    con.close()
+    groups = [g["value"].to_numpy() for _, g in pdf.groupby("event_type")]
+    import numpy as np
+
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k_groups"] == k and row["n_rows"] == n
+    assert abs(row["f_stat"] - f) <= max(1e-3 * abs(f), 1e-3)
+    assert 0.0 <= row["eta_sq"] <= 1.0
+
+
+def test_chi2_nonnegative_and_marginals(spark, sf_dir):
+    """chi_square_independence: chi2 >= 0 and the dims match the
+    corpus's distinct lang/source counts."""
+    import duckdb
+
+    row = (
+        registry.QUERIES["chi_square_independence"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    con = duckdb.connect()
+    nl, ns, nd = con.execute(
+        f"SELECT count(DISTINCT lang), count(DISTINCT source), count(*)"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    con.close()
+    assert row["n_rows_dim"] == nl and row["n_cols_dim"] == ns
+    assert row["n_docs"] == nd
+    assert row["chi2"] >= 0.0
+
+
+def test_burstiness_poisson_floor(spark, sf_dir):
+    """word_burstiness_dispersion: dispersion > 0 for every top
+    word; doc_freq <= corpus size; total_count >= doc_freq."""
+    pdf = registry.QUERIES["word_burstiness_dispersion"](
+        spark, sf_dir
+    ).toPandas()
+    assert len(pdf) == 20
+    assert (pdf["dispersion"] > 0).all()
+    assert (pdf["total_count"] >= pdf["doc_freq"]).all()

@@ -273,6 +273,16 @@ ALL_OPS = [
     # the ks_drift shape — one fact agg to a bounded cell/series
     # table, integer windows on the bounded table):
     "events_changepoint_cusum", "value_decile_bins",
+    # graph/stats batch (expected ~1: BFS frontier joins on the
+    # replica-suffixed bigram edges — vocab grows linearly with
+    # factor but the suffix scheme keeps each replica's graph
+    # disjoint, so the seed's reach stays replica-0-sized and the
+    # edge build dominates; ANOVA is one 3-sum moment agg):
+    "bigram_khop_reach", "events_anova_f",
+    # independence/burstiness batch (expected ~1: chi2 is one
+    # 100-cell agg + dimension joins; burstiness is the tfidf DF
+    # shape — (word, doc) agg then vocab agg then a k-heap):
+    "chi_square_independence", "word_burstiness_dispersion",
 ]
 
 # Ops that read the relational fact tables — their presence in a
