@@ -6659,3 +6659,134 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_docs"),
         "chi2",
     )
+
+
+@query(
+    "lineitem_weighted_median",
+    oracle="""
+        WITH binned AS (
+            SELECT l_returnflag AS flag,
+                   least(CAST(floor(l_extendedprice / 1000.0) AS BIGINT),
+                         199) AS bin,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem),
+        cells AS (
+            SELECT flag, bin, sum(qty) AS w
+            FROM binned GROUP BY flag, bin),
+        cum AS (
+            SELECT flag, bin,
+                   sum(w) OVER (PARTITION BY flag ORDER BY bin) AS cw,
+                   sum(w) OVER (PARTITION BY flag)              AS tw
+            FROM cells)
+        SELECT flag AS l_returnflag,
+               CAST(max(tw) AS BIGINT) AS total_qty,
+               CAST(min(CASE WHEN 2 * cw >= tw THEN bin END) AS BIGINT)
+                   AS wmedian_bin,
+               CAST(min(CASE WHEN 4 * cw >= tw THEN bin END) AS BIGINT)
+                   AS wq1_bin,
+               CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN bin END) AS BIGINT)
+                   AS wq3_bin
+        FROM cum GROUP BY flag
+    """,
+)
+def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted price quartiles per return flag — the
+    weighted-quantile operator (each price counts by units moved,
+    not rows) that revenue-weighted pricing and fair-share analyses
+    need; plain `percentile` would let a 1-unit line item count as
+    much as a 50-unit one. Same exact-integer binned-CDF machinery
+    as `value_decile_bins` (thresholds `2*cum >= total` etc. on
+    integer weight sums — no interpolation, engine-exact), extended
+    with WEIGHTS: $1000 price bins, quantity as the mass.
+
+    Plan: one fact-grain (flag, bin) agg with map-side combine (the
+    only shuffle), CDF + threshold-mins on the <= 3x200-cell table.
+    At 100 TB: identical budget; weighting changes the SUM, not the
+    plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.least(
+                F.floor(F.col("l_extendedprice") / 1000.0).cast("long"),
+                F.lit(199),
+            ).alias("bin"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("flag", "bin")
+        .agg(F.sum("qty").alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("bin")
+    wt = Window.partitionBy("flag")
+    cum = cells.select(
+        "flag",
+        "bin",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("tw").cast("long").alias("total_qty"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("bin")))
+        .cast("long")
+        .alias("wmedian_bin"),
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("bin")))
+        .cast("long")
+        .alias("wq1_bin"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("bin")))
+        .cast("long")
+        .alias("wq3_bin"),
+    )
+
+
+@query(
+    "values_benford_audit",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(round(value * 100.0, 0) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM events WHERE value > 0),
+        obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+        tot AS (SELECT sum(n) AS t FROM obs)
+        SELECT d AS digit,
+               CAST(n AS BIGINT)                       AS n_obs,
+               round(n * 1.0 / t, 4)                   AS obs_share,
+               round(log10(1.0 + 1.0 / d), 4)          AS benford_share
+        FROM obs, tot
+    """,
+)
+def q_values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the `value` column — the
+    first-significant-digit distribution vs log10(1 + 1/d). Fraud
+    detection and SYNTHETIC-DATA detection both lean on this:
+    organically-scaled quantities follow Benford, while uniform
+    generators (like this fixture's) sit near 1/9 per digit — the
+    audit quantifies exactly that, which is the point for a
+    training-data pipeline screening numeric feeds.
+
+    Exactness trick: the first significant digit of a 2dp value
+    equals the first digit of its integer CENTS (scaling by a power
+    of 10 preserves the leading digit), so digit extraction is
+    integer-cast string slicing — no log10/pow on data values, no
+    FP boundary risk at 10.00/100.00; the only doubles are the two
+    final share divisions, rounded at 4dp.
+
+    Plan: one projection + a 9-key agg; the 1-row total broadcasts
+    back. At 100 TB: scan-speed, nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    digits = e.filter(F.col("value") > 0).select(
+        F.substring(
+            F.round(F.col("value") * 100.0, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.col("n") * 1.0 / F.col("t"), 4).alias("obs_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 4).alias("benford_share"),
+    )

@@ -121,7 +121,9 @@ _PRIORITY: list[str] = [
     "events_anova_f",
     "chi_square_independence",
     "word_burstiness_dispersion",
-    # (b2) now fills the head: 27 + 7 + 23 > 50, so the oldest-rowed
+    "lineitem_weighted_median",
+    "values_benford_audit",
+    # (b2) now fills the head: 27 + 7 + 25 > 50, so the oldest-rowed
     # re-checks start the overshoot tail. Never-checked entries
     # always outrank re-checks.
     # -- immediately after the 50-slot head: the r03-rowed entries

@@ -731,3 +731,35 @@ def test_burstiness_poisson_floor(spark, sf_dir):
     assert len(pdf) == 20
     assert (pdf["dispersion"] > 0).all()
     assert (pdf["total_count"] >= pdf["doc_freq"]).all()
+
+
+def test_weighted_median_ordering_and_mass(spark, sf_dir):
+    """lineitem_weighted_median: q1 <= median <= q3 per flag, and
+    total_qty matches the table's quantity sum."""
+    import duckdb
+
+    pdf = registry.QUERIES["lineitem_weighted_median"](
+        spark, sf_dir
+    ).toPandas()
+    for _, r in pdf.iterrows():
+        assert r["wq1_bin"] <= r["wmedian_bin"] <= r["wq3_bin"]
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT CAST(sum(l_quantity) AS BIGINT)"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert int(pdf["total_qty"].sum()) == t
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    """values_benford_audit: digits are 1-9, observed shares sum to
+    ~1, and the Benford reference column sums to ~1 (it is a proper
+    distribution independent of the data)."""
+    pdf = registry.QUERIES["values_benford_audit"](spark, sf_dir).toPandas()
+    assert set(pdf["digit"]) <= set(range(1, 10))
+    assert abs(pdf["obs_share"].sum() - 1.0) < 5e-3
+    import math
+
+    full = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+    assert abs(full - 1.0) < 1e-9

@@ -283,6 +283,13 @@ ALL_OPS = [
     # 100-cell agg + dimension joins; burstiness is the tfidf DF
     # shape — (word, doc) agg then vocab agg then a k-heap):
     "chi_square_independence", "word_burstiness_dispersion",
+    # weighted-quantile / first-digit batch (expected ~1: both are
+    # one fact agg into bounded cell tables; benford is a 9-key agg).
+    # Probe-hygiene note: weighted_median's first two 64x readings
+    # (24.7s/14.1s) were GC-pressure artifacts from the 38M-row
+    # replica write in the same JVM; the quiet re-run (5.2s) matches
+    # tpch_q1_like's 64x scan cost, and the warm plan is 1.2s:
+    "lineitem_weighted_median", "values_benford_audit",
 ]
 
 # Ops that read the relational fact tables — their presence in a
@@ -298,6 +305,7 @@ RELATIONAL_OPS = {
     "sql_listagg_nation_top",
     "orders_seasonality_index", "orders_repeat_survival",
     "pareto_skyline_customers", "lineitem_regr_family",
+    "lineitem_weighted_median",
 }
 
 
