@@ -6790,3 +6790,131 @@ def q_values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.col("t"), 4).alias("obs_share"),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 4).alias("benford_share"),
     )
+
+
+@query(
+    "supplier_herfindahl_by_type",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_type AS ptype, l.l_suppkey AS supp,
+                   sum(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT))
+                       AS rc
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2),
+        tot AS (
+            SELECT ptype, sum(rc) AS t, count(*) AS n_supp
+            FROM rev GROUP BY ptype)
+        SELECT r.ptype AS p_type,
+               CAST(max(t.n_supp) AS BIGINT)                 AS n_suppliers,
+               CAST(max(t.t) AS BIGINT)                      AS rev_cents,
+               round(sum((r.rc * 1.0 / t.t) * (r.rc * 1.0 / t.t)), 6)
+                   AS hhi
+        FROM rev r JOIN tot t USING (ptype)
+        GROUP BY r.ptype
+    """,
+)
+def q_supplier_herfindahl_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each part type — THE market-concentration statistic
+    (sum of squared shares: 1/n = perfectly even, 1.0 = monopoly).
+    Procurement risk and supply-chain diversification read straight
+    off it; `orders_abc_pareto` ranks one tail, HHI summarizes the
+    whole share distribution in one number per segment.
+
+    Exactness: revenue in integer cents; each share is one division
+    of exact integers against its segment total, squared and summed
+    over <= |suppliers| deterministic doubles per type, 6dp.
+
+    Plan: lineitem joins the part dim BROADCAST (dims are fixed-size
+    under TPC-H scaling), one (type, supplier) fact agg (the only
+    shuffle), then segment totals re-aggregate the bounded
+    supplier-share table and broadcast back. At 100 TB: scan +
+    broadcast-hash join + one dimension^2-bounded shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(cents).alias("rc"))
+    )
+    tot = rev.groupBy("ptype").agg(
+        F.sum("rc").alias("t"), F.count(F.lit(1)).alias("n_supp")
+    )
+    share = F.col("rc") * 1.0 / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "ptype")
+        .groupBy(F.col("ptype").alias("p_type"))
+        .agg(
+            F.max("n_supp").cast("long").alias("n_suppliers"),
+            F.max("t").cast("long").alias("rev_cents"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+        WITH m AS (
+            SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                   year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                       AS rc
+            FROM orders GROUP BY 1, 2, 3)
+        SELECT cur.ym AS yearmonth,
+               CAST(cur.rc AS BIGINT)  AS rev_cents,
+               CAST(prev.rc AS BIGINT) AS rev_cents_prior_year,
+               round((cur.rc - prev.rc) * 100.0 / prev.rc, 4)
+                   AS yoy_growth_pct
+        FROM m cur JOIN m prev
+          ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    """,
+)
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the reporting staple:
+    each month joined to the SAME calendar month one year earlier
+    (never lag(12) over a dense-month assumption: a missing month
+    must yield no row, not a mis-aligned comparison — the equi-join
+    on (year-1, month) encodes exactly that, where an offset window
+    silently lies when gaps exist).
+
+    Exactness: integer-cents monthly totals; one growth division,
+    4dp.
+
+    Plan: one fact-grain (year, month) agg — map-side combined, the
+    only shuffle — then a self-join of the <= years x 12-row table
+    (broadcast both sides, trivially). At 100 TB the month table is
+    still dimension-sized; adding same-month-two-years-ago is one
+    more join on the same bounded table."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(cents).alias("rc"))
+    cur = m.select(
+        (F.col("yr") * 100 + F.col("mo")).alias("yearmonth"),
+        "yr",
+        "mo",
+        F.col("rc").alias("rev_cents"),
+    )
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo").alias("mo"),
+        F.col("rc").alias("rev_cents_prior_year"),
+    )
+    return cur.join(F.broadcast(prev), ["yr", "mo"]).select(
+        "yearmonth",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.col("rev_cents_prior_year").cast("long").alias(
+            "rev_cents_prior_year"
+        ),
+        F.round(
+            (F.col("rev_cents") - F.col("rev_cents_prior_year"))
+            * 100.0
+            / F.col("rev_cents_prior_year"),
+            4,
+        ).alias("yoy_growth_pct"),
+    )

@@ -123,7 +123,9 @@ _PRIORITY: list[str] = [
     "word_burstiness_dispersion",
     "lineitem_weighted_median",
     "values_benford_audit",
-    # (b2) now fills the head: 27 + 7 + 25 > 50, so the oldest-rowed
+    "supplier_herfindahl_by_type",
+    "orders_yoy_growth",
+    # (b2) now fills the head: 27 + 7 + 27 > 50, so the oldest-rowed
     # re-checks start the overshoot tail. Never-checked entries
     # always outrank re-checks.
     # -- immediately after the 50-slot head: the r03-rowed entries

@@ -763,3 +763,27 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
 
     full = sum(math.log10(1 + 1 / d) for d in range(1, 10))
     assert abs(full - 1.0) < 1e-9
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """supplier_herfindahl_by_type: 1/n_suppliers <= hhi <= 1."""
+    pdf = registry.QUERIES["supplier_herfindahl_by_type"](
+        spark, sf_dir
+    ).toPandas()
+    for _, r in pdf.iterrows():
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+
+
+def test_yoy_join_not_lag(spark, sf_dir):
+    """orders_yoy_growth: every output row's prior-year month really
+    exists (equi-join semantics — no dense-month lag assumption) and
+    growth reconstructs from the two cents columns."""
+    pdf = registry.QUERIES["orders_yoy_growth"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        expect = (
+            (r["rev_cents"] - r["rev_cents_prior_year"])
+            * 100.0
+            / r["rev_cents_prior_year"]
+        )
+        assert abs(r["yoy_growth_pct"] - expect) < 1e-3

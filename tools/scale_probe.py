@@ -290,6 +290,15 @@ ALL_OPS = [
     # replica write in the same JVM; the quiet re-run (5.2s) matches
     # tpch_q1_like's 64x scan cost, and the warm plan is 1.2s:
     "lineitem_weighted_median", "values_benford_audit",
+    # concentration / YoY batch (expected ~1: HHI is a broadcast dim
+    # join + one (type, supplier) agg; YoY is one month agg + a
+    # bounded self-join). Probe-hygiene: ops timed right after the
+    # per-factor replica OVERWRITE intermittently absorb its GC/page-
+    # cache residue (yoy read 44s once, 2.8s on re-run; weighted
+    # median 24.7s -> 5.2s) — when a 64x reading looks like an
+    # outlier against its own 16x row AND a sibling op of the same
+    # plan shape, re-run the factor before believing the alpha:
+    "supplier_herfindahl_by_type", "orders_yoy_growth",
 ]
 
 # Ops that read the relational fact tables — their presence in a
@@ -305,7 +314,8 @@ RELATIONAL_OPS = {
     "sql_listagg_nation_top",
     "orders_seasonality_index", "orders_repeat_survival",
     "pareto_skyline_customers", "lineitem_regr_family",
-    "lineitem_weighted_median",
+    "lineitem_weighted_median", "supplier_herfindahl_by_type",
+    "orders_yoy_growth",
 }
 
 
