@@ -6918,3 +6918,141 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("yoy_growth_pct"),
     )
+
+
+@query(
+    "events_gini_user_activity",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, count(*) AS x
+            FROM events GROUP BY user_id),
+        ranked AS (
+            SELECT x,
+                   row_number() OVER (ORDER BY x, user_id) AS i
+            FROM per_user),
+        s AS (
+            SELECT count(*) AS n, sum(x) AS t, sum(i * x) AS ix
+            FROM ranked)
+        SELECT CAST(n AS BIGINT)                             AS n_users,
+               CAST(t AS BIGINT)                             AS n_events,
+               round(2.0 * ix / (n * 1.0 * t)
+                     - (n + 1.0) / n, 4)                     AS gini
+        FROM s
+    """,
+)
+def q_events_gini_user_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of per-user event activity — the inequality
+    summary (0 = everyone equally active, ->1 = all activity from
+    one user) that engagement and abuse teams track; a corpus
+    pipeline uses the same number on per-domain document counts to
+    see how concentrated a crawl is. Computed by the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over counts sorted
+    ascending (ties broken by user_id — the formula is tie-order
+    invariant on equal x, so the tie-break only pins determinism).
+
+    The global rank comes from `ranking.global_row_number` — the
+    repo's WINDOW-FREE total-order machinery (range exchange +
+    partitioned local ranks + broadcast offsets on the distributed
+    path), so no single-partition sort ever materializes
+    (SCALE.md rule). Everything else is exact integers; one final
+    division, 4dp.
+
+    Plan: one user_id fact agg (the real shuffle), the rank
+    machinery on the per-user table, a 3-sum reduce. At 100 TB the
+    per-user table is big — exactly the case the distributed rank
+    path exists for."""
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = global_row_number(
+        per_user, [("x", False), ("user_id", False)], out="i"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("ix"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("t").cast("long").alias("n_events"),
+        F.round(
+            2.0 * F.col("ix") / (F.col("n") * 1.0 * F.col("t"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "nation_revenue_share_report",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name AS nation, r.r_name AS region,
+                   sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
+                       AS rc
+            FROM orders o
+            JOIN customer c ON o.o_custkey  = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2),
+        reg AS (SELECT region, sum(rc) AS reg_rc FROM rev GROUP BY region),
+        tot AS (SELECT sum(rc) AS t FROM rev)
+        SELECT v.nation, v.region,
+               CAST(v.rc AS BIGINT)                    AS rev_cents,
+               round(v.rc * 1.0 / g.reg_rc, 4)         AS share_of_region,
+               round(v.rc * 1.0 / tt.t, 4)             AS share_of_total
+        FROM rev v JOIN reg g USING (region) CROSS JOIN tot tt
+    """,
+)
+def q_nation_revenue_share_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ratio-to-parent report — each nation's revenue as a share of
+    its REGION and of the WORLD: the two-level percent-of-parent
+    that every BI drill-down renders (and that `tpch_q5_like`/q8
+    only compute for one filtered slice). Exact integer cents up to
+    the two share divisions, 4dp.
+
+    Plan: orders -> broadcast customer? No — customer is fact-sized,
+    so orders JOIN customer is the one real shuffle join (AQE picks
+    the strategy); nation/region broadcast. The share denominators
+    re-aggregate the 25-row nation table and broadcast back. At
+    100 TB: one fact-fact co-shuffle (bucketable on custkey — the
+    `colocated_join` layout removes it entirely), dimension-sized
+    everything after."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(cents).alias("rc"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("rc").alias("reg_rc"))
+    tot = rev.agg(F.sum("rc").alias("t"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "region",
+            F.col("rc").cast("long").alias("rev_cents"),
+            F.round(F.col("rc") * 1.0 / F.col("reg_rc"), 4).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("rc") * 1.0 / F.col("t"), 4).alias(
+                "share_of_total"
+            ),
+        )
+    )

@@ -125,7 +125,9 @@ _PRIORITY: list[str] = [
     "values_benford_audit",
     "supplier_herfindahl_by_type",
     "orders_yoy_growth",
-    # (b2) now fills the head: 27 + 7 + 27 > 50, so the oldest-rowed
+    "events_gini_user_activity",
+    "nation_revenue_share_report",
+    # (b2) now fills the head: 27 + 7 + 29 > 50, so the oldest-rowed
     # re-checks start the overshoot tail. Never-checked entries
     # always outrank re-checks.
     # -- immediately after the 50-slot head: the r03-rowed entries

@@ -787,3 +787,56 @@ def test_yoy_join_not_lag(spark, sf_dir):
             / r["rev_cents_prior_year"]
         )
         assert abs(r["yoy_growth_pct"] - expect) < 1e-3
+
+
+def test_gini_bounds_and_rank_path(spark, sf_dir):
+    """events_gini_user_activity: 0 <= gini < 1, and the result is
+    identical whether the rank comes from the bounded or the
+    distributed path of ranking.global_row_number (path-invariance
+    of the formula)."""
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    row = (
+        registry.QUERIES["events_gini_user_activity"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert 0.0 <= row["gini"] < 1.0
+    # recompute forcing the DISTRIBUTED rank path (small_threshold=1
+    # makes every input "large"); integer rank formula must agree
+    # exactly with whatever path the query took
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = global_row_number(
+        per_user,
+        [("x", False), ("user_id", False)],
+        out="i",
+        small_threshold=1,
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("ix"),
+    ).collect()[0]
+    import builtins
+
+    gini2 = builtins.round(
+        2.0 * s["ix"] / (s["n"] * 1.0 * s["t"]) - (s["n"] + 1.0) / s["n"], 4
+    )
+    assert row["n_users"] == s["n"] and row["n_events"] == s["t"]
+    assert abs(row["gini"] - gini2) < 1e-9
+
+
+def test_nation_shares_sum_to_one_per_region(spark, sf_dir):
+    """nation_revenue_share_report: shares of each region sum to ~1
+    and shares of total sum to ~1 overall."""
+    pdf = registry.QUERIES["nation_revenue_share_report"](
+        spark, sf_dir
+    ).toPandas()
+    for _, g in pdf.groupby("region"):
+        assert abs(g["share_of_region"].sum() - 1.0) < 5e-3
+    assert abs(pdf["share_of_total"].sum() - 1.0) < 5e-3

@@ -120,6 +120,17 @@ HEADLINE = [
     ("shipmonth_price_percentiles", "ordered-set aggregates: ONE "
      "cohort-key exchange into a sort-based percentile agg over exact "
      "cents — bounded-but-numerous cells, no global sort"),
+    ("kmeans_lloyd_step", "K-way argmin unrolled into ONE projection "
+     "(no join, no row blowup) feeding a K-key partial+final agg"),
+    ("pareto_skyline_customers", "two-phase distributed skyline: "
+     "bucket-max grid prune (broadcast), then the exact dominance "
+     "anti-join only on the pruned frontier band"),
+    ("value_ks_drift", "binned two-sample KS: one fact-grain cell agg, "
+     "CDF windows + max-gap agg all on the bounded cell table"),
+    ("python_stream_sink", "streaming Python DataSource write: "
+     "pass-through plan into per-micro-batch rename-only commits"),
+    ("events_changepoint_cusum", "integer-scaled CUSUM: bounded hourly "
+     "series, partitioned windows, argmax row_number — one fact shuffle"),
 ]
 
 

@@ -299,6 +299,11 @@ ALL_OPS = [
     # outlier against its own 16x row AND a sibling op of the same
     # plan shape, re-run the factor before believing the alpha:
     "supplier_herfindahl_by_type", "orders_yoy_growth",
+    # inequality / ratio-to-parent batch (expected ~1: gini is one
+    # user agg + the distributed window-free rank machinery + a
+    # 3-sum reduce; the share report is one orders-customer
+    # co-shuffle + dimension rollups):
+    "events_gini_user_activity", "nation_revenue_share_report",
 ]
 
 # Ops that read the relational fact tables — their presence in a
@@ -315,7 +320,7 @@ RELATIONAL_OPS = {
     "orders_seasonality_index", "orders_repeat_survival",
     "pareto_skyline_customers", "lineitem_regr_family",
     "lineitem_weighted_median", "supplier_herfindahl_by_type",
-    "orders_yoy_growth",
+    "orders_yoy_growth", "nation_revenue_share_report",
 }
 
 
