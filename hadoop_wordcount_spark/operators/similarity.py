@@ -1455,7 +1455,7 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         emb.filter(F.col("vec_id") < _KMEANS_K)
         .select("vec_id", "embedding")
-        .collect()
+        .head(_KMEANS_K)
     )
     scored = []
     for row in sorted(cents, key=lambda r: r["vec_id"]):
