@@ -7056,3 +7056,58 @@ def q_nation_revenue_share_report(
             ),
         )
     )
+
+
+@query(
+    "orders_customer_acquisition",
+    oracle="""
+        WITH first_m AS (
+            SELECT o_custkey,
+                   min(year(o_orderdate) * 100 + month(o_orderdate)) AS ym
+            FROM orders GROUP BY o_custkey),
+        monthly AS (
+            SELECT ym, count(*) AS n_new FROM first_m GROUP BY ym),
+        cum AS (
+            SELECT ym, n_new,
+                   sum(n_new) OVER (ORDER BY ym) AS n_total
+            FROM monthly)
+        SELECT ym AS yearmonth,
+               CAST(n_new AS BIGINT)   AS n_new_customers,
+               CAST(n_total AS BIGINT) AS n_customers_to_date
+        FROM cum
+    """,
+)
+def q_orders_customer_acquisition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer-acquisition curve — new customers per month (month of
+    FIRST order) and the cumulative customer base to date: the growth
+    accounting every business review opens with.
+    `customer_cohort_retention` tracks cohorts after acquisition;
+    this is the acquisition series itself.
+
+    Plan: one fact-grain min-agg on o_custkey (the only shuffle,
+    map-side combined — min is distributive), a <= months-sized
+    month agg, then the cumulative series WINDOW-FREE through
+    `ranking.global_cumsum`'s bounded path (the SCALE.md
+    no-partitionless-window rule; the month table is <= years x 12
+    BY CONSTRUCTION). All integer counts — hash-exact at any scale.
+    At 100 TB the custkey agg is the linear term; bucket orders by
+    custkey and even that exchange disappears."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(
+            F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        ).alias("ym")
+    )
+    monthly = first_m.groupBy("ym").agg(F.count(F.lit(1)).alias("n_new"))
+    cum = global_cumsum(
+        monthly, [("ym", False)], "n_new", out="n_total", size_hint=120
+    )
+    return cum.select(
+        F.col("ym").alias("yearmonth"),
+        F.col("n_new").cast("long").alias("n_new_customers"),
+        F.col("n_total").cast("long").alias("n_customers_to_date"),
+    )

@@ -1497,3 +1497,65 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("xx") + F.col("best.s")), 4).alias("avg_d2"),
         F.round(F.avg("x0"), 4).alias("new_c0"),
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+        WITH comp AS (
+            SELECT i.i AS dim, e.embedding[i.i + 1]::DOUBLE AS v
+            FROM embeddings e
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        stats AS (
+            SELECT dim, count(*) AS n, avg(v) AS mu,
+                   var_samp(v) AS s2
+            FROM comp GROUP BY dim)
+        SELECT dim,
+               CAST(n AS BIGINT)  AS n_vectors,
+               round(mu, 4)       AS mean_val,
+               round(s2, 4)       AS variance
+        FROM stats
+        ORDER BY s2 DESC, dim
+        LIMIT 10
+    """,
+)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding space — the
+    dead/dominant-dimension diagnostic: dimensions with near-zero
+    variance carry no information (prune or re-train the projector),
+    while a few dominant dimensions signal anisotropy
+    (`embedding_abtt` then removes them). Top-10 by variance.
+
+    Implementation: posexplode turns each vector into (dim, value)
+    rows — 64x row expansion but each row is 12 bytes, and the
+    per-dim moment agg combines map-side into 64 cells; the
+    alternative (64 separate agg expressions) breaks codegen limits
+    at high d. The oracle mirrors with a range() unnest join.
+
+    FP note: var_samp over per-dim doubles is summation-order
+    sensitive in principle; at 4dp with |v| <= ~1 and thousands of
+    rows the divergence (~1e-13 relative) is far below rounding
+    sensitivity — same contract as the corr/covar queries.
+
+    Plan: scan -> posexplode -> (dim) partial+final agg -> top-10
+    k-heap. At 100 TB: one pass, 64-cell shuffle; d scales the
+    explode factor linearly, never the shuffle width."""
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim", "raw")
+    ).select("dim", F.col("raw").cast("double").alias("v"))
+    stats = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("mu"),
+        F.var_samp("v").alias("s2"),
+    )
+    return (
+        stats.orderBy(F.desc("s2"), F.asc("dim"))
+        .limit(10)
+        .select(
+            "dim",
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round("mu", 4).alias("mean_val"),
+            F.round("s2", 4).alias("variance"),
+        )
+    )

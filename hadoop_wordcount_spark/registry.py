@@ -127,7 +127,9 @@ _PRIORITY: list[str] = [
     "orders_yoy_growth",
     "events_gini_user_activity",
     "nation_revenue_share_report",
-    # (b2) now fills the head: 27 + 7 + 29 > 50, so the oldest-rowed
+    "orders_customer_acquisition",
+    "embedding_dim_variance",
+    # (b2) now fills the head: 27 + 7 + 31 > 50, so the oldest-rowed
     # re-checks start the overshoot tail. Never-checked entries
     # always outrank re-checks.
     # -- immediately after the 50-slot head: the r03-rowed entries

@@ -840,3 +840,43 @@ def test_nation_shares_sum_to_one_per_region(spark, sf_dir):
     for _, g in pdf.groupby("region"):
         assert abs(g["share_of_region"].sum() - 1.0) < 5e-3
     assert abs(pdf["share_of_total"].sum() - 1.0) < 5e-3
+
+
+def test_acquisition_cumulative_reaches_customer_count(spark, sf_dir):
+    """orders_customer_acquisition: the final cumulative equals the
+    distinct customer count, new-customer counts are positive, and
+    the cumulative is strictly increasing."""
+    import duckdb
+
+    pdf = (
+        registry.QUERIES["orders_customer_acquisition"](spark, sf_dir)
+        .toPandas()
+        .sort_values("yearmonth")
+    )
+    con = duckdb.connect()
+    nc = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert int(pdf["n_customers_to_date"].iloc[-1]) == nc
+    assert (pdf["n_new_customers"] > 0).all()
+    tot = pdf["n_customers_to_date"].tolist()
+    assert all(a < b for a, b in zip(tot, tot[1:]))
+
+
+def test_dim_variance_sane(spark, sf_dir):
+    """embedding_dim_variance: 10 rows, every variance >= 0 and
+    non-increasing in rank order; n_vectors == table size."""
+    import duckdb
+
+    pdf = registry.QUERIES["embedding_dim_variance"](spark, sf_dir).toPandas()
+    assert len(pdf) == 10
+    vs = pdf["variance"].tolist()
+    assert all(a >= b for a, b in zip(vs, vs[1:]))
+    assert (pdf["variance"] >= 0).all()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert (pdf["n_vectors"] == n).all()

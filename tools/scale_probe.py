@@ -304,6 +304,9 @@ ALL_OPS = [
     # 3-sum reduce; the share report is one orders-customer
     # co-shuffle + dimension rollups):
     "events_gini_user_activity", "nation_revenue_share_report",
+    # acquisition / embedding-geometry batch (expected ~1: min-agg on
+    # custkey + bounded cumsum; 64x posexplode into a 64-cell agg):
+    "orders_customer_acquisition", "embedding_dim_variance",
 ]
 
 # Ops that read the relational fact tables — their presence in a
@@ -321,6 +324,7 @@ RELATIONAL_OPS = {
     "pareto_skyline_customers", "lineitem_regr_family",
     "lineitem_weighted_median", "supplier_herfindahl_by_type",
     "orders_yoy_growth", "nation_revenue_share_report",
+    "orders_customer_acquisition",
 }
 
 
