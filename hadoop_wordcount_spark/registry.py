@@ -43,77 +43,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # steal-window cannot contaminate a whole family at once (see
 # DEVNOTES on the r04 alphabetical-block anomaly).
 _PRIORITY: list[str] = [
-    # -- Round-8 verification head, exactly the 50-row driver budget.
-    # The r7 verdict's #1 directive: (a) the 27 round-7 additions with
-    # no official driver row yet (all judge-verified green in the r7
-    # session — any failure here is a regression), then (b) the 7
-    # round-8 additions (never driver-checked), then (c) 16 of the
-    # oldest-rowed entries (last green row r03), families interleaved
-    # so a bursty host steal-window cannot contaminate a whole family
-    # at once (see DEVNOTES on the r04 alphabetical-block anomaly).
-    # 27 + 7 + 16 = 50 = one round budget. Rows-only entries live in
+    # -- Round-9 verification head, exactly the 50-row driver budget.
+    # The r8 verdict's #1 directive: (a) the 15 late round-8 additions
+    # with no official driver row yet (judge-verified green in the r8
+    # session via the same compare_query mirror — any failure here is
+    # a regression), then (b) 35 of the 41 oldest-rowed oracled
+    # entries (last green row r03), families interleaved.
+    # 15 + 35 = 50 = one round budget. Rows-only entries live in
     # _ROWS_ONLY_TAIL at the very end — a driver slot spent on an
     # `err: no_oracle` row is a wasted slot (r7 verdict #5).
-    # (a) round-7 additions, judge-verified, no driver row yet:
-    "tpch_q1_like",
-    "interval_overlap_skew",
-    "eval_holdout_exact_k",
-    "embedding_mrl_truncation",
-    "padding_waste_report",
-    "state_store_read",
-    "sql_listagg_nation_top",
-    "sql_group_by_all_report",
-    "events_ohlc_hourly",
-    "orders_priority_transpose",
-    "sql_unpivot_clause",
-    "bitmap_exact_distinct",
-    "sketch_theta_source_overlap",
-    "lang_source_crosstab",
-    "insert_overwrite_dynamic_partitions",
-    "user_engagement_ewma",
-    "heavy_hitters_parts",
-    "events_locf_impute",
-    "shipmonth_price_percentiles",
-    "hll_distinct_users",
-    "heavy_hitters_incremental",
-    "binary_asset_ingest",
-    "pandas_api_orders_report",
-    "sql_scripting_threshold_report",
-    "event_csv_roundtrip",
-    "sink_roundtrip_avro",
-    "utf8_ingest_hygiene",
-    # (b) round-8 additions — never driver-checked (same principle as
-    # the (a) block: entries with NO ledger row outrank re-checks).
-    # The GK-bound twin is the r7 verdict #5 ask; the other three
-    # bracket twins extend the same pattern to every rows-only entry;
-    # writer_v2_lifecycle is the verdict #7 V2-catalog unlock;
-    # temporal_split_audit is the round-8 coverage addition:
-    "value_percentiles_bounds",
-    "writer_v2_lifecycle",
-    "temporal_split_audit",
-    "approx_distinct_words_bounds",
-    "profile_table_sketch_bounds",
-    "sim_search_lsh_bounds",
-    "streaming_outer_join_watermark",
-    # (b2) later round-8 additions, never driver-checked (never-
-    # checked entries outrank re-checks, so these displace five of
-    # the (c) re-check slots they were originally parked behind):
-    "streaming_join_window_pipeline",
-    "streaming_foreach_batch_jdbc",
-    "pii_scrub_report",
-    "unicode_nfc_audit",
-    "event_value_autocorr",
-    "feature_hash_collisions",
-    "orders_seasonality_index",
-    "value_ks_drift",
-    "kwic_concordance",
-    "docs_mixture_reweight",
-    "kmeans_lloyd_step",
-    "orders_repeat_survival",
-    "pareto_skyline_customers",
-    "events_entropy_rate",
-    "tokenizer_fertility_by_lang",
-    "lineitem_regr_family",
+    # tests/test_registry_budget.py asserts the never-checked set
+    # forms a prefix of this order, so the arithmetic can't go stale
+    # again (r8 verdict #6).
+    # (a) round-8 additions, judge-verified, no driver row yet:
     "python_stream_sink",
     "events_changepoint_cusum",
     "value_decile_bins",
@@ -129,12 +71,7 @@ _PRIORITY: list[str] = [
     "nation_revenue_share_report",
     "orders_customer_acquisition",
     "embedding_dim_variance",
-    # (b2) now fills the head: 27 + 7 + 31 > 50, so the oldest-rowed
-    # re-checks start the overshoot tail. Never-checked entries
-    # always outrank re-checks.
-    # -- immediately after the 50-slot head: the r03-rowed entries
-    # displaced by the (b2) block (covered on any budget overshoot),
-    # then r04 follows via registration order ------------------------
+    # (b) oldest-rowed re-checks (last row r03), interleaved:
     "word_count",
     "streaming_dedup",
     "bigram_logprob",
@@ -170,6 +107,9 @@ _PRIORITY: list[str] = [
     "text_source_wordcount",
     "trailing_window_sum",
     "union_corpora",
+    # -- immediately after the 50-slot head: the 6 remaining r03-rowed
+    # entries (covered on any budget overshoot), then r04+ follows via
+    # registration order ---------------------------------------------
     "value_percentiles_exact",
     "wc_tokens",
     "window_dedup_latest",
