@@ -6741,10 +6741,12 @@ def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "values_benford_audit",
     oracle="""
-        WITH digits AS (
-            SELECT CAST(substr(CAST(CAST(round(value * 100.0, 0) AS BIGINT)
-                                    AS VARCHAR), 1, 1) AS BIGINT) AS d
-            FROM events WHERE value > 0),
+        WITH cents AS (
+            SELECT CAST(round(value * 100.0, 0) AS BIGINT) AS c
+            FROM events),
+        digits AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+            FROM cents WHERE c >= 1),
         obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
         tot AS (SELECT sum(n) AS t FROM obs)
         SELECT d AS digit,
@@ -6773,14 +6775,15 @@ def q_values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one projection + a 9-key agg; the 1-row total broadcasts
     back. At 100 TB: scan-speed, nothing else."""
     e = load_table(spark, sf_dir, "events")
-    digits = e.filter(F.col("value") > 0).select(
-        F.substring(
-            F.round(F.col("value") * 100.0, 0).cast("long").cast("string"),
-            1,
-            1,
-        )
-        .cast("long")
-        .alias("d")
+    # Filter on the integer CENTS, not `value > 0`: a value in
+    # (0, 0.005) rounds to 0 cents, which would yield digit 0 and a
+    # 1/0 division in benford_share. Gating on cents >= 1 keeps the
+    # digit domain exactly 1-9 on both engines (ADVICE r8).
+    cents = e.select(
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("c")
+    ).filter(F.col("c") >= 1)
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d")
     )
     obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
     tot = obs.agg(F.sum("n").alias("t"))

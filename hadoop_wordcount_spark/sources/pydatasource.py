@@ -454,6 +454,7 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
         import os
 
         published = set()
+        finals = set()
         for m in messages:
             if m is None:
                 continue
@@ -462,10 +463,25 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
             )
             os.replace(m.tmp_path, final)
             published.add(m.tmp_path)
+            finals.add(final)
         for stale in glob.glob(os.path.join(self.path, "_tmp-*.jsonl")):
             if stale not in published:
                 try:
                     os.remove(stale)
+                except FileNotFoundError:
+                    pass
+        # A replayed micro-batch may run with FEWER partitions than
+        # the failed prior attempt (e.g. a shuffle-partition config
+        # change across restart); os.replace then only overwrites the
+        # low-pid names, leaving the prior attempt's higher-pid
+        # batch-*.jsonl files to double-count on readback. Sweep any
+        # file for THIS batchId that this commit did not just publish.
+        for prior in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:05d}-part-*.jsonl")
+        ):
+            if prior not in finals:
+                try:
+                    os.remove(prior)
                 except FileNotFoundError:
                     pass
 
