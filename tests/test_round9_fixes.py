@@ -118,3 +118,19 @@ def test_benford_matches_oracle_at_small_sf(spark):
         spark, SF_SMALL, name, registry.QUERIES[name], registry.ORACLES[name]
     )
     assert err is None, err
+
+
+def test_semdedup_cell_cap_parity_with_small_cap(spark, monkeypatch):
+    """Force multi-sub-bucket cells by shrinking the cap to 8 and
+    assert Spark/DuckDB still agree — this exercises the bucket
+    boundary where DuckDB's rounding CAST(double AS BIGINT) diverged
+    from Spark's truncating cast (caught in r9; `//` fixed it)."""
+    from hadoop_wordcount_spark.operators import dedup
+    from tests.oracle_utils import compare_query
+
+    monkeypatch.setattr(dedup, "_SEMDEDUP_CELL_CAP", 8)
+    oracle = dedup._semdedup_oracle()
+    err = compare_query(
+        spark, SF_SMALL, "semdedup_prune_cap8", dedup.q_semdedup_prune, oracle
+    )
+    assert err is None, err
