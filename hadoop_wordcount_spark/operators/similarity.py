@@ -953,10 +953,14 @@ def q_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: token stream joins the memoized IVF inverted file on the
     shared id (one shuffle each side), then groupBy(cid, word); the
-    cell-size (K rows) and global-word (vocab rows) marginals attach
-    back by broadcast. At 100 TB: the only corpus-sized exchanges are
-    the id join and the (cid, word) aggregation — both map-side
-    combined; no stage is pairwise in documents or vectors.
+    cell-size marginal (K rows) broadcasts, while the global-word
+    marginal is VOCABULARY-sized and attaches by shuffle equi-join on
+    `word` (AQE may downgrade it to broadcast at runtime when it
+    measures small). At 100 TB: the only corpus-sized exchanges are
+    the id join, the (cid, word) aggregation, and the word-marginal
+    join — all map-side combined or equi-keyed; no stage is pairwise
+    in documents or vectors, and nothing unbounded is pinned into a
+    broadcast.
 
     Reference: WordCount.java:30-42 counts tokens globally; this is
     the same aggregation conditioned on a learned partition of a
@@ -976,10 +980,16 @@ def q_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = cw.groupBy("cid").agg(F.sum("c_cw").cast("long").alias("n_c"))
     gw = cw.groupBy("word").agg(F.sum("c_cw").cast("long").alias("c_w"))
     tot = gw.agg(F.sum("c_w").cast("long").alias("n_tot"))
+    # nc is K rows (cell count, ~1e5 even at 100 TB with K ~ sqrt(n))
+    # and tot is 1 row — both broadcast. gw is VOCABULARY-sized: a
+    # web-scale corpus has 1e8+ distinct tokens, which does not fit
+    # in a broadcast, so the word marginal attaches by shuffle
+    # equi-join on `word` and AQE may locally downgrade it to
+    # broadcast when the measured size allows (r8 verdict #3).
     scored = (
         cw.filter(F.col("c_cw") >= 5)
         .join(F.broadcast(nc), "cid")
-        .join(F.broadcast(gw), "word")
+        .join(gw, "word")
         .crossJoin(F.broadcast(tot))
         .select(
             "cid",

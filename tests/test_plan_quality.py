@@ -502,3 +502,18 @@ def test_analyze_table_stats_recorded_and_broadcast(spark, sf_dir):
         cust.c_nationkey == F.col("n_nationkey"),
     )
     assert "BroadcastHashJoin" in formatted_plan(joined)
+
+
+def test_topic_terms_word_marginal_not_broadcast_pinned(spark, sf_dir):
+    """cluster_topic_terms: the global-word marginal is
+    vocabulary-sized (1e8+ tokens on a web corpus) and must NOT be
+    pinned into a broadcast hint — it attaches by shuffle equi-join
+    on `word` (the plan's one SortMergeJoin); only the K-row
+    cell-size marginal and the 1-row total may broadcast (r8 verdict
+    #3). AQE downgrading the SMJ at runtime is fine — the pin is on
+    the STATIC plan, where a hint would force broadcast regardless
+    of size."""
+    df = registry.QUERIES["cluster_topic_terms"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
