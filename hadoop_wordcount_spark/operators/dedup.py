@@ -607,6 +607,130 @@ def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_cosine_oracle() -> str:
+    """Candidate pairs = same IVF cell AND same full PQ code tuple;
+    exact cosine verify on candidates only. Composes BOTH quantizer
+    CTE chains — `_ivf_assign_ctes` owns the bare names, the PQ chain
+    is prefixed ``p`` — so each engine trains both identically."""
+    from hadoop_wordcount_spark.operators.similarity import (
+        IVF_ITERS,
+        PQ_ITERS,
+        PQ_M,
+        _ivf_assign_ctes,
+        _pq_ctes,
+    )
+
+    ivf_ctes, _ = _ivf_assign_ctes()
+    pq_chain, _ = _pq_ctes("p")
+    code_cols = ", ".join(
+        f"CAST(max(CASE WHEN m = {mi} THEN cid END) AS INT) AS code{mi}"
+        for mi in range(PQ_M)
+    )
+    code_eq = " AND ".join(f"a.code{mi} = b.code{mi}" for mi in range(PQ_M))
+    return f"""
+        WITH {ivf_ctes},
+        {pq_chain},
+        codes AS (
+            SELECT vec_id, {code_cols}
+            FROM pa{PQ_ITERS} GROUP BY vec_id),
+        side AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   k.code0, k.code1, k.code2, k.code3
+            FROM embeddings e
+            JOIN a{IVF_ITERS} c USING (vec_id)
+            JOIN codes k USING (vec_id)),
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding, b.embedding) /
+                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                          sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                       AS cos_sim
+            FROM side a JOIN side b
+              ON a.cid = b.cid AND {code_eq} AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20
+    """
+
+
+@query("dedup_embedding_pq", oracle=_pq_cosine_oracle())
+def q_dedup_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with a PQ-ADC-style candidate stage — the
+    sub-cell path `dedup_embedding_cosine_ivf`'s docstring promises
+    (r8 verdict #4). Candidates are pairs that share BOTH the IVF
+    coarse cell (`similarity.ivf_assignments`) and the full
+    PQ code tuple (`similarity._pq_train`, Jegou et al. PAMI'11):
+    vectors that quantize identically in every subspace. Exact cosine
+    verifies candidates only; output is the same top-20 shape as the
+    IVF variant, directly comparable.
+
+    Scale shape: the IVF cell join alone leaves Θ(n/K)-sized blocks
+    (Θ(n^1.5) total pairs at K ~ sqrt(n)); intersecting with the
+    PQ_K^PQ_M = 256-way code partition splits every cell block again,
+    so the measured pair volume drops by ~two orders of magnitude and
+    the ladder exponent sits BELOW the IVF entry's 1.35 — the code
+    tuple is a free product-space refinement the cell key can't
+    express. Both quantizer trainings are the shared memoized /
+    fixed-round deterministic stages, dimension-sized exchanges only.
+    Recall tradeoff vs the IVF variant: a true near-dup pair must
+    also agree per-subspace; near-identical vectors do unless a
+    subvector straddles a codeword boundary — the standard PQ recall
+    dial (raise PQ_K / multi-assign to recover; single-assignment
+    keeps the oracle exactly expressible)."""
+    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
+    from hadoop_wordcount_spark.operators.similarity import (
+        PQ_M,
+        _pq_train,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, _cent = ivf_assignments(spark, sf_dir)
+    _ev, assign, _c = _pq_train(spark, sf_dir)
+    codes = assign.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == mi, F.col("cid")))
+            .cast("int")
+            .alias(f"code{mi}")
+            for mi in range(PQ_M)
+        ]
+    )
+    side = (
+        emb.join(cells, "vec_id")
+        .join(codes, "vec_id")
+        .select(
+            "vec_id",
+            "cid",
+            *[f"code{mi}" for mi in range(PQ_M)],
+            "embedding",
+            l2_norm(F.col("embedding")).alias("norm"),
+        )
+    )
+    a = side.select(
+        *[F.col(c).alias(f"{c}_a") for c in side.columns]
+    )
+    b = side.select(
+        *[F.col(c).alias(f"{c}_b") for c in side.columns]
+    )
+    cond = (F.col("cid_a") == F.col("cid_b")) & (
+        F.col("vec_id_a") < F.col("vec_id_b")
+    )
+    for mi in range(PQ_M):
+        cond = cond & (F.col(f"code{mi}_a") == F.col(f"code{mi}_b"))
+    sim = dot(F.col("embedding_a"), F.col("embedding_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("vec_id_a").alias("vec_a"),
+            F.col("vec_id_b").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
 # --- Native-expression MinHash + banded LSH (oracle-checkable) -------------
 #
 # Unlike the pyspark.ml MinHashLSH variant above (seeded random affine

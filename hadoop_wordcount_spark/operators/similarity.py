@@ -1101,40 +1101,53 @@ PQ_K = 4        # codewords per subspace
 PQ_ITERS = 2    # fixed k-means rounds per subspace (deterministic)
 
 
-def _pq_oracle() -> str:
-    """Unrolled ALL-subspace k-means + encode in DuckDB SQL — the PQ
-    twin of `_ivf_assign_ctes`: same deterministic init (vec_id <
-    K as seed codewords, per subspace), same round-4 quantization of
-    distances and centroid means, same (d2, cid) tiebreak, so both
-    engines train identical codebooks."""
-    sql = f"""
-        WITH ev AS (
+def _pq_ctes(prefix: str = "") -> tuple[str, str]:
+    """(CTE chain, final-codebook CTE name) for the unrolled
+    ALL-subspace PQ k-means in DuckDB SQL. `prefix` renames every CTE
+    (``{prefix}ev``, ``{prefix}a0``, ...) so the chain can compose
+    with `_ivf_assign_ctes` (which owns the bare ``ev``/``a{i}``
+    names) inside one WITH — the `dedup_embedding_pq` oracle needs
+    BOTH quantizers. Final per-subspace assignment is
+    ``{prefix}a{PQ_ITERS}``."""
+    p = prefix
+    sql = f"""{p}ev AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val,
                    (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m
             FROM embeddings),
-        c0 AS (SELECT m, vec_id AS cid, pos, val AS cval
-               FROM ev WHERE vec_id < {PQ_K})"""
-    prev = "c0"
+        {p}c0 AS (SELECT m, vec_id AS cid, pos, val AS cval
+               FROM {p}ev WHERE vec_id < {PQ_K})"""
+    prev = f"{p}c0"
     for i in range(PQ_ITERS + 1):
         sql += f""",
-        a{i} AS (
+        {p}a{i} AS (
             SELECT vec_id, m, cid FROM (
                 SELECT e.vec_id, e.m, c.cid,
                        row_number() OVER (
                            PARTITION BY e.vec_id, e.m
                            ORDER BY round(sum((e.val - c.cval) * (e.val - c.cval)), 4),
                                     c.cid) AS rn
-                FROM ev e JOIN {prev} c ON e.m = c.m AND e.pos = c.pos
+                FROM {p}ev e JOIN {prev} c ON e.m = c.m AND e.pos = c.pos
                 GROUP BY e.vec_id, e.m, c.cid) WHERE rn = 1)"""
         if i < PQ_ITERS:
             sql += f""",
-        c{i + 1} AS (
+        {p}c{i + 1} AS (
             SELECT a.m, a.cid, e.pos, round(avg(e.val), 4) AS cval
-            FROM ev e JOIN a{i} a ON e.vec_id = a.vec_id AND e.m = a.m
+            FROM {p}ev e JOIN {p}a{i} a ON e.vec_id = a.vec_id AND e.m = a.m
             GROUP BY a.m, a.cid, e.pos)"""
-            prev = f"c{i + 1}"
-    sql += f""",
+            prev = f"{p}c{i + 1}"
+    return sql, prev
+
+
+def _pq_oracle() -> str:
+    """Unrolled ALL-subspace k-means + encode in DuckDB SQL — the PQ
+    twin of `_ivf_assign_ctes`: same deterministic init (vec_id <
+    K as seed codewords, per subspace), same round-4 quantization of
+    distances and centroid means, same (d2, cid) tiebreak, so both
+    engines train identical codebooks."""
+    chain, prev = _pq_ctes()
+    sql = f"""
+        WITH {chain},
         recon AS (
             SELECT e.vec_id,
                    round(sum((e.val - c.cval) * (e.val - c.cval))

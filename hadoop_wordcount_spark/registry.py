@@ -55,6 +55,8 @@ _PRIORITY: list[str] = [
     # tests/test_registry_budget.py asserts the never-checked set
     # forms a prefix of this order, so the arithmetic can't go stale
     # again (r8 verdict #6).
+    # (a0) round-9 additions — never checked anywhere yet:
+    "dedup_embedding_pq",
     # (a) round-8 additions, judge-verified, no driver row yet:
     "python_stream_sink",
     "events_changepoint_cusum",

@@ -295,7 +295,7 @@ def test_new_pair_family_no_cartesian(spark, sf_dir):
     never between data-sized sides."""
     for name in ("semdedup_prune", "basket_part_pairs",
                  "bigram_triangle_count", "dsir_importance_weight",
-                 "embedding_power_iteration"):
+                 "embedding_power_iteration", "dedup_embedding_pq"):
         df = registry.QUERIES[name](spark, sf_dir)
         assert_not_in_plan(df, "CartesianProduct")
 
