@@ -307,6 +307,17 @@ ALL_OPS = [
     # acquisition / embedding-geometry batch (expected ~1: min-agg on
     # custkey + bounded cumsum; 64x posexplode into a 64-cell agg):
     "orders_customer_acquisition", "embedding_dim_variance",
+    # round-9: PQ-code-refined vector dedup (r8 verdict #4). Runs
+    # under the same IVF_K = sqrt(n_vecs) rule; candidate blocks are
+    # the IVF cell intersected with the 256-way PQ code partition, so
+    # the expected exponent sits BELOW dedup_embedding_cosine_ivf's
+    # ~1.5-by-design (the code tuple splits every cell block ~256
+    # ways; the measured pair volume is ~2 orders of magnitude
+    # smaller). semdedup_prune re-probes under its new
+    # _SEMDEDUP_CELL_CAP id-rank sub-bucketing (pass bar: last-step
+    # alpha <= ~1.15); cluster_topic_terms re-probes with the word
+    # marginal shuffle-joined instead of broadcast.
+    "dedup_embedding_pq",
 ]
 
 # Ops that read the relational fact tables — their presence in a
