@@ -434,6 +434,51 @@ def _ivf_d2(a, b) -> "F.Column":
     )
 
 
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / PQ_M)
+PQ_K = 4        # codewords per subspace
+PQ_ITERS = 2    # fixed k-means rounds per subspace (deterministic)
+
+
+def _pq_ctes(prefix: str = "") -> tuple[str, str]:
+    """(CTE chain, final-codebook CTE name) for the unrolled
+    ALL-subspace PQ k-means in DuckDB SQL. `prefix` renames every CTE
+    (``{prefix}ev``, ``{prefix}a0``, ...) so the chain can compose
+    with `_ivf_assign_ctes` (which owns the bare ``ev``/``a{i}``
+    names) inside one WITH — the `dedup_embedding_pq` oracle needs
+    BOTH quantizers. Final per-subspace assignment is
+    ``{prefix}a{PQ_ITERS}``."""
+    p = prefix
+    sql = f"""{p}ev AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m
+            FROM embeddings),
+        {p}c0 AS (SELECT m, vec_id AS cid, pos, val AS cval
+               FROM {p}ev WHERE vec_id < {PQ_K})"""
+    prev = f"{p}c0"
+    for i in range(PQ_ITERS + 1):
+        sql += f""",
+        {p}a{i} AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT e.vec_id, e.m, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, e.m
+                           ORDER BY round(sum((e.val - c.cval) * (e.val - c.cval)), 4),
+                                    c.cid) AS rn
+                FROM {p}ev e JOIN {prev} c ON e.m = c.m AND e.pos = c.pos
+                GROUP BY e.vec_id, e.m, c.cid) WHERE rn = 1)"""
+        if i < PQ_ITERS:
+            sql += f""",
+        {p}c{i + 1} AS (
+            SELECT a.m, a.cid, e.pos, round(avg(e.val), 4) AS cval
+            FROM {p}ev e JOIN {p}a{i} a ON e.vec_id = a.vec_id AND e.m = a.m
+            GROUP BY a.m, a.cid, e.pos)"""
+            prev = f"{p}c{i + 1}"
+    return sql, prev
+
+
+
 # Trained-quantizer memo: (applicationId, sf_dir, K) -> (inverted
 # file, centroids). See ivf_assignments' docstring.
 _IVF_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
@@ -1095,50 +1140,6 @@ def q_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Product quantization (PQ) ---------------------------------------------
-PQ_M = 4        # subspaces
-PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 / PQ_M)
-PQ_K = 4        # codewords per subspace
-PQ_ITERS = 2    # fixed k-means rounds per subspace (deterministic)
-
-
-def _pq_ctes(prefix: str = "") -> tuple[str, str]:
-    """(CTE chain, final-codebook CTE name) for the unrolled
-    ALL-subspace PQ k-means in DuckDB SQL. `prefix` renames every CTE
-    (``{prefix}ev``, ``{prefix}a0``, ...) so the chain can compose
-    with `_ivf_assign_ctes` (which owns the bare ``ev``/``a{i}``
-    names) inside one WITH — the `dedup_embedding_pq` oracle needs
-    BOTH quantizers. Final per-subspace assignment is
-    ``{prefix}a{PQ_ITERS}``."""
-    p = prefix
-    sql = f"""{p}ev AS (
-            SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-                   CAST(unnest(embedding) AS DOUBLE) AS val,
-                   (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS m
-            FROM embeddings),
-        {p}c0 AS (SELECT m, vec_id AS cid, pos, val AS cval
-               FROM {p}ev WHERE vec_id < {PQ_K})"""
-    prev = f"{p}c0"
-    for i in range(PQ_ITERS + 1):
-        sql += f""",
-        {p}a{i} AS (
-            SELECT vec_id, m, cid FROM (
-                SELECT e.vec_id, e.m, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id, e.m
-                           ORDER BY round(sum((e.val - c.cval) * (e.val - c.cval)), 4),
-                                    c.cid) AS rn
-                FROM {p}ev e JOIN {prev} c ON e.m = c.m AND e.pos = c.pos
-                GROUP BY e.vec_id, e.m, c.cid) WHERE rn = 1)"""
-        if i < PQ_ITERS:
-            sql += f""",
-        {p}c{i + 1} AS (
-            SELECT a.m, a.cid, e.pos, round(avg(e.val), 4) AS cval
-            FROM {p}ev e JOIN {p}a{i} a ON e.vec_id = a.vec_id AND e.m = a.m
-            GROUP BY a.m, a.cid, e.pos)"""
-            prev = f"{p}c{i + 1}"
-    return sql, prev
-
-
 def _pq_oracle() -> str:
     """Unrolled ALL-subspace k-means + encode in DuckDB SQL — the PQ
     twin of `_ivf_assign_ctes`: same deterministic init (vec_id <
