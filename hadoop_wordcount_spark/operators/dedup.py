@@ -932,6 +932,152 @@ def _banded_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_PREFIX = 256  # chars of normalized text fed to levenshtein
+_EDIT_TH = 0.5
+
+
+@query(
+    "dedup_edit_verify",
+    oracle=f"""{_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    px AS (
+        SELECT doc_id, substr({NORM_TEXT_SQL}, 1, {_EDIT_PREFIX}) AS px
+        FROM documents),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(1.0 - levenshtein(pa.px, pb.px) * 1.0 /
+                     greatest(greatest(length(pa.px), length(pb.px)), 1), 4)
+                   AS edit_sim
+        FROM cand c
+        JOIN px pa ON pa.doc_id = c.doc_a
+        JOIN px pb ON pb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, edit_sim FROM scored WHERE edit_sim >= {_EDIT_TH}
+    ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 20
+""",
+)
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-similarity verification of banded-LSH candidates — the
+    classic second verifier next to exact Jaccard
+    (`_banded_verified_pairs`): normalized Levenshtein similarity
+    1 - dist/max_len over the first 256 chars of
+    normalized text. Set-based Jaccard is blind to token ORDER;
+    edit distance is exactly the order-sensitive check, so pairs
+    passing both are near-dups in the strict sense (same content,
+    same sequence). Reference: WordCount's tokenizer discipline
+    (MapClass.java:22-27) fixes the normalization both verifiers
+    share.
+
+    Scale shape: candidates come from the shared banded self-join
+    (∝ true near-dups, never n²); Levenshtein runs per CANDIDATE
+    pair only and is prefix-bounded — O(256²) per pair
+    regardless of document length, JVM-side via the codegen'd
+    `levenshtein` expression, so the stage is flat per candidate at
+    any corpus size. Top-20 is a TakeOrderedAndProject k-heap."""
+    base = _minhash_base(spark, sf_dir)
+    cand = _band_pairs(base)
+    d = load_table(spark, sf_dir, "documents")
+    px = d.select(
+        "doc_id",
+        F.substring(norm_text(F.col("text")), 1, _EDIT_PREFIX).alias("px"),
+    )
+    pa = px.select(F.col("doc_id").alias("doc_a"), F.col("px").alias("px_a"))
+    pb = px.select(F.col("doc_id").alias("doc_b"), F.col("px").alias("px_b"))
+    j = cand.join(pa, "doc_a").join(pb, "doc_b")
+    maxlen = F.greatest(
+        F.greatest(F.length("px_a"), F.length("px_b")), F.lit(1)
+    )
+    sim = F.round(
+        F.lit(1.0)
+        - F.levenshtein("px_a", "px_b").cast("double") / maxlen,
+        4,
+    )
+    return (
+        j.select("doc_a", "doc_b", sim.alias("edit_sim"))
+        .filter(F.col("edit_sim") >= _EDIT_TH)
+        .orderBy(F.desc("edit_sim"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "minhash_estimator_calibration",
+    oracle=f"""{_minhash_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(range(1, {_N_HASHES} + 1),
+                               i -> sa.sig[i] = sb.sig[i])) AS n_match,
+               len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                   greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)
+                   AS jac
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b)
+    SELECT n_match,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jac), 4) AS avg_exact_jaccard,
+           round(n_match * 1.0 / {_N_HASHES}, 4) AS est_jaccard
+    FROM est GROUP BY n_match
+""",
+)
+def q_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration report: for every banded-LSH
+    candidate pair, the ESTIMATED Jaccard (fraction of matching
+    signature slots, k={_N_HASHES}) bucketed against the average
+    EXACT shingle Jaccard. E[matches/k] = J is the Broder'97
+    estimator guarantee; this report is how a production dedup
+    pipeline monitors that its signature scheme is calibrated
+    (a biased bucket means a broken hash family or shingle bug)
+    before trusting banding recall math.
+
+    Scale shape: the candidate stage is the shared banded self-join
+    (∝ true near-dups); the estimate is a k-slot array comparison
+    per pair, the exact Jaccard runs on candidates only, and the
+    rollup is ≤ k+1 rows. Nothing is corpus-pairwise."""
+    base = _minhash_base(spark, sf_dir)
+    cand = _band_pairs(base)
+    feats = base.select("doc_id", "sig", "shingles")
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    j = cand.join(fa, "doc_a").join(fb, "doc_b")
+    n_match = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_N_HASHES)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_ = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union_, F.lit(1))
+    return (
+        j.select(n_match.alias("n_match"), jac.alias("jac"))
+        .groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jac"), 4).alias("avg_exact_jaccard"),
+            F.round(
+                F.col("n_match") * F.lit(1.0) / _N_HASHES, 4
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 @query("dedup_minhash_banded", oracle=_ORACLE_MINHASH)
 def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH + exact-Jaccard verification,

@@ -7114,3 +7114,86 @@ def q_orders_customer_acquisition(
         F.col("n_new").cast("long").alias("n_new_customers"),
         F.col("n_total").cast("long").alias("n_customers_to_date"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+        WITH qi AS (
+            SELECT event_type,
+                   (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                   CAST(floor(value / 10.0) AS BIGINT) AS vband
+            FROM events),
+        cls AS (
+            SELECT event_type, hod, vband, count(*) AS n
+            FROM qi GROUP BY 1, 2, 3),
+        banded AS (
+            SELECT CASE WHEN n = 1 THEN 'k=1'
+                        WHEN n < 5 THEN 'k=2-4'
+                        WHEN n < 20 THEN 'k=5-19'
+                        ELSE 'k>=20' END AS k_band,
+                   n
+            FROM cls),
+        hist AS (
+            SELECT k_band,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(n) AS BIGINT) AS n_records
+            FROM banded GROUP BY k_band),
+        tot AS (SELECT sum(n_records) AS t FROM hist)
+        SELECT k_band, n_classes, n_records,
+               round(n_records * 1.0 / t, 4) AS record_share
+        FROM hist, tot
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the events feed (Sweeney 2002, public):
+    bucket every record by a quasi-identifier tuple — (event_type,
+    hour-of-day, value decaband) — and report how many equivalence
+    classes / records sit at each anonymity level (k=1 singletons are
+    directly re-identifiable; k<5 is the conventional risk line). A
+    training-data pipeline runs exactly this before releasing event
+    logs: `pii_scrub_report` removes explicit identifiers, this
+    audits the IMPLICIT ones.
+
+    Exactness: hour-of-day is epoch-ns integer math ((ns // 3.6e12)
+    % 24, the events_ohlc_hourly discipline); the value band is
+    floor(value/10) — integer group keys on both engines, so the
+    class census hash-matches exactly.
+
+    Plan: one (type, hod, vband)-keyed count (map-side combined — the
+    only corpus-sized exchange), a ≤4-row CASE rollup, and a 1-row
+    total broadcast back. At 100 TB: scan + one agg; class count is
+    bounded by |types| x 24 x |value bands|, flat in rows."""
+    e = load_table(spark, sf_dir, "events")
+    qi = e.select(
+        "event_type",
+        # integer `div`, NOT `/`: ts_ns ~1.7e18 exceeds double's
+        # 53-bit exact range, so float division could shift an hour
+        # boundary vs DuckDB's exact `//`
+        (F.expr("ts_ns div 3600000000000") % 24).alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vband"),
+    )
+    cls = qi.groupBy("event_type", "hod", "vband").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    banded = cls.select(
+        F.when(F.col("n") == 1, "k=1")
+        .when(F.col("n") < 5, "k=2-4")
+        .when(F.col("n") < 20, "k=5-19")
+        .otherwise("k>=20")
+        .alias("k_band"),
+        "n",
+    )
+    hist = banded.groupBy("k_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("n").cast("long").alias("n_records"),
+    )
+    tot = hist.agg(F.sum("n_records").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "k_band",
+        "n_classes",
+        "n_records",
+        F.round(F.col("n_records") * 1.0 / F.col("t"), 4).alias(
+            "record_share"
+        ),
+    )

@@ -1583,3 +1583,67 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s2", 4).alias("variance"),
         )
     )
+
+
+_CB_BETA = 0.999
+
+
+@query(
+    "class_balance_weights",
+    oracle=f"""
+        WITH per AS (
+            SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+        eff AS (
+            SELECT label, n_vecs,
+                   round((1.0 - pow({_CB_BETA}, n_vecs)) / (1.0 - {_CB_BETA}),
+                         4) AS effective_n
+            FROM per),
+        raw AS (
+            SELECT label, n_vecs, effective_n,
+                   1.0 / effective_n AS w_raw
+            FROM eff),
+        tot AS (SELECT sum(w_raw) AS s, count(*) AS k FROM raw)
+        SELECT r.label, CAST(r.n_vecs AS BIGINT) AS n_vecs, r.effective_n,
+               round(r.w_raw * t.k / t.s, 6) AS weight
+        FROM raw r, tot t
+    """,
+)
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights from the effective number of
+    samples (Cui et al., CVPR 2019 — public): per label,
+    E_n = (1 - beta^n) / (1 - beta) with beta=0.999, weight
+    proportional to 1/E_n and normalized to sum to the class count.
+    The canonical re-weighting for long-tailed training data — a
+    labeled-corpus pipeline computes exactly this table before
+    sampling (`mixture_temperature_weights` is the unlabeled/domain
+    twin; this is the supervised one).
+
+    Exactness: E_n rounds at 4dp on both engines before the
+    reciprocal, so the weight normalization divides identical
+    doubles; the only cross-engine risk is libm pow ulp noise under
+    the 4dp round — the `bigram_logprob` ln/log10 tolerance class.
+
+    Plan: one label-keyed count (map-side combined), a |labels|-row
+    projection, and a 1-row total broadcast back — scan + one agg at
+    any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    eff = per.select(
+        "label",
+        "n_vecs",
+        F.round(
+            (F.lit(1.0) - F.pow(F.lit(_CB_BETA), F.col("n_vecs")))
+            / (1.0 - _CB_BETA),
+            4,
+        ).alias("effective_n"),
+    )
+    raw = eff.withColumn("w_raw", F.lit(1.0) / F.col("effective_n"))
+    tot = raw.agg(
+        F.sum("w_raw").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "effective_n",
+        F.round(F.col("w_raw") * F.col("k") / F.col("s"), 6).alias("weight"),
+    )

@@ -57,6 +57,10 @@ _PRIORITY: list[str] = [
     # again (r8 verdict #6).
     # (a0) round-9 additions — never checked anywhere yet:
     "dedup_embedding_pq",
+    "dedup_edit_verify",
+    "k_anonymity_audit",
+    "minhash_estimator_calibration",
+    "class_balance_weights",
     # (a) round-8 additions, judge-verified, no driver row yet:
     "python_stream_sink",
     "events_changepoint_cusum",

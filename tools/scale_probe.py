@@ -514,8 +514,17 @@ def _save_store(store: dict) -> None:
 def main() -> None:
     argv = sys.argv[1:]
     ops = ALL_OPS
+    fixed_k = None
     if argv and argv[0] == "--ops":
         ops = argv[1].split(",")
+        argv = argv[2:]
+    if argv and argv[0] == "--ivf-k-fixed":
+        # Production-regime sub-ladder: hold the coarse quantizer at a
+        # FIXED K across factors (the SemDeDup/IVF-PQ deployment shape
+        # — train once / small fixed codebook, assignment linear in n)
+        # instead of the default K ~ sqrt(n) rule. Rows are recorded
+        # under "<op>@K<k>" so the two regimes never mix in the store.
+        fixed_k = int(argv[1])
         argv = argv[2:]
     factors = [int(a) for a in argv] or [1, 4, 16, 64]
     unknown = [o for o in ops if o not in ALL_OPS]
@@ -531,13 +540,15 @@ def main() -> None:
         store["base_docs"] = n_docs // n
         big = spark.read.parquet(os.path.join(path, "documents.parquet"))
         # K ~ sqrt(n): the IVF docstring's own scale rule (see module
-        # docstring — expected exponent ~1.5 at the optimal K).
-        similarity.IVF_K = max(8, int(math.sqrt(n_vecs)))
+        # docstring — expected exponent ~1.5 at the optimal K), unless
+        # --ivf-k-fixed pins the production fixed-codebook regime.
+        similarity.IVF_K = fixed_k or max(8, int(math.sqrt(n_vecs)))
 
         def timed(name: str, thunk) -> None:
+            rec = f"{name}@K{fixed_k}" if fixed_k else name
             t0 = time.perf_counter()
             thunk()
-            store["times"].setdefault(name, {})[str(n)] = round(
+            store["times"].setdefault(rec, {})[str(n)] = round(
                 time.perf_counter() - t0, 2
             )
 
@@ -575,7 +586,8 @@ def main() -> None:
         # memory does not accumulate.
         spark.catalog.clearCache()
         print(f"{n}x: docs={n_docs} " + " ".join(
-            f"{o}={store['times'][o][str(n)]}s" for o in ops
+            f"{o}={store['times'][f'{o}@K{fixed_k}' if fixed_k else o][str(n)]}s"
+            for o in ops
         ), flush=True)
         _save_store(store)
         _write_md(store)
