@@ -645,7 +645,21 @@ def _write_md(store: dict) -> None:
         "dedup_embedding_cosine_ivf runs with IVF_K = sqrt(n_vecs) "
         "(its docstring's scale rule): single-probe IVF with exact "
         "within-cell scoring is Theta(n^1.5) at optimal K by design — "
-        "~1.5, not ~1.0, is its pass bar (brute force is 2.0).", "",
+        "~1.5, not ~1.0, is its pass bar (brute force is 2.0). "
+        "Quantizer billing (round 9): dedup_embedding_cosine_ivf runs "
+        "FIRST in its factor group and pays the shared k-means "
+        "training; semdedup_prune / cluster_topic_terms / "
+        "dedup_embedding_pq consume the warm memo, so their rows are "
+        "MARGINAL cost — the per-operator work their fixes bound "
+        "(semdedup's id-rank cell cap, the shuffle-joined word "
+        "marginal, the PQ-code-refined pair blocks). Rows suffixed "
+        "@K<k> come from the --ivf-k-fixed production-regime "
+        "sub-ladder: the quantizer K is HELD FIXED across factors "
+        "(the SemDeDup / IVF-PQ deployment shape — small fixed "
+        "codebook, assignment linear in n), so those rows INCLUDE "
+        "training and are expected ~1 end-to-end; the cell-size cap "
+        "is what keeps the pair stage safe as cells grow with n/K.",
+        "",
         "alpha: observed exponent in t ~ docs^alpha — least-squares over "
         "all factors (biased low by fixed job overhead at small N) and "
         "the last-step slope (the asymptotic read). ~1 linear, ~2 "
@@ -658,7 +672,8 @@ def _write_md(store: dict) -> None:
         + " | alpha (lsq) | alpha (last step) |",
         "|---|" + "---|" * (len(factors) + 2),
     ]
-    for o in ALL_OPS:
+    fixed_k_rows = sorted(o for o in times if "@K" in o)
+    for o in ALL_OPS + fixed_k_rows:
         if o not in times:
             continue
         lsq, last = fit_alpha(times[o])
