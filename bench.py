@@ -134,6 +134,9 @@ def main() -> None:
                 "dedup_incremental",
                 "dedup_ngram_jaccard_lsh",
                 "pipeline_curate",
+                "dedup_edit_verify",
+                "minhash_estimator_calibration",
+                "dedup_cluster_purity",
             },
         ),
         "ivf_quantizer": (
@@ -145,6 +148,7 @@ def main() -> None:
                 "contrastive_hard_negatives",
                 "cluster_topic_terms",
                 "semdedup_prune",
+                "dedup_embedding_pq",
             },
         ),
     }

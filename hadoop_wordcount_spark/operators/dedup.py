@@ -395,14 +395,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Manku block-combination tables (Manku/Jain/Das Sarma, WWW'07
+# "Detecting near-duplicates for web crawling"): split the 60-bit
+# sketch into 5 disjoint 12-bit blocks; 3 flipped bits ruin at most 3
+# blocks, so >= 2 blocks survive intact and their C(5,2)=10
+# combinations — each a 24-bit table key — guarantee every
+# Hamming<=3 pair one exact key collision.
+_SIMHASH_TABLES = [
+    (t, i, j)
+    for t, (i, j) in enumerate(
+        (i, j) for i in range(5) for j in range(i + 1, 5)
+    )
+]
+_SIMHASH_TABLE_VALUES = ", ".join(f"({t}, {i}, {j})" for t, i, j in _SIMHASH_TABLES)
+
+
 @query(
     "dedup_simhash_pairs",
     oracle=f"""
         WITH {_ORACLE_SIMHASH_CTES},
         bands AS (
-            SELECT doc_id, simhash, t.b AS b,
-                   (simhash >> (CAST(t.b AS INT) * 15)) & 32767 AS bkey
-            FROM sh, unnest(range(0, 4)) AS t(b)),
+            SELECT doc_id, simhash, t.t AS b,
+                   (((simhash >> (t.i * 12)) & 4095) * 4096 +
+                    ((simhash >> (t.j * 12)) & 4095)) AS bkey
+            FROM sh, (VALUES {_SIMHASH_TABLE_VALUES}) AS t(t, i, j)),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.simhash AS sh_a, b.simhash AS sh_b
@@ -415,22 +431,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS: Hamming distance <= 3 over the 60-bit
-    sketches, candidates blocked by the pigeonhole bands — split the
-    sketch into 4 disjoint 15-bit blocks; any pair within Hamming 3
-    shares at least one block EXACTLY (3 flipped bits can ruin at most
-    3 of 4 blocks), so the band equi-join has guaranteed recall, never
-    an all-pairs scan. This completes the SimHash story: sketch
-    (`dedup_simhash`) → blocked join → verified pairs.
+    sketches, candidates blocked by Manku block-combination tables
+    (WWW'07): the sketch splits into 5 disjoint 12-bit blocks, and
+    each of the C(5,2)=10 block PAIRS forms a 24-bit table key. Three
+    flipped bits ruin at most 3 of 5 blocks, so every Hamming<=3 pair
+    keeps >= 2 intact blocks — their combination key collides exactly,
+    giving the equi-join guaranteed recall, never an all-pairs scan.
+    Output is IDENTICAL to the earlier 4 x 15-bit pigeonhole banding
+    (same sketch, same verify); only candidate generation changed.
 
-    At 100 TB: chance candidates are ~n²/2^15 per band plus true
-    near-dups. The round-3 32-bit/8-bit-band version went measurably
-    quadratic at 80k docs (n²/256 band collisions; scale probe alpha
-    2.3) — 15-bit bands cut chance collisions 128x, and 15 hex md5
-    chars (60 bits) is the widest fold that stays inside signed
-    BIGINT in BOTH engines, keeping the oracle exact. One
-    aggregation shuffle for sketches (cached, shared across both
-    sides), one equi-join shuffle on (block, key); xor+bit_count
-    verification is codegen'd integer math on candidates only.
+    Why: fixed-width band keys saturate — chance candidates are
+    ~n²/2^(key bits). The 15-bit-band regime measured last-step alpha
+    1.25 at the 256x ladder rung (679 s; ~1e8 chance candidates at
+    1.28M docs): the onset of its n²/2^15 term. 24-bit combination
+    keys cut chance collisions 2^9 = 512x for 2.5x more band rows —
+    the published simhash-at-web-scale construction (Manku et al. use
+    exactly this block-combination family). The 60-bit sketch itself
+    is unchanged: 15 hex md5 chars is the widest fold inside signed
+    BIGINT on BOTH engines, keeping the oracle exact. One aggregation
+    shuffle for sketches (cached, shared across both sides), one
+    equi-join shuffle on (table, key); xor+bit_count verification is
+    codegen'd integer math on candidates only.
     """
     sh = _simhash_table(spark, sf_dir)
     bands = sh.select(
@@ -440,12 +461,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftright(F.col("simhash"), 15 * b)
-                        .bitwiseAND(F.lit(32767))
-                        .alias("bkey"),
+                        F.lit(t).alias("b"),
+                        (
+                            F.shiftright(F.col("simhash"), 12 * i)
+                            .bitwiseAND(F.lit(4095))
+                            * 4096
+                            + F.shiftright(F.col("simhash"), 12 * j)
+                            .bitwiseAND(F.lit(4095))
+                        ).alias("bkey"),
                     )
-                    for b in range(4)
+                    for t, i, j in _SIMHASH_TABLES
                 ]
             )
         ).alias("band"),
@@ -1367,6 +1392,70 @@ _ORACLE_CLUSTERS_CTE = """
         clusters AS (
             SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
 """
+
+
+@query(
+    "dedup_cluster_purity",
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_CLUSTERS_CTE},
+        m AS (
+            SELECT c.cluster_id, d.lang, count(*) AS n
+            FROM clusters c JOIN documents d USING (doc_id)
+            GROUP BY 1, 2),
+        tot AS (SELECT cluster_id, sum(n) AS n_members FROM m GROUP BY 1),
+        r AS (
+            SELECT cluster_id, lang, n,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n DESC, lang) AS rn
+            FROM m)
+        SELECT CAST(r.cluster_id AS BIGINT) AS cluster_id,
+               CAST(t.n_members AS BIGINT) AS n_members,
+               r.lang AS top_lang,
+               round(r.n * 1.0 / t.n_members, 4) AS purity
+        FROM r JOIN tot t USING (cluster_id) WHERE rn = 1
+    """,
+)
+def q_dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per near-dup cluster: majority-language share
+    of each connected component — the cluster-QUALITY audit between
+    `dedup_graph_degree_report` (hub detection on the pair graph) and
+    `dedup_cluster_representatives` (keep-one selection). A cluster
+    whose members span languages is almost never true duplication;
+    it is a template/boilerplate hub chaining unrelated documents —
+    production pipelines read exactly this report before collapsing
+    clusters to one representative (a mixed cluster keeps per-lang
+    representatives instead).
+
+    Plan: composes the verified operators (shared banded pair stage →
+    iterative CC, DuckDB recursive-CTE fixpoint oracle) with one
+    dimension join and two cluster-keyed aggregations; the argmax is
+    min(struct(-count, lang)) — map-side partials, deterministic
+    (count DESC, lang ASC) tiebreak, no window over raw members.
+    Cluster count ∝ true near-dups, so every exchange past the pair
+    stage is tiny at any corpus size."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    m = (
+        clusters.join(d, "doc_id")
+        .groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = F.min(
+        F.struct((-F.col("n")).alias("neg_n"), F.col("lang").alias("lang"))
+    )
+    return (
+        m.groupBy("cluster_id")
+        .agg(F.sum("n").alias("n_members"), best.alias("b"))
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("b.lang").alias("top_lang"),
+            F.round((-F.col("b.neg_n")) * 1.0 / F.col("n_members"), 4).alias(
+                "purity"
+            ),
+        )
+    )
 
 
 @query(

@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "k_anonymity_audit",
     "minhash_estimator_calibration",
     "class_balance_weights",
+    "dedup_cluster_purity",
     # (a) round-8 additions, judge-verified, no driver row yet:
     "python_stream_sink",
     "events_changepoint_cusum",

@@ -134,3 +134,32 @@ def test_semdedup_cell_cap_parity_with_small_cap(spark, monkeypatch):
         spark, SF_SMALL, "semdedup_prune_cap8", dedup.q_semdedup_prune, oracle
     )
     assert err is None, err
+
+
+def test_simhash_manku_banding_full_recall(spark):
+    """The Manku block-combination candidate stage must recover
+    EXACTLY the brute-force Hamming<=3 pair set — banding is an
+    optimization, never a semantics change."""
+    import pyspark.sql.functions as F
+
+    from hadoop_wordcount_spark.operators.dedup import (
+        _simhash_table,
+        q_dedup_simhash_pairs,
+    )
+
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_dedup_simhash_pairs(spark, SF_SMALL).collect()
+    }
+    sh = _simhash_table(spark, SF_SMALL)
+    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    brute = {
+        (r["da"], r["db"]): r["h"]
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", ham.alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute

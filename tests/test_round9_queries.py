@@ -105,3 +105,17 @@ def test_pq_candidates_subset_of_ivf_blocks(spark):
     cid = {r["vec_id"]: r["cid"] for r in cells.collect()}
     for r in pairs:
         assert cid[r["vec_a"]] == cid[r["vec_b"]]
+
+
+def test_cluster_purity_shape(spark):
+    rows = _q("dedup_cluster_purity")(spark, SF_SMALL).collect()
+    assert rows, "near-dup clusters exist at sf0.001"
+    from hadoop_wordcount_spark.operators.dedup import q_dedup_clusters
+
+    clustered = q_dedup_clusters(spark, SF_SMALL).count()
+    assert sum(r["n_members"] for r in rows) == clustered
+    for r in rows:
+        assert r["n_members"] >= 2  # every clustered doc has a partner
+        assert 0.0 < r["purity"] <= 1.0
+        # majority share can never be below 1/n_members
+        assert r["purity"] >= 1.0 / r["n_members"] - 1e-9
