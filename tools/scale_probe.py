@@ -318,6 +318,15 @@ ALL_OPS = [
     # alpha <= ~1.15); cluster_topic_terms re-probes with the word
     # marginal shuffle-joined instead of broadcast.
     "dedup_embedding_pq",
+    # round-9 coverage batch (expected ~1: edit-verify and the
+    # estimator calibration ride the banded candidate stage — exact
+    # work per CANDIDATE, prefix-bounded Levenshtein / k-slot array
+    # compare; cluster purity is the CC fixpoint + one dim join +
+    # two cluster-keyed aggs; k-anonymity is one map-side-combined
+    # class census; class-balance is one label count + 1-row
+    # normalization):
+    "dedup_edit_verify", "minhash_estimator_calibration",
+    "dedup_cluster_purity", "k_anonymity_audit", "class_balance_weights",
 ]
 
 # Ops that read the relational fact tables — their presence in a
