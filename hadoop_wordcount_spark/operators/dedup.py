@@ -420,13 +420,16 @@ _SIMHASH_TABLE_VALUES = ", ".join(f"({t}, {i}, {j})" for t, i, j in _SIMHASH_TAB
                     ((simhash >> (t.j * 12)) & 4095)) AS bkey
             FROM sh, (VALUES {_SIMHASH_TABLE_VALUES}) AS t(t, i, j)),
         cand AS (
+            -- Hamming filter INSIDE the DISTINCT (mirrors the Spark
+            -- plan: verify map-side, dedup only surviving pairs)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.simhash AS sh_a, b.simhash AS sh_b
             FROM bands a JOIN bands b
-              ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+              ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        FROM cand
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,19 +487,25 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("b2"),
         F.col("bkey").alias("bkey2"),
     )
-    cand = (
-        a.join(
-            b_,
-            (F.col("b") == F.col("b2"))
-            & (F.col("bkey") == F.col("bkey2"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    # Hamming filter BEFORE the pair dedup: on a homogeneous corpus
+    # sketches concentrate, so band collisions are plentiful (~2.5M
+    # per 5k-doc replica measured at the 256x rung) even though they
+    # are LINEAR in replica count. Verifying is a codegen'd xor+
+    # bit_count right on the join output — map-side, no shuffle — so
+    # the dropDuplicates exchange carries only true-pair multiples
+    # (<= 10x final pairs), not every chance collision (the
+    # filter-after-dedup order shuffled 629M rows at the 256x rung
+    # and went superlinear on spill).
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.filter(ham <= 3).select(
-        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    hits = a.join(
+        b_,
+        (F.col("b") == F.col("b2"))
+        & (F.col("bkey") == F.col("bkey2"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).filter(ham <= 3)
+    return (
+        hits.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
