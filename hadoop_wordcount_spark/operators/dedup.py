@@ -420,13 +420,26 @@ _SIMHASH_TABLE_VALUES = ", ".join(f"({t}, {i}, {j})" for t, i, j in _SIMHASH_TAB
                     ((simhash >> (t.j * 12)) & 4095)) AS bkey
             FROM sh, (VALUES {_SIMHASH_TABLE_VALUES}) AS t(t, i, j)),
         cand AS (
-            -- Hamming filter INSIDE the DISTINCT (mirrors the Spark
-            -- plan: verify map-side, dedup only surviving pairs)
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            -- first-collision ownership: a pair is emitted ONLY by
+            -- the lowest table where its keys collide (the guard
+            -- checks every earlier table from the two sketches
+            -- row-wise), so each pair appears exactly once and no
+            -- DISTINCT / pair-level shuffle is needed
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.simhash AS sh_a, b.simhash AS sh_b
             FROM bands a JOIN bands b
               ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              AND (a.b <= 0 OR (((a.simhash >> 0) & 4095) * 4096 + ((a.simhash >> 12) & 4095)) <> (((b.simhash >> 0) & 4095) * 4096 + ((b.simhash >> 12) & 4095)))
+                  AND (a.b <= 1 OR (((a.simhash >> 0) & 4095) * 4096 + ((a.simhash >> 24) & 4095)) <> (((b.simhash >> 0) & 4095) * 4096 + ((b.simhash >> 24) & 4095)))
+                  AND (a.b <= 2 OR (((a.simhash >> 0) & 4095) * 4096 + ((a.simhash >> 36) & 4095)) <> (((b.simhash >> 0) & 4095) * 4096 + ((b.simhash >> 36) & 4095)))
+                  AND (a.b <= 3 OR (((a.simhash >> 0) & 4095) * 4096 + ((a.simhash >> 48) & 4095)) <> (((b.simhash >> 0) & 4095) * 4096 + ((b.simhash >> 48) & 4095)))
+                  AND (a.b <= 4 OR (((a.simhash >> 12) & 4095) * 4096 + ((a.simhash >> 24) & 4095)) <> (((b.simhash >> 12) & 4095) * 4096 + ((b.simhash >> 24) & 4095)))
+                  AND (a.b <= 5 OR (((a.simhash >> 12) & 4095) * 4096 + ((a.simhash >> 36) & 4095)) <> (((b.simhash >> 12) & 4095) * 4096 + ((b.simhash >> 36) & 4095)))
+                  AND (a.b <= 6 OR (((a.simhash >> 12) & 4095) * 4096 + ((a.simhash >> 48) & 4095)) <> (((b.simhash >> 12) & 4095) * 4096 + ((b.simhash >> 48) & 4095)))
+                  AND (a.b <= 7 OR (((a.simhash >> 24) & 4095) * 4096 + ((a.simhash >> 36) & 4095)) <> (((b.simhash >> 24) & 4095) * 4096 + ((b.simhash >> 36) & 4095)))
+                  AND (a.b <= 8 OR (((a.simhash >> 24) & 4095) * 4096 + ((a.simhash >> 48) & 4095)) <> (((b.simhash >> 24) & 4095) * 4096 + ((b.simhash >> 48) & 4095)))
+                  AND (a.b <= 9 OR (((a.simhash >> 36) & 4095) * 4096 + ((a.simhash >> 48) & 4095)) <> (((b.simhash >> 36) & 4095) * 4096 + ((b.simhash >> 48) & 4095))))
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         FROM cand
@@ -487,25 +500,39 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("b2"),
         F.col("bkey").alias("bkey2"),
     )
-    # Hamming filter BEFORE the pair dedup: on a homogeneous corpus
-    # sketches concentrate, so band collisions are plentiful (~2.5M
-    # per 5k-doc replica measured at the 256x rung) even though they
-    # are LINEAR in replica count. Verifying is a codegen'd xor+
-    # bit_count right on the join output — map-side, no shuffle — so
-    # the dropDuplicates exchange carries only true-pair multiples
-    # (<= 10x final pairs), not every chance collision (the
-    # filter-after-dedup order shuffled 629M rows at the 256x rung
-    # and went superlinear on spill).
+    # Verify + dedup entirely MAP-SIDE on the join output: the
+    # Hamming check is codegen'd xor+bit_count, and uniqueness comes
+    # from FIRST-COLLISION OWNERSHIP (the interval_overlap_pairs
+    # trick): a pair is emitted only by the lowest table whose keys
+    # collide — every earlier table's keys are recomputed from the
+    # two sketches row-wise, so no dropDuplicates exchange exists at
+    # all. That exchange was the scale killer: on a homogeneous
+    # corpus sketches CONCENTRATE, so ~all band collisions are true
+    # Hamming<=3 pairs (88M output pairs at the 256x ladder rung,
+    # linear in replicas — 4.17x the 64x count) and deduping them
+    # shuffled ~630M rows through 32 fixed local partitions.
+    def _tkey(col: Column, i: int, j: int) -> Column:
+        return (
+            F.shiftright(col, 12 * i).bitwiseAND(F.lit(4095)) * 4096
+            + F.shiftright(col, 12 * j).bitwiseAND(F.lit(4095))
+        )
+
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    hits = a.join(
-        b_,
-        (F.col("b") == F.col("b2"))
-        & (F.col("bkey") == F.col("bkey2"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    ).filter(ham <= 3)
+    first_owner = F.lit(True)
+    for t, i, j in _SIMHASH_TABLES:
+        first_owner = first_owner & (
+            (F.col("b") <= t)
+            | (_tkey(F.col("sh_a"), i, j) != _tkey(F.col("sh_b"), i, j))
+        )
     return (
-        hits.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        a.join(
+            b_,
+            (F.col("b") == F.col("b2"))
+            & (F.col("bkey") == F.col("bkey2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter((ham <= 3) & first_owner)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
 
 
