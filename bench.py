@@ -24,13 +24,30 @@ artifacts (the accumulated 269-query cache landed a shared build on
 whichever consumer ran first alphabetically, e.g. a 44.9 s "warm"
 row for a 1.9 s query) and was dropped per the r7 verdict.
 
-Host-steal canary: a fixed CPU-bound probe pair (pure-Python spin +
-``word_count`` at sf0.01) is timed before, midway through, and after
-the sweep and published under ``canary`` — round-over-round tail
-comparisons should first normalize by the canary ratio. The r7
-driver tail ran a near-uniform 1.38x slower than r6 across unrelated
-families (hypervisor steal), which was only diagnosable indirectly;
-the canary makes it attributable at a glance.
+Host-steal canary: a fixed CPU-bound probe set is timed before,
+midway through, and after the sweep and published under ``canary`` —
+round-over-round tail comparisons should first normalize by the
+canary ratio. The r7 driver tail ran a near-uniform 1.38x slower
+than r6 across unrelated families (hypervisor steal), which was only
+diagnosable indirectly; the canary makes it attributable at a
+glance. Probes:
+
+- ``python_spin_s``: single-thread pure-Python spin (raw host CPU,
+  no JVM).
+- ``mp_spin32_s``: the SAME spin forked across 32 processes —
+  saturates every core, so it sees contention on the other 31 cores
+  that the single-thread spin is blind to (the r9 blind spot: the
+  driver tail ran ~1.6x slow uniformly while the 1-thread spin
+  stayed flat; r9 verdict "What's wrong" #3).
+- ``jvm_hash32_s``: a fixed 32-partition xxhash64 reduce over
+  ``spark.range`` — the parallel Spark task path itself (JVM thread
+  scheduling + whole-stage codegen), zero I/O, constant work.
+- ``word_count_sf001_s``: the Spark task path end-to-end incl. scan.
+
+``vs_prior`` reports the tail median ratio of this run against the
+committed standing BENCH.json, both raw and divided by the
+multicore canary ratio — so a uniform host-steal round reads ~1.0
+normalized and never needs adjudicating again.
 """
 
 from __future__ import annotations
@@ -51,17 +68,42 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CANARY_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _canary_probe(spark) -> dict[str, float]:
-    """Fixed CPU-bound probe: a pure-Python spin (measures raw host
-    CPU / hypervisor steal, no JVM involved) and word_count at sf0.01
-    (measures the Spark task path). Constant work by construction —
-    any round-over-round drift in these numbers is the HOST, not the
-    queries, so tail comparisons divide by the canary ratio first."""
-    t0 = time.perf_counter()
+def _spin(n: int = 5_000_000) -> int:
     acc = 0
-    for i in range(5_000_000):
+    for i in range(n):
         acc += i * i
+    return acc
+
+
+def _canary_probe(spark) -> dict[str, float]:
+    """Fixed CPU-bound probes (see module docstring). Constant work
+    by construction — any round-over-round drift in these numbers is
+    the HOST, not the queries, so tail comparisons divide by the
+    canary ratio first. ``mp_spin32_s`` / ``jvm_hash32_s`` saturate
+    all 32 cores; the single-thread spin alone missed the r9 drift
+    because hypervisor steal hit the OTHER 31 cores."""
+    t0 = time.perf_counter()
+    _spin()
     py_s = time.perf_counter() - t0
+
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    with ctx.Pool(32) as pool:
+        pool.map(_spin, [5_000_000] * 32)
+    mp_s = time.perf_counter() - t0
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    # max (not sum): sum of 160M xxhash64 values overflows long
+    # under ANSI mode; max still forces every hash to evaluate.
+    spark.range(0, 160_000_000, 1, 32).select(
+        F.max(F.xxhash64("id"))
+    ).write.format("noop").mode("overwrite").save()
+    jvm_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     registry.QUERIES["word_count"](spark, CANARY_SF_DIR).write.format(
         "noop"
@@ -69,7 +111,65 @@ def _canary_probe(spark) -> dict[str, float]:
     wc_s = time.perf_counter() - t0
     return {
         "python_spin_s": round(py_s, 3),
+        "mp_spin32_s": round(mp_s, 3),
+        "jvm_hash32_s": round(jvm_s, 3),
         "word_count_sf001_s": round(wc_s, 3),
+    }
+
+
+def _vs_prior(timings: dict[str, float], canary: dict) -> dict | None:
+    """Tail-median comparison against the committed standing
+    BENCH.json, raw and canary-normalized. The canary ratio prefers
+    the multicore probes (median of per-probe-point ratios across
+    mp_spin32_s / jvm_hash32_s), falling back to the probes the
+    prior artifact actually has."""
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    prior_q = prior.get("queries") or {}
+    common = [
+        n
+        for n in timings
+        if n in prior_q and timings[n] > 0 and prior_q[n] > 0
+    ]
+    if len(common) < 10:
+        return None
+    ratios = sorted(timings[n] / prior_q[n] for n in common)
+    median_raw = ratios[len(ratios) // 2]
+
+    prior_canary = prior.get("canary") or {}
+    probe_ratios: list[float] = []
+    probes_used: list[str] = []
+    for probe in ("mp_spin32_s", "jvm_hash32_s", "word_count_sf001_s",
+                  "python_spin_s"):
+        pts = []
+        for point in ("start", "mid", "end"):
+            cur = (canary.get(point) or {}).get(probe)
+            prev = (prior_canary.get(point) or {}).get(probe)
+            if cur and prev:
+                pts.append(cur / prev)
+        if pts:
+            probe_ratios.append(sorted(pts)[len(pts) // 2])
+            probes_used.append(probe)
+        if len(probe_ratios) == 2:
+            break  # the two strongest available probes suffice
+    if not probe_ratios:
+        return {"n_common": len(common),
+                "median_ratio_raw": round(median_raw, 3)}
+    canary_ratio = sum(probe_ratios) / len(probe_ratios)
+    return {
+        "n_common": len(common),
+        "median_ratio_raw": round(median_raw, 3),
+        "canary_ratio": round(canary_ratio, 3),
+        "canary_probes": probes_used,
+        "median_ratio_canary_normalized": round(
+            median_raw / canary_ratio, 3
+        ),
     }
 
 
@@ -159,6 +259,13 @@ def main() -> None:
 
     names = sorted(registry.QUERIES)
     midpoint = len(names) // 2
+    # Warm the canary's own JVM probe plan once so the "start" point
+    # measures the host, not first-call codegen (~4s one-time).
+    from pyspark.sql import functions as F
+
+    spark.range(0, 1_000_000, 1, 32).select(
+        F.max(F.xxhash64("id"))
+    ).write.format("noop").mode("overwrite").save()
     canary = {"start": _canary_probe(spark)}
 
     t_total = time.perf_counter()
@@ -208,6 +315,9 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "canary": canary,
     }
+    vs_prior = _vs_prior(timings, canary)
+    if vs_prior:
+        out["vs_prior"] = vs_prior
     if stage_times:
         out["shared_stages"] = stage_times
 

@@ -688,6 +688,7 @@ def _pq_cosine_oracle() -> str:
         for mi in range(PQ_M)
     )
     code_eq = " AND ".join(f"a.code{mi} = b.code{mi}" for mi in range(PQ_M))
+    side_codes = ", ".join(f"k.code{mi}" for mi in range(PQ_M))
     return f"""
         WITH {ivf_ctes},
         {pq_chain},
@@ -696,7 +697,7 @@ def _pq_cosine_oracle() -> str:
             FROM pa{PQ_ITERS} GROUP BY vec_id),
         side AS (
             SELECT e.vec_id, e.embedding, c.cid,
-                   k.code0, k.code1, k.code2, k.code3
+                   {side_codes}
             FROM embeddings e
             JOIN a{IVF_ITERS} c USING (vec_id)
             JOIN codes k USING (vec_id)),

@@ -1600,9 +1600,9 @@ _CB_BETA = 0.999
             FROM per),
         raw AS (
             SELECT label, n_vecs, effective_n,
-                   1.0 / effective_n AS w_raw
+                   round(1.0 / effective_n, 8) AS w_raw
             FROM eff),
-        tot AS (SELECT sum(w_raw) AS s, count(*) AS k FROM raw)
+        tot AS (SELECT round(sum(w_raw), 8) AS s, count(*) AS k FROM raw)
         SELECT r.label, CAST(r.n_vecs AS BIGINT) AS n_vecs, r.effective_n,
                round(r.w_raw * t.k / t.s, 6) AS weight
         FROM raw r, tot t
@@ -1619,9 +1619,12 @@ def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; this is the supervised one).
 
     Exactness: E_n rounds at 4dp on both engines before the
-    reciprocal, so the weight normalization divides identical
-    doubles; the only cross-engine risk is libm pow ulp noise under
-    the 4dp round — the `bigram_logprob` ln/log10 tolerance class.
+    reciprocal; w_raw AND its total both round at 8dp before the
+    normalization divide, so neither engine's SUMMATION ORDER can
+    shift the 6dp weight (DuckDB scans sequentially, Spark sums
+    partition partials — r9 ADVICE). Remaining cross-engine risk is
+    libm pow ulp noise under the 4dp round — the `bigram_logprob`
+    ln/log10 tolerance class.
 
     Plan: one label-keyed count (map-side combined), a |labels|-row
     projection, and a 1-row total broadcast back — scan + one agg at
@@ -1637,9 +1640,12 @@ def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("effective_n"),
     )
-    raw = eff.withColumn("w_raw", F.lit(1.0) / F.col("effective_n"))
+    raw = eff.withColumn(
+        "w_raw", F.round(F.lit(1.0) / F.col("effective_n"), 8)
+    )
     tot = raw.agg(
-        F.sum("w_raw").alias("s"), F.count(F.lit(1)).alias("k")
+        F.round(F.sum("w_raw"), 8).alias("s"),
+        F.count(F.lit(1)).alias("k"),
     )
     return raw.crossJoin(F.broadcast(tot)).select(
         "label",

@@ -6,10 +6,36 @@ DuckDB oracle SQL string over the pre-registered table views
 (``region nation customer supplier part orders lineitem events
 documents embeddings``). ``__spark_entry__.py`` re-exports these for
 the driver's correctness harness.
+
+Verification-priority order is LEDGER-DRIVEN, not hand-maintained.
+The driver's correctness harness walks ``queries()`` in iteration
+order under a ~50-row budget, so the order decides which entries get
+a fresh hard-signal row each round. Rounds 8 and 9 both shipped
+hand-curated ``_PRIORITY`` heads whose arithmetic went stale within
+one round (r8 verdict #6, r9 verdict #1 + ADVICE). The fix is to
+stop hand-writing it: ``load_all()`` reads the committed
+``CORRECTNESS_r*.json`` ledgers and orders oracled entries by
+
+    (latest fully-green ledger round, md5(name))
+
+ascending — so never-ledgered entries (round 0) and entries whose
+LATEST row was not fully green (requeued as round 0) always iterate
+first, the stalest-rowed entries fill the rest of the budget, and
+the md5 tiebreak interleaves families so a bursty host steal-window
+cannot contaminate a whole family at once (the r04
+alphabetical-block anomaly, see DEVNOTES). Rows-only entries (no
+ANSI oracle by design) stay permanently last — a driver slot spent
+on an ``err: no_oracle`` row is a wasted slot (r7 verdict #5).
+``tests/test_registry_budget.py`` asserts the ordering invariants.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
+import os
+import re
 from collections.abc import Callable
 from typing import Optional
 
@@ -35,101 +61,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Verification-priority order. The driver's correctness harness walks
-# ``queries()`` in iteration order under a budget (each round checks
-# ~50 entries), so queries that most need a hard-signal row this round
-# must iterate FIRST. Interleaving also spreads families out
-# (streaming entries are never a contiguous block) so a bursty host
-# steal-window cannot contaminate a whole family at once (see
-# DEVNOTES on the r04 alphabetical-block anomaly).
-_PRIORITY: list[str] = [
-    # -- Round-9 verification head, exactly the 50-row driver budget.
-    # The r8 verdict's #1 directive: (a) the 15 late round-8 additions
-    # with no official driver row yet (judge-verified green in the r8
-    # session via the same compare_query mirror — any failure here is
-    # a regression), then (b) 35 of the 41 oldest-rowed oracled
-    # entries (last green row r03), families interleaved.
-    # 15 + 35 = 50 = one round budget. Rows-only entries live in
-    # _ROWS_ONLY_TAIL at the very end — a driver slot spent on an
-    # `err: no_oracle` row is a wasted slot (r7 verdict #5).
-    # tests/test_registry_budget.py asserts the never-checked set
-    # forms a prefix of this order, so the arithmetic can't go stale
-    # again (r8 verdict #6).
-    # (a0) round-9 additions — never checked anywhere yet:
-    "dedup_embedding_pq",
-    "dedup_edit_verify",
-    "k_anonymity_audit",
-    "minhash_estimator_calibration",
-    "class_balance_weights",
-    "dedup_cluster_purity",
-    # (a) round-8 additions, judge-verified, no driver row yet:
-    "python_stream_sink",
-    "events_changepoint_cusum",
-    "value_decile_bins",
-    "bigram_khop_reach",
-    "events_anova_f",
-    "chi_square_independence",
-    "word_burstiness_dispersion",
-    "lineitem_weighted_median",
-    "values_benford_audit",
-    "supplier_herfindahl_by_type",
-    "orders_yoy_growth",
-    "events_gini_user_activity",
-    "nation_revenue_share_report",
-    "orders_customer_acquisition",
-    "embedding_dim_variance",
-    # (b) oldest-rowed re-checks (last row r03), interleaved:
-    "word_count",
-    "streaming_dedup",
-    "bigram_logprob",
-    "bucketed_join",
-    "pipeline_curate",
-    "python_datasource_scan",
-    "bm25_topk",
-    "events_resample",
-    "decontaminate_vs_eval",
-    "udtf_split_sentences",
-    "top_k_words",
-    "streaming_foreach_batch",
-    "inverted_index",
-    "colocated_join",
-    "pack_sequences",
-    "map_in_arrow_scale",
-    "topk_words_per_doc",
-    "events_rollup_multires",
-    "zorder_layout",
-    "streaming_quality_gate",
-    "unigram_logprob",
-    "join_wordcount_docs",
-    "distinct_words",
-    "doc_chunk_windows",
-    "event_props_variant",
-    "funnel_conversion",
-    "grep_filter",
-    "outlier_filter_p99",
-    "pipeline_train_corpus",
-    "repeated_spans",
-    "repeated_spans_verified",
-    "sql_pipe_q6",
-    "text_source_wordcount",
-    "trailing_window_sum",
-    "union_corpora",
-    # -- immediately after the 50-slot head: the 6 remaining r03-rowed
-    # entries (covered on any budget overshoot), then r04+ follows via
-    # registration order ---------------------------------------------
-    "value_percentiles_exact",
-    "wc_tokens",
-    "window_dedup_latest",
-    "word_count_sorted",
-    "words_except",
-    "words_intersect",
-]
-
 # Rows-only entries (no ANSI oracle by design — GK sketch, LSH
 # recall-bounded, HLL-sketch profile). Their assurance comes from
 # pytest error/recall bounds, not driver slots; a driver row for them
 # can only ever read `err: no_oracle`. Permanently last in iteration
-# order (r7 verdict #5).
+# order (r7 verdict #5). Kept as documentation; the tail is DERIVED
+# from ORACLES membership so a new oracle-less entry can't silently
+# jump the queue.
 _ROWS_ONLY_TAIL: list[str] = [
     "value_percentiles",
     "approx_distinct_words",
@@ -138,9 +76,63 @@ _ROWS_ONLY_TAIL: list[str] = [
 ]
 
 
+def _row_green(row: object) -> bool:
+    """True iff a driver ledger row is a full oracled pass
+    (rows + schema + hash matched, no error). Anything else —
+    including the designed ``err: no_oracle`` rows — does not count
+    as verification coverage for ordering purposes."""
+    if not isinstance(row, dict):
+        return False
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
+def _ledger_rounds(repo_root: Optional[str] = None) -> dict[str, int]:
+    """Latest ledger round per query name from CORRECTNESS_r*.json.
+
+    An entry whose LATEST row was not fully green maps to 0 — it
+    requeues at the head of next round's budget instead of waiting
+    out a full rotation. Missing/unparsable files are skipped (the
+    registry must still import on a bare checkout)."""
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, object]] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row)
+    return {
+        name: (rnd if _row_green(row) else 0)
+        for name, (rnd, row) in latest.items()
+    }
+
+
+def priority_key(name: str, rounds: dict[str, int]) -> tuple[int, str]:
+    """Sort key for oracled entries: stalest ledger round first
+    (never-ledgered / latest-row-failed = 0), md5(name) tiebreak to
+    interleave families within a round cohort."""
+    return (rounds.get(name, 0), hashlib.md5(name.encode()).hexdigest())
+
+
 def load_all() -> None:
     """Import every operator module so its queries register, then
-    reorder the registry into verification-priority order."""
+    reorder the registry: oracled entries stalest-ledger-round first
+    (md5-interleaved within a cohort), rows-only entries last."""
     # Imports are side-effecting (decorator registration).
     from hadoop_wordcount_spark.operators import (  # noqa: F401
         corpus,
@@ -159,15 +151,14 @@ def load_all() -> None:
     from hadoop_wordcount_spark.sources import pydatasource  # noqa: F401
     from hadoop_wordcount_spark.streaming import stream_queries  # noqa: F401
 
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
-    ordered.update(
-        {
-            n: f
-            for n, f in QUERIES.items()
-            if n not in ordered and n not in _ROWS_ONLY_TAIL
-        }
+    rounds = _ledger_rounds()
+    oracled = sorted(
+        (n for n in QUERIES if n in ORACLES),
+        key=lambda n: priority_key(n, rounds),
     )
-    ordered.update({n: QUERIES[n] for n in _ROWS_ONLY_TAIL if n in QUERIES})
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    ordered = {n: QUERIES[n] for n in oracled}
+    ordered.update({n: QUERIES[n] for n in rows_only})
     QUERIES.clear()
     QUERIES.update(ordered)
     oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1,57 +1,106 @@
-"""Driver-budget hygiene (r8 verdict #6).
+"""Driver-budget hygiene (r8 verdict #6, r9 verdict #1).
 
 The driver's correctness harness walks ``queries()`` in iteration
-order under a ~50-row budget. Entries that have never received a
-driver ledger row must therefore form a strict prefix of that order —
-otherwise they silently fall outside the budget, which is exactly how
-15 round-8 entries went un-ledgered (r8 verdict "What's wrong" #3).
-
-This test recomputes "never ledgered" from the CORRECTNESS_r*.json
-files on disk and asserts the prefix property, so the _PRIORITY head
-arithmetic can never go stale again.
+order under a ~50-row budget. Rounds 8 and 9 both proved that a
+hand-curated priority head goes stale within one round, so
+``registry.load_all()`` now derives the order from the committed
+CORRECTNESS_r*.json ledgers: oracled entries iterate in ascending
+latest-green-ledger-round order (never-ledgered or latest-row-FAILED
+= round 0, i.e. first), md5-interleaved within a round cohort, and
+rows-only entries are permanently last. These tests recompute the
+ledger state independently and assert every invariant, so the head
+can never silently drift from the budget again.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _ledgered_names() -> set[str]:
-    names: set[str] = set()
+def _latest_rows() -> dict[str, tuple[int, dict]]:
+    """Independent re-read of the ledgers: name -> (round, row)."""
+    latest: dict[str, tuple[int, dict]] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             data = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        if isinstance(data, dict):
-            names.update(data.keys())
-    return names
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row)
+    return latest
 
 
-def test_never_ledgered_entries_form_prefix():
+def _stale_round(name: str, latest: dict[str, tuple[int, dict]]) -> int:
+    if name not in latest:
+        return 0
+    rnd, row = latest[name]
+    green = isinstance(row, dict) and bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+    return rnd if green else 0
+
+
+def _loaded_registry():
     from hadoop_wordcount_spark import registry
 
     registry.load_all()
+    return registry
+
+
+def test_oracled_entries_iterate_stalest_first():
+    """The general invariant (r9 verdict #1): oracled entries iterate
+    in ascending latest-green-ledger-round order, so the driver's
+    50-slot budget always lands on the entries that most need a fresh
+    hard-signal row."""
+    registry = _loaded_registry()
+    latest = _latest_rows()
+    order = [n for n in registry.QUERIES if n in registry.ORACLES]
+    seq = [(_stale_round(n, latest), n) for n in order]
+    bad = [
+        (a, b)
+        for a, b in zip(seq, seq[1:])
+        if a[0] > b[0]
+    ]
+    assert not bad, (
+        f"oracled entries out of stalest-first order (round, name) "
+        f"pairs where a later entry is staler: {bad[:10]}"
+    )
+
+
+def test_never_ledgered_entries_form_prefix():
+    """Special case of stalest-first that caught the r8 bug: an entry
+    with no ledger row at all must iterate before every entry that
+    has one."""
+    registry = _loaded_registry()
     order = list(registry.QUERIES.keys())
-    ledgered = _ledgered_names()
+    latest = _latest_rows()
     never = {
-        n
-        for n in order
-        if n not in ledgered and n in registry.ORACLES
+        n for n in order if n not in latest and n in registry.ORACLES
     }
     if not never:
-        return  # every oracled entry has a row — nothing to order
-    # Every never-ledgered oracled entry must appear before every
-    # already-ledgered oracled entry.
+        return  # every oracled entry has a row — covered by the
+        # general stalest-first test above
     last_never = max(order.index(n) for n in never)
     misordered = [
         n
         for n in order[: last_never + 1]
-        if n in ledgered and n in registry.ORACLES
+        if n in latest and n in registry.ORACLES
     ]
     assert not misordered, (
         f"{len(never)} never-ledgered oracled entries do not form a "
@@ -61,12 +110,73 @@ def test_never_ledgered_entries_form_prefix():
     )
 
 
-def test_rows_only_entries_are_last():
+def test_failed_latest_row_requeues_first():
+    """A row that is not fully green must map to round 0 (requeue at
+    the head) — unit check on the registry's row classifier."""
     from hadoop_wordcount_spark import registry
 
-    registry.load_all()
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    assert registry._row_green(green)
+    for broken in (
+        {**green, "rows_match": False},
+        {**green, "schema_match": False},
+        {**green, "hash_match": False},
+        {**green, "err": "no_oracle"},
+        "not-a-dict",
+        None,
+    ):
+        assert not registry._row_green(broken), broken
+
+
+def test_ledger_rounds_requeue_failed_latest(tmp_path):
+    """End-to-end on a synthetic ledger directory: latest-green wins;
+    a latest FAILED row resets the entry to round 0 even if an older
+    green row exists."""
+    from hadoop_wordcount_spark import registry
+
+    g = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    bad = {**g, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_stays": g, "q_regressed": g})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_regressed": bad, "q_new": g})
+    )
+    rounds = registry._ledger_rounds(repo_root=str(tmp_path))
+    assert rounds == {"q_stays": 1, "q_regressed": 0, "q_new": 2}
+
+
+def test_rows_only_entries_are_last():
+    registry = _loaded_registry()
     order = list(registry.QUERIES.keys())
     rows_only = [n for n in order if n not in registry.ORACLES]
     # Rows-only entries (no oracle by design) must occupy the very
     # tail — a driver slot spent on an `err: no_oracle` row is wasted.
     assert order[len(order) - len(rows_only):] == rows_only
+
+
+def test_head_is_exactly_the_stalest_cohorts():
+    """The first 50 oracled entries must be a 50-element prefix of
+    the global stalest-first sort — i.e. no staler entry is left
+    outside the driver budget while a fresher one sits inside it."""
+    registry = _loaded_registry()
+    latest = _latest_rows()
+    oracled = [n for n in registry.QUERIES if n in registry.ORACLES]
+    expected = sorted(
+        oracled,
+        key=lambda n: (
+            _stale_round(n, latest),
+            hashlib.md5(n.encode()).hexdigest(),
+        ),
+    )
+    assert oracled[:50] == expected[:50]

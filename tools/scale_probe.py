@@ -524,17 +524,24 @@ def main() -> None:
     argv = sys.argv[1:]
     ops = ALL_OPS
     fixed_k = None
-    if argv and argv[0] == "--ops":
-        ops = argv[1].split(",")
-        argv = argv[2:]
-    if argv and argv[0] == "--ivf-k-fixed":
-        # Production-regime sub-ladder: hold the coarse quantizer at a
-        # FIXED K across factors (the SemDeDup/IVF-PQ deployment shape
-        # — train once / small fixed codebook, assignment linear in n)
-        # instead of the default K ~ sqrt(n) rule. Rows are recorded
-        # under "<op>@K<k>" so the two regimes never mix in the store.
-        fixed_k = int(argv[1])
-        argv = argv[2:]
+    # Order-insensitive flag loop (r9 ADVICE: the old two-if chain
+    # only recognized --ivf-k-fixed AFTER --ops, so swapped flags fell
+    # through to the factors parser and crashed on int("--ops")).
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--ops" and len(argv) >= 2:
+            ops = argv[1].split(",")
+            argv = argv[2:]
+        elif argv[0] == "--ivf-k-fixed" and len(argv) >= 2:
+            # Production-regime sub-ladder: hold the coarse quantizer
+            # at a FIXED K across factors (the SemDeDup/IVF-PQ
+            # deployment shape — train once / small fixed codebook,
+            # assignment linear in n) instead of the default
+            # K ~ sqrt(n) rule. Rows are recorded under "<op>@K<k>"
+            # so the two regimes never mix in the store.
+            fixed_k = int(argv[1])
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unrecognized flag: {argv[0]}")
     factors = [int(a) for a in argv] or [1, 4, 16, 64]
     unknown = [o for o in ops if o not in ALL_OPS]
     assert not unknown, f"unknown ops: {unknown}"
