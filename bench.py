@@ -243,7 +243,6 @@ def main() -> None:
             _build_ivf,
             {
                 "ann_ivf_search",
-                "dedup_embedding_cosine_ivf",
                 "embedding_cell_stats",
                 "contrastive_hard_negatives",
                 "cluster_topic_terms",

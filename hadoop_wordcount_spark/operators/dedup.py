@@ -618,27 +618,34 @@ def _ivf_cosine_oracle() -> str:
     """
 
 
-@query("dedup_embedding_cosine_ivf", oracle=_ivf_cosine_oracle())
-def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, blocked by IVF quantizer cell — the
-    registered (scale-safe) plan for this family since round 6; the
-    label-blocked form (`labelblocked_embedding_cosine`, quadratic per
-    label at 100x) is now a pytest-only cross-check. Candidates are pairs
-    sharing a nearest-centroid cell from the same unrolled k-means
-    quantizer as `ann_ivf_search` (`similarity.ivf_assignments`); the
-    exact cosine scoring stage is UNCHANGED from the label-blocked
-    variant.
+# Exposed for the pytest-only cross-check (test_round10_fixes) —
+# the query itself was DEREGISTERED in round 10, see docstring.
+IVF_COSINE_ORACLE = _ivf_cosine_oracle()
 
-    At 100 TB: cell count K scales with corpus size (K ~ sqrt(n)
-    keeps expected cell population bounded), so blocks stay bounded
-    where label blocks grow linearly — the same argument that paired
-    `dedup_ngram_jaccard` with `dedup_ngram_jaccard_lsh`. The pair
-    join is an equi-join on cid, never all-pairs; norms are hoisted
-    per side so each candidate pair costs one dot product. Recall is
-    the IVF tradeoff: near-identical vectors quantize to the same
-    cell unless they straddle a Voronoi boundary (multi-probe
-    assignment recovers those; single-assignment keeps the oracle
-    exactly expressible)."""
+
+def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by IVF quantizer cell.
+
+    DEMOTED from the registry in round 10 (r9 verdict #4, option b):
+    with exact within-cell scoring, IVF has no scale-safe operating
+    point — K ~ sqrt(n) keeps training linear-ish but leaves
+    sqrt(n)-sized cells (Θ(n^1.5) pair volume; the r9 ladder measured
+    last-step alpha 1.66 against the documented 1.5 bar), while a
+    fixed K makes training linear but the pair stage Θ(n²/K). The
+    registered embedding-dedup representative is `dedup_embedding_pq`
+    (IVF cell ∧ full PQ-code-tuple blocks — the product-space
+    refinement splits every cell combinatorially without more
+    centroids; measured ladder alpha 0.69/0.40). This function stays
+    as the pytest-only oracle cross-check for the shared quantizer +
+    cosine-scoring stages, exactly mirroring the round-6
+    `labelblocked_embedding_cosine` precedent.
+
+    Candidates are pairs sharing a nearest-centroid cell from the
+    same unrolled k-means quantizer as `ann_ivf_search`
+    (`similarity.ivf_assignments`); the exact cosine scoring stage is
+    UNCHANGED from the label-blocked variant. The pair join is an
+    equi-join on cid, never all-pairs; norms are hoisted per side so
+    each candidate pair costs one dot product."""
     from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
     from hadoop_wordcount_spark.operators.similarity import ivf_assignments
 
@@ -1010,12 +1017,17 @@ _EDIT_TH = 0.5
         FROM documents),
     scored AS (
         SELECT c.doc_a, c.doc_b,
-               round(1.0 - levenshtein(pa.px, pb.px) * 1.0 /
-                     greatest(greatest(length(pa.px), length(pb.px)), 1), 4)
-                   AS edit_sim
+               CASE WHEN pa.px = pb.px THEN CAST(1.0 AS DOUBLE)
+                    ELSE round(1.0 - levenshtein(pa.px, pb.px) * 1.0 /
+                         greatest(greatest(length(pa.px), length(pb.px)), 1),
+                         4)
+               END AS edit_sim
         FROM cand c
         JOIN px pa ON pa.doc_id = c.doc_a
-        JOIN px pb ON pb.doc_id = c.doc_b)
+        JOIN px pb ON pb.doc_id = c.doc_b
+        WHERE abs(length(pa.px) - length(pb.px)) <=
+              (1.0 - {_EDIT_TH}) *
+              greatest(greatest(length(pa.px), length(pb.px)), 1))
     SELECT doc_a, doc_b, edit_sim FROM scored WHERE edit_sim >= {_EDIT_TH}
     ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 20
 """,
@@ -1034,10 +1046,26 @@ def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates come from the shared banded self-join
     (∝ true near-dups, never n²); Levenshtein runs per CANDIDATE
-    pair only and is prefix-bounded — O(256²) per pair
-    regardless of document length, JVM-side via the codegen'd
-    `levenshtein` expression, so the stage is flat per candidate at
-    any corpus size. Top-20 is a TakeOrderedAndProject k-heap."""
+    pair only and is prefix-bounded, JVM-side via the codegen'd
+    `levenshtein` expression. Three pre-filters cut the per-pair
+    constant (r9 verdict #5 — this was the heaviest ladder op at
+    1126 s / 256x):
+
+    - length-difference bound: lev >= |len_a - len_b|, so any pair
+      with |len_a - len_b| > (1-τ)·maxlen cannot clear τ — dropped
+      BEFORE the DP table is built (both engines; rounding cannot
+      resurrect such a pair: sim steps are >= 1/maxlen apart, far
+      above the 4dp grid).
+    - exact-prefix equality short-circuits to sim = 1.0 — at ladder
+      scale most surviving candidates are replica pairs with
+      IDENTICAL prefixes, so this removes the dominant O(L²) mass.
+    - the remaining pairs run Spark's BANDED levenshtein with
+      threshold (1-τ)·{_EDIT_PREFIX} — O(L·τL) not O(L²); distances
+      over the threshold return -1 and are excluded (such pairs
+      score < τ in the oracle's full-DP arithmetic, so both engines
+      drop exactly the same pairs).
+
+    Top-20 is a TakeOrderedAndProject k-heap."""
     base = _minhash_base(spark, sf_dir)
     cand = _band_pairs(base)
     d = load_table(spark, sf_dir, "documents")
@@ -1047,15 +1075,21 @@ def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = px.select(F.col("doc_id").alias("doc_a"), F.col("px").alias("px_a"))
     pb = px.select(F.col("doc_id").alias("doc_b"), F.col("px").alias("px_b"))
-    j = cand.join(pa, "doc_a").join(pb, "doc_b")
     maxlen = F.greatest(
         F.greatest(F.length("px_a"), F.length("px_b")), F.lit(1)
     )
-    sim = F.round(
-        F.lit(1.0)
-        - F.levenshtein("px_a", "px_b").cast("double") / maxlen,
-        4,
+    len_gap_ok = (
+        F.abs(F.length("px_a") - F.length("px_b"))
+        <= (1.0 - _EDIT_TH) * maxlen
     )
+    lev_budget = int((1.0 - _EDIT_TH) * _EDIT_PREFIX)
+    lev = F.levenshtein("px_a", "px_b", lev_budget).cast("double")
+    sim = F.when(F.col("px_a") == F.col("px_b"), F.lit(1.0)).otherwise(
+        F.when(
+            lev >= 0, F.round(F.lit(1.0) - lev / maxlen, 4)
+        )  # lev == -1 → over budget → NULL → filtered
+    )
+    j = cand.join(pa, "doc_a").join(pb, "doc_b").filter(len_gap_ok)
     return (
         j.select("doc_a", "doc_b", sim.alias("edit_sim"))
         .filter(F.col("edit_sim") >= _EDIT_TH)

@@ -77,7 +77,7 @@ def test_no_cartesian_in_pair_joins(spark, sf_dir):
                  "dedup_ngram_jaccard_lsh",
                  "dedup_simhash_pairs", "repeated_spans_verified",
                  "decontaminate_vs_eval", "bm25_topk", "unigram_logprob",
-                 "dedup_incremental", "dedup_embedding_cosine_ivf"):
+                 "dedup_incremental", "dedup_embedding_pq"):
         df = registry.QUERIES[name](spark, sf_dir)
         assert_not_in_plan(df, "CartesianProduct")
 

@@ -126,7 +126,13 @@ def test_ivf_cosine_recall_vs_exact_label_blocking(spark):
     high-similarity pairs: every returned pair's cosine must be >=
     the 20th-best same-cell score, and pair scores must agree with
     direct computation (scoring stage unchanged)."""
-    rows = registry.QUERIES["dedup_embedding_cosine_ivf"](spark, SF_SMALL).collect()
+    # Deregistered in round 10 (r9 verdict #4) — invoked directly;
+    # the scoring-stage property being pinned here is unchanged.
+    from hadoop_wordcount_spark.operators.dedup import (
+        q_dedup_embedding_cosine_ivf,
+    )
+
+    rows = q_dedup_embedding_cosine_ivf(spark, SF_SMALL).collect()
     assert len(rows) == 20
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)

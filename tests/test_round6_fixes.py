@@ -35,7 +35,10 @@ def test_labelblocked_cosine_demoted_but_oracle_green(spark):
     """Not registered; still hash-matches its ANSI oracle (the cosine
     scoring stage is shared with the registered IVF plan)."""
     assert "dedup_embedding_cosine" not in registry.QUERIES
-    assert "dedup_embedding_cosine_ivf" in registry.QUERIES
+    # Round 10 demoted the IVF variant too (r9 verdict #4); the
+    # registered embedding-dedup representative is now the PQ path.
+    assert "dedup_embedding_cosine_ivf" not in registry.QUERIES
+    assert "dedup_embedding_pq" in registry.QUERIES
     err = compare_query(
         spark,
         SF_SMALL,

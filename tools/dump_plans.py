@@ -50,9 +50,9 @@ HEADLINE = [
      "one row per key before the window sort"),
     ("zorder_layout", "Morton clustering key: 16 codegen'd bit ops, stats agg "
      "bounded by chunk count"),
-    ("dedup_embedding_cosine_ivf", "IVF-cell-blocked cosine dedup: broadcast "
-     "centroids, map-side struct-argmin assignment, equi-join on cid — "
-     "never all-pairs"),
+    ("dedup_embedding_pq", "embedding near-dup, IVF cell AND full PQ-code "
+     "tuple blocks: broadcast codebooks, equi-join on (cid, code tuple) — "
+     "never all-pairs (replaced dedup_embedding_cosine_ivf, demoted r10)"),
     ("corpus_mixture_sample", "temperature-flattened source mixing: broadcast "
      "per-source thresholds over a scan-level md5 filter; bodies never "
      "shuffle"),

@@ -86,7 +86,10 @@ ALL_OPS = [
     "word_count", "dedup_exact", "text_stats_agg",
     "repeated_spans", "dedup_minhash_banded", "dedup_clusters",
     "dedup_simhash_pairs", "pagerank_bigram", "decontaminate_vs_eval",
-    # round-4 additions
+    # round-4 additions (dedup_embedding_cosine_ivf was DEREGISTERED
+    # in round 10 — r9 verdict #4 option b; its ladder rows stay in
+    # the store as history and the op stays probe-able via
+    # DEMOTED_OPS for cross-checks)
     "chunk_dedup", "dedup_incremental", "dedup_cluster_representatives",
     "event_path_mining", "dedup_embedding_cosine_ivf",
     # round-5 additions
@@ -328,6 +331,16 @@ ALL_OPS = [
     "dedup_edit_verify", "minhash_estimator_calibration",
     "dedup_cluster_purity", "k_anonymity_audit", "class_balance_weights",
 ]
+
+# Deregistered queries that remain ladder-probe-able (pytest-only
+# cross-checks): resolved here when registry.QUERIES misses.
+from hadoop_wordcount_spark.operators.dedup import (  # noqa: E402
+    q_dedup_embedding_cosine_ivf,
+)
+
+DEMOTED_OPS = {
+    "dedup_embedding_cosine_ivf": q_dedup_embedding_cosine_ivf,
+}
 
 # Ops that read the relational fact tables — their presence in a
 # probe run triggers `_replicate_relational` (orders/lineitem/
@@ -594,9 +607,8 @@ def main() -> None:
             if n > MAX_FACTOR.get(q, 1 << 30):
                 continue
             src = shift_path if q in TIME_SHIFT_OPS else path
-            timed(q, lambda q=q, src=src: _noop(
-                registry.QUERIES[q](spark, src)
-            ))
+            fn = registry.QUERIES.get(q) or DEMOTED_OPS[q]
+            timed(q, lambda fn=fn, src=src: _noop(fn(spark, src)))
         # Caches (banded-pair stage, IVF vecs) must not leak across
         # factors: each measurement pays its own featurization and
         # memory does not accumulate.
