@@ -849,3 +849,298 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Gate thresholds shared by the funnel report below — same values as
+# text_analysis.quality_gopher_rules (that query reports per-doc
+# flags for single-rule ablation; this one reports the corpus-level
+# SEQUENTIAL yield of applying them in pipeline order).
+_FUNNEL_GATES = (
+    ("ingest", None),
+    ("word_count_50_100k", None),
+    ("mean_word_len_3_10", None),
+    ("frac_alpha_ge_0.8", None),
+    ("frac_distinct_ge_0.2", None),
+    ("stopword_hits_ge_2", None),
+)
+_FUNNEL_SW = ["the", "and", "of", "to", "in", "a", "is", "that"]
+_FUNNEL_SW_SQL = "', '".join(_FUNNEL_SW)
+_FUNNEL_NAMES_SQL = ", ".join(
+    f"({i}, '{name}')" for i, (name, _) in enumerate(_FUNNEL_GATES)
+)
+
+
+@query(
+    "filter_funnel_yield",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(tk) AS n_words,
+                   coalesce(list_sum(list_transform(tk, w -> length(w))), 0)
+                       * 1.0 / greatest(len(tk), 1) AS mwl,
+                   len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+                       * 1.0 / greatest(len(tk), 1) AS fa,
+                   len(list_distinct(tk)) * 1.0 / greatest(len(tk), 1) AS fd,
+                   len(list_intersect(
+                       list_distinct(list_transform(tk, w -> lower(w))),
+                       ['{_FUNNEL_SW_SQL}'])) AS sw
+            FROM q),
+        reached AS (
+            SELECT n_words,
+                   CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 0
+                        WHEN NOT (mwl >= 3 AND mwl <= 10) THEN 1
+                        WHEN NOT (fa >= 0.8) THEN 2
+                        WHEN NOT (fd >= 0.2) THEN 3
+                        WHEN NOT (sw >= 2) THEN 4
+                        ELSE 5 END AS stage_reached
+            FROM m),
+        stages(stage, gate) AS (VALUES {_FUNNEL_NAMES_SQL}),
+        surv AS (
+            SELECT s.stage, s.gate,
+                   count(*) FILTER (WHERE r.stage_reached >= s.stage)
+                       AS n_docs,
+                   coalesce(sum(r.n_words)
+                            FILTER (WHERE r.stage_reached >= s.stage), 0)
+                       AS n_tokens
+            FROM stages s CROSS JOIN reached r
+            GROUP BY s.stage, s.gate),
+        tot AS (SELECT n_docs AS total FROM surv WHERE stage = 0)
+        SELECT CAST(s.stage AS INT) AS stage, s.gate,
+               CAST(s.n_docs AS BIGINT) AS n_docs,
+               CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               round(s.n_docs * 1.0 / greatest(t.total, 1), 4) AS cum_yield,
+               round(s.n_docs * 1.0 /
+                     greatest(lag(s.n_docs, 1, t.total)
+                              OVER (ORDER BY s.stage), 1), 4) AS step_yield
+        FROM surv s CROSS JOIN tot t
+        ORDER BY s.stage
+    """,
+)
+def q_filter_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel survival report: documents and tokens
+    remaining after each quality gate applied in pipeline order
+    (ingest → word-count bounds → mean-word-length → alphabetic
+    fraction → lexical diversity → stopword floor — the published
+    Gopher/MassiveText rule-set, Rae et al. 2021), with cumulative
+    and per-step yield rates. `quality_gopher_rules` reports per-doc
+    flags so single rules can be ablated; this is the corpus-level
+    observability twin every production pipeline dashboards — which
+    gate is destroying your tokens, and is its step-yield drifting
+    between crawls?
+
+    Plan shape: one tokenization pass computes stage_reached (the
+    index of the first failing gate) per document — a pure
+    projection, zero joins in the scan path; the funnel itself
+    aggregates a 6-row stage spine against per-stage conditional
+    sums, then two window functions over 6 rows. At 100 TB: scan +
+    one 6-cell map-side-combined aggregate — the report is free
+    relative to the scan, exactly like the gate it audits. All
+    yields are integer ratios (exact doubles, engine-stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    n = F.size(tk)
+    nn = F.greatest(n, F.lit(1))
+    mwl = (
+        F.aggregate(tk, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / nn
+    )
+    fa = F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]"))) / nn
+    fd = F.size(F.array_distinct(tk)) / nn
+    sw = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(tk, F.lower)),
+            F.array(*[F.lit(s) for s in _FUNNEL_SW]),
+        )
+    )
+    stage_reached = (
+        F.when(~n.between(50, 100000), 0)
+        .when(~((mwl >= 3) & (mwl <= 10)), 1)
+        .when(~(fa >= 0.8), 2)
+        .when(~(fd >= 0.2), 3)
+        .when(~(sw >= 2), 4)
+        .otherwise(5)
+    )
+    per_doc = d.select(tokens_col(F.col("text")).alias("tk")).select(
+        F.size("tk").cast("long").alias("n_words"),
+        stage_reached.alias("stage_reached"),
+    )
+    stages = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(_FUNNEL_GATES)],
+        "stage int, gate string",
+    )
+    surv = (
+        per_doc.crossJoin(F.broadcast(stages))
+        .groupBy("stage", "gate")
+        .agg(
+            F.count(
+                F.when(F.col("stage_reached") >= F.col("stage"), 1)
+            ).alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("stage_reached") >= F.col("stage"),
+                        F.col("n_words"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    tot = surv.filter(F.col("stage") == 0).select(
+        F.col("n_docs").alias("total")
+    )
+    w = Window.orderBy("stage")
+    return (
+        surv.crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "gate",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs") / F.greatest(F.col("total"), F.lit(1)), 4
+            ).alias("cum_yield"),
+            F.round(
+                F.col("n_docs")
+                / F.greatest(
+                    F.coalesce(F.lag("n_docs", 1).over(w), F.col("total")),
+                    F.lit(1),
+                ),
+                4,
+            ).alias("step_yield"),
+        )
+        .orderBy("stage")
+    )
+
+
+_AGREE_KS = (5, 10, 20)
+_AGREE_KS_SQL = ", ".join(f"({k})" for k in _AGREE_KS)
+
+
+@query(
+    "ranker_agreement_topk",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        tok AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM tok
+            WHERE word IN ('{_TERMS_SQL}') GROUP BY doc_id, word),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        scored AS (
+            SELECT tf.doc_id,
+                   round(sum(ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                                    / (dfreq.df + 0.5))
+                             * tf.tf * {_K1 + 1}
+                             / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl
+                                                 / stats.avgdl))), 4) AS bm25,
+                   round(sum(tf.tf * ln(stats.n_docs * 1.0 / dfreq.df)), 4)
+                       AS tfidf
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN dfreq ON tf.word = dfreq.word
+            CROSS JOIN stats
+            GROUP BY tf.doc_id),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25,
+                   row_number() OVER (ORDER BY tfidf DESC, doc_id) AS r_tfidf
+            FROM scored),
+        ks(k) AS (VALUES {_AGREE_KS_SQL})
+        SELECT CAST(ks.k AS INT) AS k,
+               CAST(count(*) FILTER (WHERE r_bm25 <= ks.k AND r_tfidf <= ks.k)
+                    AS BIGINT) AS n_overlap,
+               round(count(*) FILTER (WHERE r_bm25 <= ks.k AND r_tfidf <= ks.k)
+                     * 1.0 /
+                     greatest(count(*) FILTER (WHERE r_bm25 <= ks.k)
+                              + count(*) FILTER (WHERE r_tfidf <= ks.k)
+                              - count(*) FILTER (WHERE r_bm25 <= ks.k
+                                                 AND r_tfidf <= ks.k), 1), 4)
+                   AS jaccard
+        FROM ks CROSS JOIN ranked
+        GROUP BY ks.k
+        ORDER BY k
+    """,
+)
+def q_ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ranker agreement report: Jaccard overlap of the
+    BM25 and plain TF-IDF top-k result sets for the same fixed
+    query, at k = {_AGREE_KS}. The eval a retrieval pipeline runs
+    before swapping scoring functions (or adding a reranker): how
+    much of the head actually changes? Low agreement at small k with
+    high agreement at large k is the classic "same candidates,
+    different order" signature.
+
+    Both rankers share one scan, one term-filtered tf table, one df
+    aggregate and one (n_docs, avgdl) scalar — the comparison is
+    FREE on top of `bm25_topk`'s plan. Ranks are deterministic
+    (4dp-rounded scores, doc_id tiebreak — the bm25_topk
+    discipline); the two row_number windows run over the
+    term-matched docs only (∝ postings of 3 terms, never the
+    corpus), and the final agg is a 3-row spine of conditional
+    counts. All agreement ratios are integer ratios — exact."""
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tok = docs.select("doc_id", F.explode("toks").alias("word")).filter(
+        F.col("word").isin(list(_BM25_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    bm25_term = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    tfidf_term = F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(bm25_term), 4).alias("bm25"),
+            F.round(F.sum(tfidf_term), 4).alias("tfidf"),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_bm25"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+        .alias("r_tfidf"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _AGREE_KS], "k int")
+    both = (F.col("r_bm25") <= F.col("k")) & (F.col("r_tfidf") <= F.col("k"))
+    in_a = F.col("r_bm25") <= F.col("k")
+    in_b = F.col("r_tfidf") <= F.col("k")
+    n_both = F.count(F.when(both, 1))
+    n_a = F.count(F.when(in_a, 1))
+    n_b = F.count(F.when(in_b, 1))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            n_both.cast("long").alias("n_overlap"),
+            F.round(
+                n_both / F.greatest(n_a + n_b - n_both, F.lit(1)), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("k")
+    )

@@ -7197,3 +7197,79 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_share"
         ),
     )
+
+
+# Laplace scale for the DP release below: sensitivity 1 (one event
+# changes one count by 1) / epsilon 0.5.
+_DP_B = 2.0
+# Prime modulus for the md5-fold -> (0,1) uniform. (h % P + 1)/(P + 2)
+# lies strictly inside (0, 1) and can never hit exactly 0.5, so
+# sign(u) and ln(1 - 2|u|) are both always well-defined.
+_DP_P = 99991
+
+
+@query(
+    "dp_noisy_histogram",
+    oracle=f"""
+        WITH per AS (
+            SELECT event_type, count(*) AS n_events FROM events
+            GROUP BY event_type),
+        seeded AS (
+            SELECT event_type, n_events,
+                   ((list_reduce(list_transform(
+                         string_split_regex(
+                             substr(md5('dp:' || event_type), 1, 15), ''),
+                         c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                         (a, d) -> a * 16 + d) % {_DP_P}) + 1.0)
+                       / {_DP_P + 2} - 0.5 AS u
+            FROM per)
+        SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+               round(-{_DP_B} * sign(u) * ln(1 - 2 * abs(u)), 4) AS noise,
+               greatest(round(n_events
+                              - {_DP_B} * sign(u) * ln(1 - 2 * abs(u)), 4),
+                        0.0) AS released
+        FROM seeded
+    """,
+)
+def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Dwork et al. 2006):
+    per-event-type counts with Laplace(b={_DP_B}) noise — sensitivity
+    1, epsilon 1/b — via inverse-CDF sampling
+    noise = -b * sign(u) * ln(1 - 2|u|), u ~ U(-0.5, 0.5). The
+    release a pipeline publishes when usage histograms leave the
+    trust boundary (the publication-side complement of
+    `k_anonymity_audit`, which measures re-identification risk of
+    the raw rows). True counts are reported alongside, making this
+    the utility-calibration audit (is the noise small enough for the
+    dashboard?), not the release artifact itself.
+
+    Determinism: u derives from the portable md5-fold of the key —
+    the `weighted_sample_bernoulli` integer idiom — so the "draw" is
+    reproducible across engines, runs, and partitionings (seeded DP,
+    as used for audit pipelines; production would rotate the seed).
+    The modulus arithmetic keeps u strictly inside (-0.5, 0.5) and
+    off 0, so sign/ln never hit an edge. Cross-engine ln ulp noise
+    under the 4dp round is the `bigram_logprob` tolerance class.
+
+    Plan: one map-side-combined groupBy(event_type) over the scan;
+    noise is a per-group projection on the ~|event_types|-row
+    result. At 100 TB: exactly one shuffle of |event_types| cells."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % _DP_P) + 1.0) / (_DP_P + 2) - 0.5
+    noise = -_DP_B * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return per.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(noise, 4).alias("noise"),
+        F.greatest(
+            F.round(F.col("n_events") + noise, 4), F.lit(0.0)
+        ).alias("released"),
+    )
