@@ -1982,3 +1982,207 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("first_kept"),
         )
     )
+
+
+# --- Signed-random-projection (hyperplane) LSH near-dup ------------------
+#
+# Charikar STOC'02: each hyperplane's sign bit agrees between two
+# vectors with probability 1 - angle/pi, so banding sign bits gives a
+# cosine-LSH candidate stage. Hyperplane components are md5-derived
+# uniforms computed ONCE here and injected as identical double
+# literals into both engines — no cross-engine RNG to reconcile.
+_SRP_BITS = 32
+_SRP_BAND_BITS = 8  # 4 bands x 8 bits = 256 buckets/band at this SF;
+# at 100 TB the dial is bits-per-band ~ log2(n/target_bucket_size)
+_SRP_DIM = 64
+
+
+def _srp_planes() -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(_SRP_BITS):
+        row = []
+        for dd in range(_SRP_DIM):
+            hx = hashlib.md5(f"srp:{j}:{dd}".encode()).hexdigest()[:8]
+            row.append(int(hx, 16) / 16**8 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _srp_oracle() -> str:
+    planes = _srp_planes()
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    hv_rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}])"
+        for j, row in enumerate(planes)
+    )
+    key_cols = ", ".join(
+        "CAST(sum(CASE WHEN j // {bb} = {b} THEN bit * (1 << (j % {bb})) "
+        "ELSE 0 END) AS BIGINT) AS k{b}".format(b=b, bb=_SRP_BAND_BITS)
+        for b in range(n_bands)
+    )
+    keys_arr = ", ".join(f"k{b}" for b in range(n_bands))
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        h(j, hv) AS (VALUES
+            {hv_rows}),
+        bits AS (
+            SELECT e.vec_id, h.j,
+                   CASE WHEN round(list_sum(list_transform(
+                            range(1, len(e.v) + 1), i -> e.v[i] * h.hv[i])),
+                            6) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM e CROSS JOIN h),
+        keys AS (
+            SELECT vec_id, {key_cols}
+            FROM bits GROUP BY vec_id),
+        side AS (
+            SELECT vec_id, [{keys_arr}] AS ks FROM keys),
+        expl AS (
+            SELECT vec_id, ks, unnest(ks) AS key,
+                   generate_subscripts(ks, 1) - 1 AS bno
+            FROM side),
+        cand AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM expl a JOIN expl b
+              ON a.bno = b.bno AND a.key = b.key AND a.vec_id < b.vec_id
+            WHERE len(list_filter(range(1, a.bno + 1),
+                                  i -> a.ks[i] = b.ks[i])) = 0),
+        scored AS (
+            SELECT c.vec_a, c.vec_b,
+                   round(list_sum(list_transform(range(1, len(ea.v) + 1),
+                                  i -> ea.v[i] * eb.v[i]))
+                         / (greatest(sqrt(list_sum(list_transform(ea.v,
+                                          x -> x * x))), 1e-12)
+                            * greatest(sqrt(list_sum(list_transform(eb.v,
+                                            x -> x * x))), 1e-12)), 4)
+                       AS cos_sim
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.vec_a
+            JOIN e eb ON eb.vec_id = c.vec_b)
+        SELECT vec_a, vec_b, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20
+    """
+
+
+@query("dedup_embedding_srp", oracle=_srp_oracle())
+def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH
+    (Charikar STOC'02) — the DATA-INDEPENDENT member of the
+    embedding-dedup family: no training stage at all (the quantizer
+    families `dedup_embedding_pq` / SemDeDup need k-means passes),
+    so it is the variant that works on the FIRST pass over a brand-
+    new corpus and under adversarial drift. {_SRP_BITS} sign bits
+    from fixed md5-derived hyperplanes, banded {_SRP_BAND_BITS} bits
+    per band; candidate pairs share a band key, owned by their FIRST
+    colliding band (row-wise test on both key arrays — the
+    dedup_simhash_pairs ownership trick, so no pair-level distinct
+    shuffle exists); exact cosine verifies candidates only. Top-20
+    by verified cosine, directly comparable to the PQ variant.
+
+    Determinism: hyperplane components are module-computed doubles
+    injected as identical literals into both engines; dots fold in
+    array index order and round at 6dp before the sign test, so the
+    bit vectors are engine-identical; final cosines round at 4dp
+    with id tiebreaks.
+
+    Scale shape: the bit projection is a per-row O(bits x d) map —
+    linear, shuffle-free; the candidate stage is an equi-join on
+    (band, key). Bucket occupancy is n / 2^band_bits per band, so
+    bits-per-band is the scale dial (grow it ~log2 n to hold bucket
+    size constant — the same knob as simhash's Manku tables); verify
+    cost ∝ candidates, never n². Recall at 4 bands of
+    {_SRP_BAND_BITS}: P[band agrees] = (1 - θ/π)^{_SRP_BAND_BITS},
+    union over 4 bands ≈ 0.7+ for near-dup angles — raise bands to
+    raise recall, the standard LSH dial."""
+    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _srp_planes()
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+
+    def _fold_dot(vcol, row):
+        hv = F.array(*[F.lit(x) for x in row])
+        return F.aggregate(
+            F.zip_with(vcol, hv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(F.round(_fold_dot(F.col("v"), row), 6) >= 0, 1).otherwise(0)
+        for row in planes
+    ]
+    keys = [
+        sum(
+            (bits[b * _SRP_BAND_BITS + i] * (1 << i))
+            for i in range(_SRP_BAND_BITS)
+        ).cast("long")
+        for b in range(n_bands)
+    ]
+    side = e.select("vec_id", F.array(*keys).alias("ks"))
+    expl = side.select(
+        "vec_id", "ks", F.posexplode("ks").alias("b", "key")
+    )
+    a = expl.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("ks").alias("ks_a"),
+        "b",
+        "key",
+    )
+    b = expl.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("ks").alias("ks_b"),
+        "b",
+        "key",
+    )
+    earlier_hit = F.exists(
+        F.zip_with(
+            F.slice("ks_a", 1, F.col("b")),
+            F.slice("ks_b", 1, F.col("b")),
+            lambda x, y: x == y,
+        ),
+        lambda x: x,
+    )
+    cand = (
+        a.join(b, ["b", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(~earlier_hit)
+        .select("vec_a", "vec_b")
+    )
+    withn = e.select(
+        "vec_id", "v", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)).alias("nrm")
+    )
+    ea = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(pair_dot / (F.col("n_a") * F.col("n_b")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(20)
+    )

@@ -16,7 +16,7 @@ op here has the same plan shape (bucket equi-join + rescore).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_wordcount_spark.functions.vectors import cosine, l2_norm
@@ -1652,4 +1652,148 @@ def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs").cast("long").alias("n_vecs"),
         "effective_n",
         F.round(F.col("w_raw") * F.col("k") / F.col("s"), 6).alias("weight"),
+    )
+
+
+@query(
+    "label_margin_audit",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        expl AS (
+            SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings),
+        cpos AS (
+            SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS cv
+            FROM expl GROUP BY label, pos),
+        cent AS (
+            SELECT label AS clabel, list(cv ORDER BY pos) AS cvec
+            FROM cpos GROUP BY label),
+        scored AS (
+            SELECT e.vec_id, e.label, cent.clabel,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> e.v[i] * cent.cvec[i]))
+                         / (greatest(sqrt(list_sum(list_transform(e.v,
+                                          x -> x * x))), 1e-12)
+                            * greatest(sqrt(list_sum(list_transform(cent.cvec,
+                                            x -> x * x))), 1e-12)), 6)
+                       AS cos6
+            FROM e CROSS JOIN cent),
+        own AS (
+            SELECT vec_id, label, cos6 AS own_cos FROM scored
+            WHERE label = clabel),
+        rival AS (
+            SELECT vec_id, clabel AS rival_label, cos6 AS rival_cos
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY cos6 DESC, clabel) AS rn
+                  FROM scored WHERE label <> clabel)
+            WHERE rn = 1)
+        SELECT o.vec_id, CAST(o.label AS INT) AS label,
+               CAST(r.rival_label AS INT) AS rival_label,
+               round(o.own_cos, 4) AS own_cos,
+               round(r.rival_cos, 4) AS rival_cos,
+               round(o.own_cos - r.rival_cos, 4) AS margin
+        FROM own o JOIN rival r USING (vec_id)
+        ORDER BY margin ASC, o.vec_id LIMIT 20
+    """,
+)
+def q_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise / hard-example mining via nearest-centroid margin
+    (the confident-learning heuristic, Northcutt et al. 2021): per
+    vector, cosine to its OWN label centroid minus cosine to the
+    closest OTHER label's centroid; the 20 lowest margins are the
+    prime mislabel candidates a labeled-corpus pipeline sends to
+    re-annotation (negative margin = another class's centroid fits
+    better than its own). `contrastive_hard_negatives` mines hard
+    PAIRS for training; this audits the LABELS themselves.
+
+    Determinism: centroids round at 6dp per (label, dim) — the
+    `embedding_centroids` discipline — so both engines score against
+    bit-identical centroid vectors; dot products fold in array index
+    order (`embedding_quantize_int8` precedent), cosines round at
+    6dp before the rival argmax (row_number with label tiebreak),
+    margins at 4dp before the global bottom-20 cut (vec_id
+    tiebreak).
+
+    Plan: centroid training is one (label, dim)-keyed partial agg
+    (|labels| x d cells); scoring cross-joins each vector against
+    the BROADCAST |labels|-row centroid table — per-vector cost
+    O(|labels| * d), linear in the corpus; the rival argmax is a
+    |labels|-row max folded map-side via the window over per-vector
+    groups; bottom-20 is a TakeOrderedAndProject k-heap. No
+    vector-vector pair stage anywhere — this scales where
+    pairwise audits can't."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cpos = expl.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("cv")
+    )
+    cent = cpos.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s.cv,
+        ).alias("cvec")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _norm(a):
+        return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-12))
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            _dot(F.col("v"), F.col("cvec"))
+            / (_norm(F.col("v")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cos6"),
+    )
+    own = scored.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("cos6").alias("own_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos6"), F.asc("clabel")
+    )
+    rival = (
+        scored.filter(F.col("label") != F.col("clabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("rival_label"),
+            F.col("cos6").alias("rival_cos"),
+        )
+    )
+    return (
+        own.join(rival, "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("rival_label").cast("int").alias("rival_label"),
+            F.round("own_cos", 4).alias("own_cos"),
+            F.round("rival_cos", 4).alias("rival_cos"),
+            F.round(F.col("own_cos") - F.col("rival_cos"), 4).alias(
+                "margin"
+            ),
+        )
+        .orderBy(F.asc("margin"), F.asc("vec_id"))
+        .limit(20)
     )

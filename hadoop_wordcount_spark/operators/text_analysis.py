@@ -2332,3 +2332,146 @@ def q_word_burstiness_dispersion(
         .orderBy(F.desc("total_count"), F.asc("w"))
         .limit(20)
     )
+
+
+_RAKE_MAX_PHRASE = 4
+_RAKE_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@query(
+    "rake_keywords",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS w,
+                   generate_subscripts(toks, 1) AS pos
+            FROM t),
+        ns AS (
+            SELECT doc_id, w, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS run_id
+            FROM tok WHERE lower(w) NOT IN ('{_RAKE_SW_SQL}')),
+        runs AS (
+            SELECT doc_id, run_id, list(w ORDER BY pos) AS words
+            FROM ns GROUP BY doc_id, run_id),
+        occ AS (
+            SELECT len(words) AS plen, words,
+                   array_to_string(words, ' ') AS ptext
+            FROM runs WHERE len(words) BETWEEN 1 AND {_RAKE_MAX_PHRASE}),
+        wstat AS (
+            SELECT w, count(*) AS freq, sum(plen) AS deg
+            FROM (SELECT unnest(words) AS w, plen FROM occ) GROUP BY w),
+        pd AS (SELECT ptext, count(*) AS n_runs FROM occ GROUP BY ptext),
+        slots AS (
+            SELECT ptext, unnest(string_split(ptext, ' ')) AS w,
+                   generate_subscripts(string_split(ptext, ' '), 1) AS slot
+            FROM pd),
+        ps AS (
+            SELECT s.ptext,
+                   list(ws.deg * 1.0 / ws.freq ORDER BY s.slot) AS scores
+            FROM slots s JOIN wstat ws ON s.w = ws.w GROUP BY s.ptext)
+        SELECT pd.ptext AS phrase, CAST(pd.n_runs AS BIGINT) AS n_runs,
+               CAST(len(string_split(pd.ptext, ' ')) AS INT) AS n_words,
+               round(list_sum(ps.scores), 4) AS rake_score
+        FROM pd JOIN ps ON pd.ptext = ps.ptext
+        ORDER BY rake_score DESC, phrase LIMIT 20
+    """,
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-delimited token runs (capped at
+    {_RAKE_MAX_PHRASE} words — the practical variant; longer runs are
+    discarded as non-phrases), word score = deg/freq over the
+    candidate multiset (deg counts phrase-length co-occurrence
+    including self), phrase score = sum of member word scores.
+    Top-20 corpus keywords — the unsupervised tagging pass a corpus
+    catalog runs per source/domain.
+
+    The run segmentation is gaps-and-islands: island id =
+    token position minus its row_number among the doc's
+    non-stopword tokens (constant within a run, breaks at every
+    stopword gap) — one window over the doc's tokens, partitioned by
+    doc, so segmentation parallelizes per document at any corpus
+    size. Determinism: word scores are integer-ratio doubles
+    (deg/freq, exact in both engines); each phrase's member scores
+    fold in SLOT ORDER via the array_sort(collect_list(struct))
+    idiom — never an unordered float sum — then round at 4dp with a
+    phrase-text tiebreak on the top-20 k-heap.
+
+    Plan at 100 TB: tokenize-explode scan → per-doc window (doc_id
+    partition, no global sort) → two vocab-keyed partial aggs (word
+    stats, phrase table) → one equi-join of phrase slots onto word
+    stats (both shuffle-partitioned on the word key; phrase slots ∝
+    distinct phrases x <= {_RAKE_MAX_PHRASE}) → k-heap. No
+    broadcast of anything vocabulary-sized (the cluster_topic_terms
+    r8 lesson)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    ns = tok.filter(~F.lower("w").isin(list(_STOPWORDS))).withColumn(
+        "run_id", F.col("pos") - F.row_number().over(wdoc)
+    )
+    runs = ns.groupBy("doc_id", "run_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s.w,
+        ).alias("words")
+    )
+    occ = runs.filter(
+        F.size("words").between(1, _RAKE_MAX_PHRASE)
+    ).select(
+        F.size("words").alias("plen"),
+        "words",
+        F.array_join("words", " ").alias("ptext"),
+    )
+    wstat = (
+        occ.select(F.explode("words").alias("w"), "plen")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    pd = occ.groupBy("ptext").agg(F.count(F.lit(1)).alias("n_runs"))
+    slots = pd.select(
+        "ptext", F.posexplode(F.split("ptext", " ")).alias("slot", "w")
+    )
+    score_w = F.col("deg") * 1.0 / F.col("freq")
+    ps = (
+        slots.join(wstat, "w")
+        .groupBy("ptext")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("slot").alias("slot"),
+                                score_w.alias("sc"),
+                            )
+                        )
+                    ),
+                    lambda s: s.sc,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("score_sum")
+        )
+    )
+    return (
+        pd.join(ps, "ptext")
+        .select(
+            F.col("ptext").alias("phrase"),
+            F.col("n_runs").cast("long").alias("n_runs"),
+            F.size(F.split("ptext", " ")).cast("int").alias("n_words"),
+            F.round("score_sum", 4).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(20)
+    )

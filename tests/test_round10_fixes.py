@@ -35,3 +35,44 @@ def test_ivf_cosine_demoted_but_oracle_green(spark):
         IVF_COSINE_ORACLE,
     )
     assert err is None, err
+
+
+def test_srp_pairs_unique_and_scores_exact(spark):
+    """First-colliding-band ownership must emit every candidate pair
+    exactly once (no pair-level distinct anywhere in the plan), and
+    the reported cosine must agree with direct computation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["dedup_embedding_srp"](
+        spark, SF_SMALL
+    ).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    if not rows:
+        return
+    top = rows[0]
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_SMALL, "embeddings")
+        .filter(F.col("vec_id").isin([top["vec_a"], top["vec_b"]]))
+        .collect()
+    }
+    va, vb = emb[top["vec_a"]], emb[top["vec_b"]]
+    dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+    na = math.sqrt(sum(float(x) ** 2 for x in va))
+    nb = math.sqrt(sum(float(x) ** 2 for x in vb))
+    assert abs(top["cos_sim"] - round(dot / (na * nb), 4)) <= 1e-3
+
+
+def test_new_round10_queries_no_cartesian(spark, sf_dir):
+    from tests.test_plan_quality import assert_not_in_plan
+
+    for name in ("dedup_embedding_srp", "rake_keywords",
+                 "ranker_agreement_topk", "label_margin_audit"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert_not_in_plan(df, "CartesianProduct")
