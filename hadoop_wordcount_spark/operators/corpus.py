@@ -1084,10 +1084,12 @@ def q_ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and one (n_docs, avgdl) scalar — the comparison is
     FREE on top of `bm25_topk`'s plan. Ranks are deterministic
     (4dp-rounded scores, doc_id tiebreak — the bm25_topk
-    discipline); the two row_number windows run over the
-    term-matched docs only (∝ postings of 3 terms, never the
-    corpus), and the final agg is a 3-row spine of conditional
-    counts. All agreement ratios are integer ratios — exact."""
+    discipline) and are NEVER assigned by a global window: each
+    ranker cuts to its top-20 via TakeOrderedAndProject (distributed
+    k-heap over the term-matched docs), ranks are positions in the
+    resulting 20-element sorted array, and the final agg is a 3-row
+    spine of conditional counts over the 20+20 outer-joined head.
+    All agreement ratios are integer ratios — exact."""
     d = _docs(spark, sf_dir)
     docs = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
     dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
@@ -1117,14 +1119,34 @@ def q_ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(tfidf_term), 4).alias("tfidf"),
         )
     )
-    ranked = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .alias("r_bm25"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
-        .alias("r_tfidf"),
+    # Only ranks <= max(k) ever matter, so NEVER rank the full scored
+    # table (a global row_number is a single-partition window — the
+    # all-matching-docs sort a 100 TB run can't afford). Each ranker
+    # cuts to its top-20 via TakeOrderedAndProject (distributed
+    # k-heap), then ranks are positions in a 20-element sorted array.
+    def _top_ranks(score_col: str, rank_name: str) -> DataFrame:
+        t = scored.orderBy(F.desc(score_col), F.asc("doc_id")).limit(
+            max(_AGREE_KS)
+        )
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("ns"),
+                    F.col("doc_id").alias("d"),
+                )
+            )
+        )
+        return (
+            t.agg(arr.alias("a"))
+            .select(F.posexplode("a").alias("r0", "s"))
+            .select(
+                F.col("s.d").alias("doc_id"),
+                (F.col("r0") + 1).alias(rank_name),
+            )
+        )
+
+    ranked = _top_ranks("bm25", "r_bm25").join(
+        _top_ranks("tfidf", "r_tfidf"), "doc_id", "full_outer"
     )
     ks = spark.createDataFrame([(k,) for k in _AGREE_KS], "k int")
     both = (F.col("r_bm25") <= F.col("k")) & (F.col("r_tfidf") <= F.col("k"))

@@ -330,6 +330,13 @@ ALL_OPS = [
     # normalization):
     "dedup_edit_verify", "minhash_estimator_calibration",
     "dedup_cluster_purity", "k_anonymity_audit", "class_balance_weights",
+    # round-10 additions (expected ~1: srp runs under the
+    # bits-per-band ~ log2(n) dial set below — linear projection +
+    # bounded-bucket band join; label_margin is a broadcast
+    # |labels|-row scoring pass; rake is a per-doc window plus two
+    # vocab-keyed aggs; funnel/agreement/dp are scan + spine aggs)
+    "dedup_embedding_srp", "label_margin_audit", "rake_keywords",
+    "filter_funnel_yield", "ranker_agreement_topk", "dp_noisy_histogram",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
@@ -572,6 +579,17 @@ def main() -> None:
         # docstring — expected exponent ~1.5 at the optimal K), unless
         # --ivf-k-fixed pins the production fixed-codebook regime.
         similarity.IVF_K = fixed_k or max(8, int(math.sqrt(n_vecs)))
+        # SRP's scale dial (its docstring): bits-per-band grows
+        # ~log2(n) so per-band bucket occupancy stays ~constant
+        # (target ~16 vectors/bucket); with the dial frozen the band
+        # join is Theta(n^2 / 2^bits) by construction and the ladder
+        # would read the DIAL, not the operator.
+        from hadoop_wordcount_spark.operators import dedup as _dedup_mod
+
+        _dedup_mod._SRP_BAND_BITS = max(
+            8, int(math.log2(max(n_vecs, 2)) - 4)
+        )
+        _dedup_mod._SRP_BITS = 4 * _dedup_mod._SRP_BAND_BITS
 
         def timed(name: str, thunk) -> None:
             rec = f"{name}@K{fixed_k}" if fixed_k else name
