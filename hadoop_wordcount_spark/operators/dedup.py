@@ -2186,3 +2186,150 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+def _srp_multiprobe_oracle() -> str:
+    planes = _srp_planes()
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    hv_rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}])"
+        for j, row in enumerate(planes)
+    )
+    key_cols = ", ".join(
+        "CAST(sum(CASE WHEN j // {bb} = {b} THEN bit * (1 << (j % {bb})) "
+        "ELSE 0 END) AS BIGINT) AS k{b}".format(b=b, bb=_SRP_BAND_BITS)
+        for b in range(n_bands)
+    )
+    probe_hit = " OR ".join(
+        f"bit_count(xor(s.k{b}, q.k{b})) <= 1" for b in range(n_bands)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        h(j, hv) AS (VALUES
+            {hv_rows}),
+        bits AS (
+            SELECT e.vec_id, h.j,
+                   CASE WHEN round(list_sum(list_transform(
+                            range(1, len(e.v) + 1), i -> e.v[i] * h.hv[i])),
+                            6) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM e CROSS JOIN h),
+        keys AS (
+            SELECT vec_id, {key_cols}
+            FROM bits GROUP BY vec_id),
+        q AS (SELECT * FROM keys WHERE vec_id = 0),
+        qv AS (SELECT v FROM e WHERE vec_id = 0),
+        cand AS (
+            SELECT s.vec_id FROM keys s, q
+            WHERE s.vec_id <> q.vec_id AND ({probe_hit})),
+        scored AS (
+            SELECT c.vec_id,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> e.v[i] * qv.v[i]))
+                         / (greatest(sqrt(list_sum(list_transform(e.v,
+                                          x -> x * x))), 1e-12)
+                            * greatest(sqrt(list_sum(list_transform(qv.v,
+                                            x -> x * x))), 1e-12)),
+                         4) AS cos_sim
+            FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv)
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query("sim_search_srp_multiprobe", oracle=_srp_multiprobe_oracle())
+def q_sim_search_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH similarity search (Lv et al. VLDB'07
+    applied to Charikar hyperplane sketches): top-10 neighbors of the
+    vec_id=0 query, where candidates are vectors whose sign-bit band
+    key matches the query's on some band within Hamming distance 1 —
+    exact bucket hit plus every 1-bit "perturbed probe" of it, the
+    standard trick that buys LSH recall without more tables. Exact
+    cosine rescores candidates only; same output shape as the
+    brute-force `sim_search_topk` and the quantizer-based
+    `ann_ivf_search`, completing the family: brute force / trained
+    IVF / training-free multiprobe LSH.
+
+    This formulation tests band keys row-wise against one broadcast
+    query-key row (4 integer XOR+popcounts per row — ~8x cheaper
+    than the 64-mult cosine it replaces for non-candidates, and
+    oracle-exact). In the indexed 100 TB deployment the same math is
+    an equi-join of the (bands x 9) probe keys against the banded
+    key index — candidates ∝ bucket occupancy x probe count, the
+    scan never rescores. Bits/planes are the shared
+    `dedup_embedding_srp` module constants; same 6dp-rounded-dot
+    sign rule, same 4dp/id-tiebreak determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _srp_planes()
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+
+    def _fold_dot(vcol, row):
+        hv = F.array(*[F.lit(x) for x in row])
+        return F.aggregate(
+            F.zip_with(vcol, hv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(F.round(_fold_dot(F.col("v"), row), 6) >= 0, 1).otherwise(0)
+        for row in planes
+    ]
+    keys = [
+        sum(
+            (bits[b * _SRP_BAND_BITS + i] * (1 << i))
+            for i in range(_SRP_BAND_BITS)
+        ).cast("long")
+        for b in range(n_bands)
+    ]
+    side = e.select(
+        "vec_id", "v", *[k.alias(f"k{b}") for b, k in enumerate(keys)]
+    )
+    qrow = side.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        *[F.col(f"k{b}").alias(f"qk{b}") for b in range(n_bands)],
+    )
+    probe_hit = None
+    for b in range(n_bands):
+        hit = (
+            F.bit_count(
+                F.col(f"k{b}").bitwiseXOR(F.col(f"qk{b}"))
+            )
+            <= 1
+        )
+        probe_hit = hit if probe_hit is None else (probe_hit | hit)
+    pair_dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _nrm(c):
+        return F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(c, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            F.lit(1e-12),
+        )
+
+    return (
+        side.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .filter(probe_hit)
+        .select(
+            "vec_id",
+            F.round(
+                pair_dot / (_nrm(F.col("v")) * _nrm(F.col("qv"))), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -7273,3 +7273,201 @@ def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_events") + noise, 4), F.lit(0.0)
         ).alias("released"),
     )
+
+
+# Poisson-bootstrap configuration: B resamples, Poisson(1) weights
+# via exact integer thresholds on the md5-fold (cumulative
+# probabilities of Poisson(1) scaled to 1000: P(<=k) for k=0..5;
+# h >= 999 maps to weight 6). Integer thresholds make the resample
+# weights BIT-IDENTICAL across engines — no float RNG to reconcile.
+_BS_B = 64
+_BS_THRESH = (368, 736, 920, 981, 996, 999)
+_BS_THRESH_SQL = ", ".join(str(t) for t in _BS_THRESH)
+
+
+@query(
+    "bootstrap_ci_poisson",
+    oracle=f"""
+        WITH expl AS (
+            SELECT e.event_type, e.value, b.b,
+                   len(list_filter([{_BS_THRESH_SQL}],
+                       t -> (list_reduce(list_transform(
+                                 string_split_regex(substr(md5(
+                                     'bs:' || CAST(b.b AS VARCHAR) || ':'
+                                     || CAST(e.event_id AS VARCHAR)), 1, 15),
+                                 ''),
+                             c -> CAST(instr('0123456789abcdef', c) - 1
+                                       AS BIGINT)),
+                             (a, d) -> a * 16 + d) % 1000) >= t))
+                       AS w
+            FROM events e CROSS JOIN (SELECT unnest(range(0, {_BS_B})) AS b) b),
+        per AS (
+            SELECT event_type, b,
+                   round(sum(w * value) / greatest(sum(w), 1), 6) AS mean_b
+            FROM expl GROUP BY event_type, b),
+        pt AS (
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(value), 4) AS mean_value
+            FROM events GROUP BY event_type)
+        SELECT p.event_type, CAST(p.n_events AS BIGINT) AS n_events,
+               p.mean_value,
+               round(quantile_cont(per.mean_b, 0.025), 4) AS ci_lo,
+               round(quantile_cont(per.mean_b, 0.975), 4) AS ci_hi
+        FROM per JOIN pt p USING (event_type)
+        GROUP BY p.event_type, p.n_events, p.mean_value
+    """,
+)
+def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-event-type
+    mean (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012 — the bootstrap that actually runs at
+    scale): instead of materializing B resamples of n rows, every row
+    draws an independent Poisson(1) weight per resample, so the whole
+    procedure is ONE pass producing B weighted means per group, and
+    the 2.5/97.5 percentiles of those means are the 95% CI.
+
+    Determinism: weights come from exact integer thresholds on the
+    portable md5-fold of (resample, event_id) — the
+    `weighted_sample_bernoulli` idiom — so the resample weights are
+    bit-identical across engines; per-resample means round at 6dp
+    (sum-order discipline), CI endpoints use the exact interpolated
+    quantile both engines define identically
+    (`value_percentiles_exact` precedent) and round at 4dp.
+
+    Plan at 100 TB: the B-way explode is a flat map (x{_BS_B} rows of
+    12 bytes, no shuffle), then ONE (group, b)-keyed partial agg —
+    B x |groups| cells cross the exchange — and a |groups|-row
+    quantile. Compare the naive bootstrap: B full shuffles of n rows.
+    Poisson(1) weights make resample sizes ~Poisson(n), the standard
+    large-n approximation to multinomial resampling."""
+    e = _t(spark, sf_dir, "events")
+    expl = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.size(
+        F.filter(
+            F.array(*[F.lit(t) for t in _BS_THRESH]),
+            lambda t: (h % 1000) >= t,
+        )
+    )
+    per = (
+        expl.select("event_type", "b", "value", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value"))
+                / F.greatest(F.sum("w"), F.lit(1)),
+                6,
+            ).alias("mean_b")
+        )
+    )
+    pt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    ci = per.groupBy("event_type").agg(
+        F.round(F.percentile("mean_b", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n_events", "mean_value", "ci_lo", "ci_hi"
+    )
+
+
+@query(
+    "user_gap_regularity",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS ns FROM events),
+        g AS (
+            SELECT user_id,
+                   (ns - lag(ns) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ns, event_id)) / 1e9 AS gap_s
+            FROM t),
+        s AS (
+            SELECT user_id, count(gap_s) AS n_gaps,
+                   round(avg(gap_s), 4) AS mean_gap_s,
+                   round(stddev_samp(gap_s), 4) AS stddev_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY user_id HAVING count(gap_s) >= 9)
+        SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+               mean_gap_s, stddev_gap_s,
+               round(stddev_gap_s / greatest(mean_gap_s, 0.0001), 4) AS cv
+        FROM s
+        ORDER BY cv ASC, user_id LIMIT 20
+    """,
+)
+def q_user_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot-cadence audit: per user, the coefficient of
+    variation of inter-event gaps — humans are bursty (CV ~ 1 for a
+    Poisson process), schedulers and scrapers are metronomic (CV near
+    0) — reporting the 20 most-regular users with >= 10 events. The
+    traffic-hygiene filter a training-data pipeline runs on
+    interaction logs before trusting engagement signals
+    (`events_entropy_rate` is the content twin; this is the TIMING
+    one).
+
+    Determinism: gaps derive from integer epoch-nanos with a
+    (ts_ns, event_id) tiebreak in the lag window, converted to
+    seconds by the same bigint/1e9 division in both engines
+    (identical doubles row-wise); mean/stddev round at 4dp
+    (`stats_aggregates` sum-order class) and CV divides the ROUNDED
+    pair, so the ranking key is engine-identical; user_id breaks
+    ties on the k-heap cut.
+
+    Plan at 100 TB: ONE shuffle (user_id) feeding the lag window —
+    gap computation is a single pass per partition; the per-user agg
+    combines map-side; top-20 is TakeOrderedAndProject. Cardinality
+    bounded by |users| before the cut, never |events|."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    g = e.select(
+        "user_id",
+        (
+            (F.col("ts_ns") - F.lag("ts_ns").over(w)) / F.lit(1e9)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.stddev_samp("gap_s"), 4).alias("stddev_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 9)
+    )
+    return (
+        s.select(
+            "user_id",
+            "n_gaps",
+            "mean_gap_s",
+            "stddev_gap_s",
+            F.round(
+                F.col("stddev_gap_s")
+                / F.greatest(F.col("mean_gap_s"), F.lit(0.0001)),
+                4,
+            ).alias("cv"),
+        )
+        .orderBy(F.asc("cv"), F.asc("user_id"))
+        .limit(20)
+    )

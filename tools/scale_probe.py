@@ -337,6 +337,12 @@ ALL_OPS = [
     # vocab-keyed aggs; funnel/agreement/dp are scan + spine aggs)
     "dedup_embedding_srp", "label_margin_audit", "rake_keywords",
     "filter_funnel_yield", "ranker_agreement_topk", "dp_noisy_histogram",
+    # round-10 batch 2 (expected ~1: bootstrap is a flat x64 explode
+    # + one (group,b) partial agg; gap CV is one user_id window;
+    # multiprobe is a per-row integer key compare + bounded rescore
+    # under the same log2(n) bits dial as dedup_embedding_srp)
+    "bootstrap_ci_poisson", "user_gap_regularity",
+    "sim_search_srp_multiprobe",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
