@@ -7281,26 +7281,34 @@ def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # h >= 999 maps to weight 6). Integer thresholds make the resample
 # weights BIT-IDENTICAL across engines — no float RNG to reconcile.
 _BS_B = 64
-_BS_THRESH = (368, 736, 920, 981, 996, 999)
+# Thresholds are the Poisson(1) CDF scaled to the PRIME modulus 1009
+# (prime so every odd per-resample multiplier is invertible and the
+# mixed draws stay uniform): P(<=k), k=0..5; draw >= 1008 -> w=6.
+_BS_THRESH = (371, 742, 928, 990, 1005, 1008)
 _BS_THRESH_SQL = ", ".join(str(t) for t in _BS_THRESH)
+_BS_P1 = 100003  # first reduction prime (keeps the mix overflow-safe)
+_BS_P2 = 1009  # draw modulus (prime)
+_BS_MIXC = 40503  # additive mixing constant
 
 
 @query(
     "bootstrap_ci_poisson",
     oracle=f"""
-        WITH expl AS (
+        WITH h AS (
+            SELECT event_type, value,
+                   (list_reduce(list_transform(
+                        string_split_regex(substr(md5(
+                            'bs:' || CAST(event_id AS VARCHAR)), 1, 15), ''),
+                        c -> CAST(instr('0123456789abcdef', c) - 1
+                                  AS BIGINT)),
+                    (a, d) -> a * 16 + d) % {_BS_P1}) AS h0
+            FROM events),
+        expl AS (
             SELECT e.event_type, e.value, b.b,
                    len(list_filter([{_BS_THRESH_SQL}],
-                       t -> (list_reduce(list_transform(
-                                 string_split_regex(substr(md5(
-                                     'bs:' || CAST(b.b AS VARCHAR) || ':'
-                                     || CAST(e.event_id AS VARCHAR)), 1, 15),
-                                 ''),
-                             c -> CAST(instr('0123456789abcdef', c) - 1
-                                       AS BIGINT)),
-                             (a, d) -> a * 16 + d) % 1000) >= t))
-                       AS w
-            FROM events e CROSS JOIN (SELECT unnest(range(0, {_BS_B})) AS b) b),
+                       t -> ((e.h0 * (2 * b.b + 1) + {_BS_MIXC} * b.b)
+                             % {_BS_P2}) >= t)) AS w
+            FROM h e CROSS JOIN (SELECT unnest(range(0, {_BS_B})) AS b) b),
         per AS (
             SELECT event_type, b,
                    round(sum(w * value) / greatest(sum(w), 1), 6) AS mean_b
@@ -7326,13 +7334,22 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     procedure is ONE pass producing B weighted means per group, and
     the 2.5/97.5 percentiles of those means are the 95% CI.
 
-    Determinism: weights come from exact integer thresholds on the
-    portable md5-fold of (resample, event_id) — the
-    `weighted_sample_bernoulli` idiom — so the resample weights are
-    bit-identical across engines; per-resample means round at 6dp
-    (sum-order discipline), CI endpoints use the exact interpolated
-    quantile both engines define identically
-    (`value_percentiles_exact` precedent) and round at 4dp.
+    Determinism AND hash economy: the portable md5-fold (the
+    `weighted_sample_bernoulli` idiom) runs ONCE per row; each
+    resample's draw is an exact modular mix of that fold —
+    (h0·(2b+1) + 40503·b) mod 1009, both moduli prime so every
+    per-resample multiplier is invertible and the draws stay uniform
+    — compared against integer Poisson-CDF thresholds. One hash per
+    row instead of B ({_BS_B}) cut the 1x ladder rung ~10x; weights
+    are bit-identical across engines (pure integer arithmetic).
+    Rows are mutually independent per resample (h0 is the random
+    element), which is what the bootstrap variance estimate needs;
+    the cross-resample mixing within one row is pseudo-random by the
+    multiplier family, documented tradeoff vs per-(row,b) hashing.
+    Per-resample means round at 6dp (sum-order discipline), CI
+    endpoints use the exact interpolated quantile both engines
+    define identically (`value_percentiles_exact` precedent) and
+    round at 4dp.
 
     Plan at 100 TB: the B-way explode is a flat map (x{_BS_B} rows of
     12 bytes, no shuffle), then ONE (group, b)-keyed partial agg —
@@ -7341,32 +7358,35 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) weights make resample sizes ~Poisson(n), the standard
     large-n approximation to multinomial resampling."""
     e = _t(spark, sf_dir, "events")
+    h0 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BS_P1
+    )
     expl = e.select(
         "event_type",
         "value",
-        "event_id",
+        h0.alias("h0"),
         F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("bs:"),
-                    F.col("b").cast("string"),
-                    F.lit(":"),
-                    F.col("event_id").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    draw = (
+        F.col("h0") * (2 * F.col("b") + 1) + _BS_MIXC * F.col("b")
+    ) % _BS_P2
     w = F.size(
         F.filter(
             F.array(*[F.lit(t) for t in _BS_THRESH]),
-            lambda t: (h % 1000) >= t,
+            lambda t: draw >= t,
         )
     )
     per = (
