@@ -7289,6 +7289,11 @@ _BS_THRESH_SQL = ", ".join(str(t) for t in _BS_THRESH)
 _BS_P1 = 100003  # first reduction prime (keeps the mix overflow-safe)
 _BS_P2 = 1009  # draw modulus (prime)
 _BS_MIXC = 40503  # additive mixing constant
+_BS_DRAW_SQL = f"((e.h0 * (2 * b.b + 1) + {_BS_MIXC} * b.b) % {_BS_P2})"
+_BS_W_SQL = " + ".join(
+    f"(CASE WHEN {_BS_DRAW_SQL} >= {t} THEN 1 ELSE 0 END)"
+    for t in _BS_THRESH
+)
 
 
 @query(
@@ -7305,9 +7310,7 @@ _BS_MIXC = 40503  # additive mixing constant
             FROM events),
         expl AS (
             SELECT e.event_type, e.value, b.b,
-                   len(list_filter([{_BS_THRESH_SQL}],
-                       t -> ((e.h0 * (2 * b.b + 1) + {_BS_MIXC} * b.b)
-                             % {_BS_P2}) >= t)) AS w
+                   {_BS_W_SQL} AS w
             FROM h e CROSS JOIN (SELECT unnest(range(0, {_BS_B})) AS b) b),
         per AS (
             SELECT event_type, b,
@@ -7383,11 +7386,12 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw = (
         F.col("h0") * (2 * F.col("b") + 1) + _BS_MIXC * F.col("b")
     ) % _BS_P2
-    w = F.size(
-        F.filter(
-            F.array(*[F.lit(t) for t in _BS_THRESH]),
-            lambda t: draw >= t,
-        )
+    # Plain comparison sum, NOT a higher-order array filter: HOFs
+    # evaluate interpreted per element, and this projection runs on
+    # the x64-exploded stream — six codegen'd comparisons keep the
+    # whole stage in WholeStageCodegen.
+    w = sum(
+        (draw >= t).cast("int") for t in _BS_THRESH
     )
     per = (
         expl.select("event_type", "b", "value", w.alias("w"))
