@@ -1,0 +1,101 @@
+"""Signed-random-projection (hyperplane LSH) primitives.
+
+Charikar STOC'02: each hyperplane's sign bit agrees between two
+vectors with probability 1 - angle/pi, so banding sign bits gives a
+cosine-LSH candidate stage. Shared by the dedup operator
+(`dedup_embedding_srp`), the multiprobe searcher
+(`sim_search_srp_multiprobe`), and the recall eval
+(`ann_recall_report`) — one module so the sketch scheme cannot
+diverge between its consumers, and so no operator module has to
+import another operator module at load time (the oracle builders run
+at decoration time, which made cross-operator imports circular).
+
+Hyperplane components are md5-derived uniforms computed ONCE here and
+injected as identical double literals into both engines — no
+cross-engine RNG to reconcile. `tools/scale_probe.py` monkeypatches
+_SRP_BITS/_SRP_BAND_BITS on THIS module during ladders (bits-per-band
+~ log2 n is the scale dial).
+"""
+
+from __future__ import annotations
+
+_SRP_BITS = 32
+_SRP_BAND_BITS = 8  # 4 bands x 8 bits = 256 buckets/band at test SFs
+_SRP_DIM = 64
+
+def _srp_planes() -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(_SRP_BITS):
+        row = []
+        for dd in range(_SRP_DIM):
+            hx = hashlib.md5(f"srp:{j}:{dd}".encode()).hexdigest()[:8]
+            row.append(int(hx, 16) / 16**8 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _srp_ctes(prefix: str = "") -> str:
+    """Shared DuckDB CTE chain behind every SRP oracle: double-cast
+    vectors -> hyperplane VALUES -> sign bits -> band keys. ONE
+    template (the `_minhash_cte` discipline) so a sketch-scheme
+    change cannot diverge between the dedup, multiprobe-search, and
+    recall-eval oracles. ``prefix`` namespaces the CTEs when composed
+    next to another chain (e.g. the IVF k-means CTEs)."""
+    planes = _srp_planes()
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    q = prefix
+    hv_rows = ",\n            ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}])"
+        for j, row in enumerate(planes)
+    )
+    key_cols = ", ".join(
+        "CAST(sum(CASE WHEN j // {bb} = {b} THEN bit * (1 << (j % {bb})) "
+        "ELSE 0 END) AS BIGINT) AS k{b}".format(b=b, bb=_SRP_BAND_BITS)
+        for b in range(n_bands)
+    )
+    return f"""{q}e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        {q}h(j, hv) AS (VALUES
+            {hv_rows}),
+        {q}bits AS (
+            SELECT {q}e.vec_id, {q}h.j,
+                   CASE WHEN round(list_sum(list_transform(
+                            range(1, len({q}e.v) + 1),
+                            i -> {q}e.v[i] * {q}h.hv[i])),
+                            6) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM {q}e CROSS JOIN {q}h),
+        {q}keys AS (
+            SELECT vec_id, {key_cols}
+            FROM {q}bits GROUP BY vec_id)"""
+
+
+def _srp_multiprobe_body(prefix: str = "") -> str:
+    """The multiprobe candidate+rescore tail over a `_srp_ctes(prefix)`
+    chain — shared by the registered query's oracle and the
+    `ann_recall_report` composition. Yields CTEs `{prefix}q`,
+    `{prefix}cand`, `{prefix}scored`."""
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    p = prefix
+    probe_hit = " OR ".join(
+        f"bit_count(xor(s.k{b}, q.k{b})) <= 1" for b in range(n_bands)
+    )
+    return f"""{p}q AS (SELECT * FROM {p}keys WHERE vec_id = 0),
+        {p}qv AS (SELECT v FROM {p}e WHERE vec_id = 0),
+        {p}cand AS (
+            SELECT s.vec_id FROM {p}keys s, {p}q q
+            WHERE s.vec_id <> q.vec_id AND ({probe_hit})),
+        {p}scored AS (
+            SELECT c.vec_id,
+                   round(list_sum(list_transform(range(1, len(e.v) + 1),
+                                  i -> e.v[i] * qv.v[i]))
+                         / (greatest(sqrt(list_sum(list_transform(e.v,
+                                          x -> x * x))), 1e-12)
+                            * greatest(sqrt(list_sum(list_transform(qv.v,
+                                            x -> x * x))), 1e-12)),
+                         4) AS cos_sim
+            FROM {p}cand c
+            JOIN {p}e e ON e.vec_id = c.vec_id CROSS JOIN {p}qv qv)"""

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_wordcount_spark.operators.sampling import hash_bucket
+from hadoop_wordcount_spark.operators.text_analysis import NORM_TEXT_SQL
 from hadoop_wordcount_spark.operators.wordcount import tokens_col
 from hadoop_wordcount_spark.registry import query
 from hadoop_wordcount_spark.sources.tables import load_table
@@ -1165,4 +1166,80 @@ def q_ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("k")
+    )
+
+
+@query(
+    "dataset_card_report",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, lang, source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk,
+                   md5({NORM_TEXT_SQL}) AS norm_h
+            FROM documents),
+        m AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT norm_h) AS n_norm_distinct,
+                   sum(CASE WHEN len(tk) BETWEEN 50 AND 100000
+                       THEN 1 ELSE 0 END) AS n_len_ok
+            FROM q)
+        SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+               CAST(n_langs AS BIGINT) AS n_langs,
+               CAST(n_sources AS BIGINT) AS n_sources,
+               round(n_tokens * 1.0 / greatest(n_docs, 1), 4)
+                   AS mean_doc_tokens,
+               round(1.0 - n_norm_distinct * 1.0 / greatest(n_docs, 1), 4)
+                   AS exact_dup_rate,
+               round(n_len_ok * 1.0 / greatest(n_docs, 1), 4)
+                   AS len_gate_rate
+        FROM m
+    """,
+)
+def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (the summary block of a Datasheets/
+    Dataset-Cards artifact, Gebru et al. 2021): corpus size in docs
+    and tokens, language and source diversity, normalized-text exact
+    duplicate rate, mean document length, and the length-gate pass
+    rate — the headline numbers every corpus release publishes, in
+    one query, from one scan.
+
+    All values are integer aggregates or integer ratios (exact
+    doubles). The duplicate rate counts distinct md5 digests of the
+    shared `norm_text` normalization — the same canonicalization the
+    dedup family keys on, so the card's dup rate is consistent with
+    what `dedup_exact` would remove.
+
+    Plan at 100 TB: one scan; the count-distincts are the only
+    expensive terms (each an exact distinct aggregate — swap for
+    approx_count_distinct when +-2% is acceptable, as
+    `profile_table_sketch` demonstrates; lang/source distincts are
+    dimension-bounded and effectively free). Output is one row."""
+    from hadoop_wordcount_spark.operators.text_analysis import norm_text
+
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens_col(F.col("text")))
+    q = d.select(
+        "lang",
+        "source",
+        n_tok.alias("ntk"),
+        F.md5(norm_text(F.col("text"))).alias("norm_h"),
+    )
+    nd = F.greatest(F.count(F.lit(1)), F.lit(1))
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntk").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.sum("ntk") / nd, 4).alias("mean_doc_tokens"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("norm_h") / nd, 4
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("ntk").between(50, 100000), 1).otherwise(0))
+            / nd,
+            4,
+        ).alias("len_gate_rate"),
     )

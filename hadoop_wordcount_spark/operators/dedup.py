@@ -1986,59 +1986,23 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Signed-random-projection (hyperplane) LSH near-dup ------------------
 #
-# Charikar STOC'02: each hyperplane's sign bit agrees between two
-# vectors with probability 1 - angle/pi, so banding sign bits gives a
-# cosine-LSH candidate stage. Hyperplane components are md5-derived
-# uniforms computed ONCE here and injected as identical double
-# literals into both engines — no cross-engine RNG to reconcile.
-_SRP_BITS = 32
-_SRP_BAND_BITS = 8  # 4 bands x 8 bits = 256 buckets/band at this SF;
-# at 100 TB the dial is bits-per-band ~ log2(n/target_bucket_size)
-_SRP_DIM = 64
-
-
-def _srp_planes() -> list[list[float]]:
-    import hashlib
-
-    planes = []
-    for j in range(_SRP_BITS):
-        row = []
-        for dd in range(_SRP_DIM):
-            hx = hashlib.md5(f"srp:{j}:{dd}".encode()).hexdigest()[:8]
-            row.append(int(hx, 16) / 16**8 - 0.5)
-        planes.append(row)
-    return planes
+# Primitives live in functions/srp.py (shared with similarity's
+# recall eval; see that module's docstring). The operator functions
+# below read the CONSTANTS through the module reference so the scale
+# probe's bits-per-band dial patch applies everywhere at call time.
+from hadoop_wordcount_spark.functions import srp as _srp_mod
+from hadoop_wordcount_spark.functions.srp import (
+    _srp_ctes,
+    _srp_multiprobe_body,
+    _srp_planes,
+)
 
 
 def _srp_oracle() -> str:
-    planes = _srp_planes()
-    n_bands = _SRP_BITS // _SRP_BAND_BITS
-    hv_rows = ",\n            ".join(
-        f"({j}, [{', '.join(repr(x) for x in row)}])"
-        for j, row in enumerate(planes)
-    )
-    key_cols = ", ".join(
-        "CAST(sum(CASE WHEN j // {bb} = {b} THEN bit * (1 << (j % {bb})) "
-        "ELSE 0 END) AS BIGINT) AS k{b}".format(b=b, bb=_SRP_BAND_BITS)
-        for b in range(n_bands)
-    )
+    n_bands = _srp_mod._SRP_BITS // _srp_mod._SRP_BAND_BITS
     keys_arr = ", ".join(f"k{b}" for b in range(n_bands))
     return f"""
-        WITH e AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-        h(j, hv) AS (VALUES
-            {hv_rows}),
-        bits AS (
-            SELECT e.vec_id, h.j,
-                   CASE WHEN round(list_sum(list_transform(
-                            range(1, len(e.v) + 1), i -> e.v[i] * h.hv[i])),
-                            6) >= 0 THEN 1 ELSE 0 END AS bit
-            FROM e CROSS JOIN h),
-        keys AS (
-            SELECT vec_id, {key_cols}
-            FROM bits GROUP BY vec_id),
+        WITH {_srp_ctes()},
         side AS (
             SELECT vec_id, [{keys_arr}] AS ks FROM keys),
         expl AS (
@@ -2102,7 +2066,7 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _srp_planes()
-    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    n_bands = _srp_mod._SRP_BITS // _srp_mod._SRP_BAND_BITS
     v = F.transform("embedding", lambda x: x.cast("double"))
     e = emb.select("vec_id", v.alias("v"))
 
@@ -2120,8 +2084,8 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     keys = [
         sum(
-            (bits[b * _SRP_BAND_BITS + i] * (1 << i))
-            for i in range(_SRP_BAND_BITS)
+            (bits[b * _srp_mod._SRP_BAND_BITS + i] * (1 << i))
+            for i in range(_srp_mod._SRP_BAND_BITS)
         ).cast("long")
         for b in range(n_bands)
     ]
@@ -2189,51 +2153,9 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_multiprobe_oracle() -> str:
-    planes = _srp_planes()
-    n_bands = _SRP_BITS // _SRP_BAND_BITS
-    hv_rows = ",\n            ".join(
-        f"({j}, [{', '.join(repr(x) for x in row)}])"
-        for j, row in enumerate(planes)
-    )
-    key_cols = ", ".join(
-        "CAST(sum(CASE WHEN j // {bb} = {b} THEN bit * (1 << (j % {bb})) "
-        "ELSE 0 END) AS BIGINT) AS k{b}".format(b=b, bb=_SRP_BAND_BITS)
-        for b in range(n_bands)
-    )
-    probe_hit = " OR ".join(
-        f"bit_count(xor(s.k{b}, q.k{b})) <= 1" for b in range(n_bands)
-    )
     return f"""
-        WITH e AS (
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-        h(j, hv) AS (VALUES
-            {hv_rows}),
-        bits AS (
-            SELECT e.vec_id, h.j,
-                   CASE WHEN round(list_sum(list_transform(
-                            range(1, len(e.v) + 1), i -> e.v[i] * h.hv[i])),
-                            6) >= 0 THEN 1 ELSE 0 END AS bit
-            FROM e CROSS JOIN h),
-        keys AS (
-            SELECT vec_id, {key_cols}
-            FROM bits GROUP BY vec_id),
-        q AS (SELECT * FROM keys WHERE vec_id = 0),
-        qv AS (SELECT v FROM e WHERE vec_id = 0),
-        cand AS (
-            SELECT s.vec_id FROM keys s, q
-            WHERE s.vec_id <> q.vec_id AND ({probe_hit})),
-        scored AS (
-            SELECT c.vec_id,
-                   round(list_sum(list_transform(range(1, len(e.v) + 1),
-                                  i -> e.v[i] * qv.v[i]))
-                         / (greatest(sqrt(list_sum(list_transform(e.v,
-                                          x -> x * x))), 1e-12)
-                            * greatest(sqrt(list_sum(list_transform(qv.v,
-                                            x -> x * x))), 1e-12)),
-                         4) AS cos_sim
-            FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv)
+        WITH {_srp_ctes()},
+        {_srp_multiprobe_body()}
         SELECT vec_id, cos_sim FROM scored
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
@@ -2263,7 +2185,7 @@ def q_sim_search_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign rule, same 4dp/id-tiebreak determinism."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _srp_planes()
-    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    n_bands = _srp_mod._SRP_BITS // _srp_mod._SRP_BAND_BITS
     v = F.transform("embedding", lambda x: x.cast("double"))
     e = emb.select("vec_id", v.alias("v"))
 
@@ -2281,8 +2203,8 @@ def q_sim_search_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     keys = [
         sum(
-            (bits[b * _SRP_BAND_BITS + i] * (1 << i))
-            for i in range(_SRP_BAND_BITS)
+            (bits[b * _srp_mod._SRP_BAND_BITS + i] * (1 << i))
+            for i in range(_srp_mod._SRP_BAND_BITS)
         ).cast("long")
         for b in range(n_bands)
     ]

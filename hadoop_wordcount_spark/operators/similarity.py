@@ -1797,3 +1797,114 @@ def q_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("margin"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Composes three chains: brute-force ground truth, the IVF
+    search tail (same text as `_ivf_oracle`), and the s-prefixed SRP
+    multiprobe chain from `dedup._srp_ctes`/`_srp_multiprobe_body`."""
+    from hadoop_wordcount_spark.functions.srp import (
+        _srp_ctes,
+        _srp_multiprobe_body,
+    )
+
+    ctes, prev = _ivf_assign_ctes()
+    return f"""
+        WITH {ctes},
+        {_srp_ctes("s")},
+        {_srp_multiprobe_body("s")},
+        qv AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID}),
+        bf AS (
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding, q.qv) /
+                         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+            FROM embeddings e CROSS JOIN qv q
+            WHERE e.vec_id <> {QUERY_VEC_ID}),
+        bf10 AS (SELECT vec_id FROM bf
+                 ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}),
+        probe AS (SELECT pos, val FROM ev WHERE vec_id = {QUERY_VEC_ID}),
+        pc AS (
+            SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY round(sum((p.val - c.cval)
+                                              * (p.val - c.cval)), 4),
+                                    c.cid) AS rn
+                FROM probe p JOIN {prev} c ON p.pos = c.pos
+                GROUP BY c.cid) WHERE rn <= {IVF_NPROBE}),
+        icand AS (
+            SELECT vec_id FROM a{IVF_ITERS}
+            WHERE cid IN (SELECT cid FROM pc)
+              AND vec_id <> {QUERY_VEC_ID}),
+        ivf10 AS (
+            SELECT b.vec_id FROM bf b JOIN icand USING (vec_id)
+            ORDER BY b.cos_sim DESC, b.vec_id LIMIT {TOP_K}),
+        mp10 AS (SELECT vec_id FROM sscored
+                 ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}),
+        hits AS (
+            SELECT 'ivf' AS method,
+                   (SELECT count(*) FROM ivf10 JOIN bf10 USING (vec_id))
+                       AS n_hits
+            UNION ALL
+            SELECT 'srp_multiprobe',
+                   (SELECT count(*) FROM mp10 JOIN bf10 USING (vec_id)))
+        SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+               round(n_hits / {TOP_K}.0, 4) AS recall_at_10
+        FROM hits ORDER BY method
+    """
+
+
+@query("ann_recall_report", oracle=_ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating retrieval harness: recall@{TOP_K} of the two
+    approximate searchers — trained-IVF (`ann_ivf_search`) and
+    training-free multiprobe SRP-LSH (`sim_search_srp_multiprobe`) —
+    against the brute-force ground truth (`sim_search_topk`), in ONE
+    query. This is the eval every ANN deployment runs after any
+    reindex/requantize: is recall still above the bar, and which
+    method degraded? Both method pipelines and the ground truth run
+    in-engine; no separate eval harness, no collected arrays.
+
+    Determinism: all three rankings inherit their queries' 4dp-round
+    + vec_id tiebreak discipline, so the three top-{TOP_K} sets —
+    and hence the integer hit counts — are engine-identical; recall
+    is an integer ratio.
+
+    Plan at 100 TB: ground truth is the one genuinely linear scan
+    (brute-force top-k heap — the eval cost you pay by definition);
+    each method contributes its own bounded candidate stage; the
+    report is a 2-row spine. Evaluate on a SAMPLED query set in
+    production — same plan, query spine instead of one fixed id."""
+    from hadoop_wordcount_spark.operators.dedup import (
+        q_sim_search_srp_multiprobe,
+    )
+
+    bf = q_sim_search_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf_search(spark, sf_dir).select("vec_id")
+    mp = q_sim_search_srp_multiprobe(spark, sf_dir).select("vec_id")
+    union = ivf.withColumn("method", F.lit("ivf")).unionByName(
+        mp.withColumn("method", F.lit("srp_multiprobe"))
+    )
+    hits = (
+        union.join(bf, "vec_id")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = spark.createDataFrame(
+        [("ivf",), ("srp_multiprobe",)], "method string"
+    )
+    return (
+        spine.join(hits, "method", "left")
+        .select(
+            "method",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / float(TOP_K), 4
+            ).alias("recall_at_10"),
+        )
+        .orderBy("method")
+    )

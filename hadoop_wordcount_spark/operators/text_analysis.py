@@ -2475,3 +2475,123 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(20)
     )
+
+
+_WZ = 1.96  # two-sided 95% normal quantile
+
+
+@query(
+    "wilson_ci_pass_rate",
+    oracle=f"""
+        WITH q AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        m AS (
+            SELECT source,
+                   len(tk) AS n_words,
+                   round(coalesce(list_sum(list_transform(tk, w -> length(w))), 0)
+                         * 1.0 / greatest(len(tk), 1), 4) AS mwl,
+                   round(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+                         * 1.0 / greatest(len(tk), 1), 4) AS fa,
+                   round(len(list_distinct(tk))
+                         * 1.0 / greatest(len(tk), 1), 4) AS fd,
+                   len(list_intersect(
+                       list_distinct(list_transform(tk, w -> lower(w))),
+                       {_STOPWORDS!r})) AS sw
+            FROM q),
+        agg AS (
+            SELECT source, count(*) AS n,
+                   sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                             AND mwl BETWEEN 3 AND 10
+                             AND fa >= 0.8 AND fd >= 0.2 AND sw >= 2
+                       THEN 1 ELSE 0 END) AS k
+            FROM m GROUP BY source),
+        w AS (
+            SELECT source, n, k, k * 1.0 / n AS p,
+                   1.0 + {_WZ} * {_WZ} / n AS denom
+            FROM agg)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(k AS BIGINT) AS n_pass,
+               round(p, 4) AS pass_rate,
+               round(greatest((p + {_WZ} * {_WZ} / (2 * n)
+                      - {_WZ} * sqrt(p * (1 - p) / n
+                                     + {_WZ} * {_WZ} / (4.0 * n * n)))
+                     / denom, 0.0), 4) AS wilson_lo,
+               round(least((p + {_WZ} * {_WZ} / (2 * n)
+                      + {_WZ} * sqrt(p * (1 - p) / n
+                                     + {_WZ} * {_WZ} / (4.0 * n * n)))
+                     / denom, 1.0), 4) AS wilson_hi
+        FROM w
+    """,
+)
+def q_wilson_ci_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% interval for the per-source Gopher-gate pass
+    rate (Wilson 1927 — the binomial CI that behaves at small n and
+    extreme p, unlike the Wald interval): the analytic complement of
+    `bootstrap_ci_poisson` (resampling CI for a continuous mean; this
+    is closed-form for a proportion). The report a curation pipeline
+    reads before flagging a SOURCE as degraded: a crawl whose pass
+    rate CI excludes the fleet-wide rate is drifting, small sources
+    don't false-alarm because their intervals are honestly wide.
+
+    Determinism: k and n are integer aggregates; every CI expression
+    is then single-row arithmetic on identical integers — identical
+    IEEE doubles in both engines (no summation-order anywhere) —
+    rounded at 4dp. The gate is expression-identical to
+    `quality_gopher_rules` (same rounded metrics, same thresholds).
+
+    Plan: one tokenization projection + one map-side-combined
+    groupBy(source); the CI math runs on |sources| rows. Free at any
+    scale, exactly like the gate it monitors."""
+    d = _docs(spark, sf_dir)
+    tk = F.col("tk")
+    n_ = F.size(tk)
+    nn = F.greatest(n_, F.lit(1))
+    mwl = F.round(
+        F.aggregate(tk, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / nn,
+        4,
+    )
+    fa = F.round(F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]"))) / nn, 4)
+    fd = F.round(F.size(F.array_distinct(tk)) / nn, 4)
+    sw = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(tk, F.lower)),
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+        )
+    )
+    passes = (
+        n_.between(50, 100000)
+        & mwl.between(3, 10)
+        & (fa >= 0.8)
+        & (fd >= 0.2)
+        & (sw >= 2)
+    )
+    agg = (
+        d.select("source", tokens_col(F.col("text")).alias("tk"))
+        .select("source", passes.alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("k"),
+        )
+    )
+    n = F.col("n")
+    p = F.col("k") * 1.0 / n
+    z2 = _WZ * _WZ
+    denom = 1.0 + z2 / n
+    half = _WZ * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    center = p + z2 / (2 * n)
+    return agg.select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_pass"),
+        F.round(p, 4).alias("pass_rate"),
+        F.round(F.greatest((center - half) / denom, F.lit(0.0)), 4).alias(
+            "wilson_lo"
+        ),
+        F.round(F.least((center + half) / denom, F.lit(1.0)), 4).alias(
+            "wilson_hi"
+        ),
+    )

@@ -343,6 +343,9 @@ ALL_OPS = [
     # under the same log2(n) bits dial as dedup_embedding_srp)
     "bootstrap_ci_poisson", "user_gap_regularity",
     "sim_search_srp_multiprobe",
+    # round-10 batch 3 (expected ~1: recall eval = brute-force k-heap
+    # + two bounded candidate stages; wilson/card = scan + tiny aggs)
+    "ann_recall_report", "wilson_ci_pass_rate", "dataset_card_report",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
@@ -590,12 +593,12 @@ def main() -> None:
         # (target ~16 vectors/bucket); with the dial frozen the band
         # join is Theta(n^2 / 2^bits) by construction and the ladder
         # would read the DIAL, not the operator.
-        from hadoop_wordcount_spark.operators import dedup as _dedup_mod
+        from hadoop_wordcount_spark.functions import srp as _srp_mod
 
-        _dedup_mod._SRP_BAND_BITS = max(
+        _srp_mod._SRP_BAND_BITS = max(
             8, int(math.log2(max(n_vecs, 2)) - 4)
         )
-        _dedup_mod._SRP_BITS = 4 * _dedup_mod._SRP_BAND_BITS
+        _srp_mod._SRP_BITS = 4 * _srp_mod._SRP_BAND_BITS
 
         def timed(name: str, thunk) -> None:
             rec = f"{name}@K{fixed_k}" if fixed_k else name
