@@ -5653,7 +5653,7 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust,
                    CAST(sum(n) AS BIGINT) AS n_orders
             FROM b GROUP BY priority),
-        glob AS (
+        gm AS (
             SELECT 'ALL' AS priority,
                    CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust,
                    CAST(sum(n) AS BIGINT) AS n_orders
@@ -7494,4 +7494,367 @@ def q_user_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("cv"), F.asc("user_id"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality / pipeline-observability audits (round 10, batch 4)
+# ---------------------------------------------------------------------------
+
+_FK_EDGES: list[tuple[str, str, str, str, bool]] = [
+    # (child table, fk col, parent table, pk col, parent_is_fixed_dim)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("orders", "o_custkey", "customer", "c_custkey", False),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+]
+
+
+def _fk_edge_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+        SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS orphan_rows,
+               round(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS orphan_rate
+        FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON c.{fk} = p.{pk}
+    """
+
+
+@query(
+    "referential_integrity_audit",
+    oracle=" UNION ALL ".join(
+        _fk_edge_sql(c, fk, p, pk) for c, fk, p, pk, _ in _FK_EDGES
+    )
+    + " ORDER BY fk_edge",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan census over every FK edge in the star
+    schema — the data-contract check a pipeline runs after every
+    ingest/backfill before letting joins loose on the batch (an
+    orphan fk silently DROPS rows from inner joins; this audit makes
+    the loss visible as a rate per edge). One row per edge:
+    child rows, orphan rows (fk with no parent key; a NULL fk counts
+    as an orphan — testdata has none, so the strict and SQL-standard
+    readings coincide), orphan rate.
+
+    Determinism: pure integer counts + one 6dp integer-ratio round.
+
+    Plan: per edge, one LEFT join of the child's fk column against
+    the parent's distinct key, collapsed to a single row by a
+    map-side-combined count/sum — Catalyst prunes both sides to the
+    key columns (ReadSchema is 1 column per side). The two
+    fixed-cardinality dims (nation, region) broadcast; the scaling
+    parents (orders/part/supplier/customer at TPC-H SF) shuffle on
+    the key — each edge is exactly one key-partitioned exchange of
+    key columns only, the minimum any exact RI check can do at
+    100 TB. Edges are independent single-row jobs — no barrier, and
+    AQE can run them concurrently from one action."""
+    out = None
+    for child, fk, parent, pk, fixed_dim in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("__fk"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        if fixed_dim:
+            p = F.broadcast(p)
+        j = c.join(p, F.col("__fk") == F.col("__pk"), "left")
+        row = j.agg(
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            F.sum(F.col("__pk").isNull().cast("long"))
+            .cast("long")
+            .alias("orphan_rows"),
+        ).select(
+            F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+            "child_rows",
+            "orphan_rows",
+            F.round(F.col("orphan_rows") * 1.0 / F.col("child_rows"), 6).alias(
+                "orphan_rate"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+_MAD_K = 3 * 1.4826  # 3 sigma-equivalents under normality
+
+
+@query(
+    "events_mad_outliers",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type,
+                   round(quantile_cont(dev, 0.5), 6) AS mad
+            FROM dev GROUP BY event_type)
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               max(d.med) AS median_value,
+               max(a.mad) AS mad,
+               CAST(sum(CASE WHEN d.dev > {_MAD_K} * a.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(sum(CASE WHEN d.dev > {_MAD_K} * a.mad
+                         THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS outlier_rate
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event_type by MEDIAN ABSOLUTE
+    DEVIATION (Hampel's rule: |x - median| > 3 * 1.4826 * MAD) — the
+    robust-statistics twin of `outlier_filter_p99`: a p99 cut moves
+    with the outliers themselves, while median/MAD have a 50%
+    breakdown point, so a heavy-tailed batch can't hide its own
+    contamination. The report a feature pipeline reads before
+    trusting a batch of metric values.
+
+    Determinism: both medians are exact order statistics (Spark
+    `percentile`, DuckDB `quantile_cont` — the identical continuous
+    definition, the `value_percentiles_exact` precedent) ROUNDED AT
+    6dp BEFORE re-use, so the deviation column and the Hampel
+    comparison run on bit-identical doubles in both engines; counts
+    are integers and the rate is one integer-ratio round.
+
+    Plan: two sort-based percentile aggs keyed on event_type (the
+    exact-quantile cost; the 100 TB path swaps in percentile_approx
+    exactly as `value_percentiles` does, at the cost of the hash
+    oracle) plus one conditional count — three scans, each a
+    map-side-combinable |types|-row exchange; the |types|-row
+    median/MAD tables broadcast back onto the fact."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    flagged = F.col("dev") > F.lit(_MAD_K) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(flagged.cast("long")).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(flagged.cast("long")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+def _skew_sql(label: str, table: str, key: str) -> str:
+    return f"""
+        SELECT '{label}' AS fact_key,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS child_rows,
+               CAST(max(c) AS BIGINT) AS max_rows,
+               round(sum(c) * 1.0 / count(*), 4) AS avg_rows,
+               round(quantile_cont(CAST(c AS DOUBLE), 0.5), 3) AS p50_rows,
+               round(quantile_cont(CAST(c AS DOUBLE), 0.99), 3) AS p99_rows,
+               round(max(c) * 1.0 * count(*) / sum(c), 4) AS skew_ratio,
+               CAST((SELECT min(k) FROM (SELECT {key} AS k, count(*) AS c
+                     FROM {table} GROUP BY 1) i
+                     WHERE i.c = (SELECT max(c) FROM (SELECT count(*) AS c
+                                  FROM {table} GROUP BY {key}) j))
+                    AS BIGINT) AS hot_key,
+               round(max(c) * 1.0 / sum(c), 6) AS hot_share
+        FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1)
+    """
+
+
+@query(
+    "join_skew_audit",
+    oracle=_skew_sql("orders.o_custkey", "orders", "o_custkey")
+    + " UNION ALL "
+    + _skew_sql("lineitem.l_suppkey", "lineitem", "l_suppkey")
+    + " ORDER BY fact_key",
+)
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the two hottest join keys in
+    the schema (orders by customer, lineitem by supplier): per-key
+    row-count distribution — key cardinality, max/avg/p50/p99 rows
+    per key, skew ratio (max over mean), the hottest key and its
+    share. THE report read before choosing a join strategy at scale:
+    skew_ratio near 1 = hash-partition freely; a hot key owning
+    percents of the table = salt it or isolate it (AQE's skew-join
+    splitting has the same trigger). Companion to the salted/bucketed
+    join entries — this is the measurement that justifies them.
+
+    Determinism: per-key counts are integers; percentiles over the
+    count distribution are exact order statistics on exact-integer
+    doubles; skew_ratio = max * n_keys / sum is an integer-product
+    ratio; the hot key is tie-broken by min(key) via a struct argmax.
+
+    Plan: per fact, one map-side-combined groupBy(key) count — the
+    identical exchange the join itself would do, so the audit costs
+    one shuffle of (key, partial count) pairs — then a single-row
+    aggregate over the per-key table (percentile sort is over
+    distinct keys, not rows). The argmax rides the same aggregate as
+    min(struct(-c, k)) — no second pass, no window."""
+    out = None
+    for label, table, key in [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ]:
+        c = (
+            _t(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("c").cast("long").alias("child_rows"),
+            F.max("c").cast("long").alias("max_rows"),
+            F.round(F.sum("c") * 1.0 / F.count(F.lit(1)), 4).alias("avg_rows"),
+            F.round(F.percentile(F.col("c").cast("double"), F.lit(0.5)), 3).alias(
+                "p50_rows"
+            ),
+            F.round(F.percentile(F.col("c").cast("double"), F.lit(0.99)), 3).alias(
+                "p99_rows"
+            ),
+            F.round(
+                F.max("c") * 1.0 * F.count(F.lit(1)) / F.sum("c"), 4
+            ).alias("skew_ratio"),
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("k").alias("k")))
+            .getField("k")
+            .cast("long")
+            .alias("hot_key"),
+            F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("hot_share"),
+        ).select(
+            F.lit(label).alias("fact_key"),
+            "n_keys",
+            "child_rows",
+            "max_rows",
+            "avg_rows",
+            "p50_rows",
+            "p99_rows",
+            "skew_ratio",
+            "hot_key",
+            "hot_share",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fact_key")
+
+
+_ACF_MAX_LAG = 24
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+        WITH e AS (
+            SELECT epoch_ns(ts) // 3600000000000 AS h FROM events),
+        cnt AS (SELECT h, count(*) AS x FROM e GROUP BY h),
+        bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+        grid AS (SELECT unnest(range(lo, hi + 1)) AS h FROM bounds),
+        s AS (
+            SELECT g.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+            FROM grid g LEFT JOIN cnt c ON g.h = c.h),
+        gm AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s1,
+                   CAST(sum(x * x) AS BIGINT) AS q
+            FROM s),
+        lagd AS (
+            SELECT k.k AS lag,
+                   CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+                   CAST(sum(a.x) AS BIGINT) AS sa,
+                   CAST(sum(b.x) AS BIGINT) AS sb
+            FROM s a
+            CROSS JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS k) k
+            JOIN s b ON b.h = a.h + k.k
+            GROUP BY k.k)
+        SELECT CAST(lag AS INT) AS lag, m AS n_pairs,
+               round((sxy - (s1 * 1.0 / n) * (sa + sb)
+                      + m * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                     / (q - n * (s1 * 1.0 / n) * (s1 * 1.0 / n)), 6) AS acf
+        FROM lagd CROSS JOIN gm
+        ORDER BY lag
+    """,
+)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at
+    lags 1..24 — the periodicity fingerprint read before building
+    time features or anomaly baselines (a daily cycle shows as an
+    acf peak at lag 24; load bursts show as high low-lag acf). The
+    series is the GAP-FILLED hourly grid (`events_resample`'s
+    densify discipline — a plain groupBy would silently skip empty
+    hours and shift every lag alignment). Standard sample ACF:
+    r_k = sum_t (x_t - mu)(x_{t+k} - mu) / sum_t (x_t - mu)^2 with
+    the full-series mean and variance.
+
+    Determinism: counts are integers; every per-lag and global sum
+    (sum xy, sum x, sum x^2) is an INTEGER aggregate, and the ACF
+    formula expands so mu enters only in single-row arithmetic on
+    those integers — no double summation anywhere, 6dp round.
+
+    Plan: one map-side-combined groupBy(hour) — the only event-sized
+    exchange; the grid/lag machinery runs on the hour series, whose
+    length is CALENDAR-bounded (8.8k rows/year regardless of event
+    count, so the lag self-join costs |hours| x 24 rows at 100 TB,
+    i.e. nothing); global moments attach by 1-row broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 3600000000000").alias("h")
+    )
+    cnt = e.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    grid = cnt.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    s = grid.join(cnt, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    glob = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    lags = s.select(
+        "h",
+        "x",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+        ).alias("k"),
+    ).withColumn("h2", F.col("h") + F.col("k"))
+    b = s.select(F.col("h").alias("h2"), F.col("x").alias("y"))
+    lagd = (
+        lags.join(b, "h2")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum("x").cast("long").alias("sa"),
+            F.sum("y").cast("long").alias("sb"),
+        )
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    return (
+        lagd.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            F.col("m").alias("n_pairs"),
+            F.round(
+                (F.col("sxy") - mu * (F.col("sa") + F.col("sb")) + F.col("m") * mu * mu)
+                / (F.col("q") - F.col("n") * mu * mu),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
     )

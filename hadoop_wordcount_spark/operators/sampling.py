@@ -641,3 +641,104 @@ def q_docs_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("k")) / (F.col("n_tokens") / F.col("t")), 4
         ).alias("weight"),
     )
+
+
+_NEYMAN_BUDGET = 100
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+        WITH s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS s1,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+            FROM documents GROUP BY source),
+        w AS (
+            SELECT source, n,
+                   sqrt((n * q - s1 * s1) * 1.0 / (n * (n - 1))) AS sd,
+                   CAST(round(n * sqrt((n * q - s1 * s1) * 1.0
+                              / (n * (n - 1))), 0) AS BIGINT) AS wi
+            FROM s),
+        tot AS (SELECT sum(wi) AS t FROM w),
+        quota AS (
+            SELECT source, n, sd, wi,
+                   ({_NEYMAN_BUDGET} * wi) // t AS base,
+                   ({_NEYMAN_BUDGET} * wi) % t AS rem
+            FROM w CROSS JOIN tot),
+        slots AS (SELECT {_NEYMAN_BUDGET} - sum(base) AS r FROM quota),
+        ranked AS (
+            SELECT source, n, sd, wi, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk
+            FROM quota)
+        SELECT source, n AS n_docs, round(sd, 4) AS sd_chars,
+               wi AS weight_units, CAST(base AS BIGINT) AS base_alloc,
+               CAST(base + CASE WHEN rk <= slots.r THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM ranked CROSS JOIN slots
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation (Neyman 1934):
+    audit-sample n_h proportional to N_h * S_h — strata that are
+    BIG and VARIABLE get the samples; uniform strata get few, which
+    minimizes the variance of the stratified mean at fixed budget.
+    Strata are sources, the measured variable is document length
+    (n_chars); budget = 100 docs. The design-of-experiments
+    complement to `stratified_sample` (fixed-rate) and
+    `budget_largest_remainder` (proportional-only): this one is
+    variance-aware.
+
+    Determinism: per-stratum (n, sum x, sum x^2) are integer
+    aggregates; S_h = sqrt((n*q - s1^2) / (n*(n-1))) is single-row
+    arithmetic on those integers — bit-identical doubles; the
+    allocation weight is rounded to INTEGER units before any
+    cross-stratum arithmetic, so totals/quotas/remainders are pure
+    integer math (Hamilton's method — sum(alloc) == budget is a hard
+    invariant, pytest-pinned) and no double ever sums across rows.
+
+    Plan: one map-side-combined groupBy(source); everything after
+    runs on |sources| rows with the window-free broadcast
+    count-ahead rank. Free at 100 TB."""
+    from hadoop_wordcount_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("q"),
+    )
+    sd = F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s1") * F.col("s1"))
+        * 1.0
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    w = s.select(
+        "source",
+        "n",
+        sd.alias("sd"),
+        F.round(F.col("n") * sd, 0).cast("long").alias("wi"),
+    )
+    tot = w.agg(F.sum("wi").alias("t"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "sd",
+        "wi",
+        F.expr(f"({_NEYMAN_BUDGET} * wi) div t").cast("long").alias("base"),
+        ((F.lit(_NEYMAN_BUDGET) * F.col("wi")) % F.col("t")).alias("rem"),
+    )
+    slots = quota.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("r"))
+    ranked = global_row_number(
+        quota, [("rem", True), ("source", False)], out="rk", size_hint=1024
+    )
+    return ranked.crossJoin(F.broadcast(slots)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("sd", 4).alias("sd_chars"),
+        "wi",
+        F.col("base").alias("base_alloc"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    ).withColumnRenamed("wi", "weight_units")

@@ -2595,3 +2595,113 @@ def q_wilson_ci_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wilson_hi"
         ),
     )
+
+
+@query(
+    "heaps_law_fit",
+    oracle="""
+        WITH nt AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS nt
+            FROM documents),
+        b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mxd FROM documents),
+        cuts AS (
+            SELECT DISTINCT mn + ((mxd - mn) * i) // 10 AS c
+            FROM b, (SELECT unnest(range(1, 11)) AS i)),
+        npts AS (
+            SELECT c, CAST(sum(nt) AS BIGINT) AS n_tok
+            FROM nt, cuts WHERE doc_id <= c GROUP BY c),
+        fd AS (
+            SELECT w, min(doc_id) AS fdoc
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) AS w
+                  FROM documents)
+            GROUP BY w),
+        vpts AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS v
+            FROM fd, cuts WHERE fdoc <= c GROUP BY c),
+        pts AS (
+            SELECT ln(CAST(n_tok AS DOUBLE)) AS x,
+                   ln(CAST(v AS DOUBLE)) AS y
+            FROM npts JOIN vpts USING (c)),
+        m AS (SELECT avg(x) AS ax, avg(y) AS ay, count(*) AS n FROM pts)
+        SELECT round(sum((x - ax) * (y - ay))
+                     / sum((x - ax) * (x - ax)), 4) + 0.0 AS heaps_beta,
+               round(ay - (sum((x - ax) * (y - ay))
+                           / sum((x - ax) * (x - ax))) * ax, 4) AS ln_k,
+               CAST(max(n) AS BIGINT) AS n_points
+        FROM pts CROSS JOIN m GROUP BY ax, ay
+    """,
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: V(N) ~ K * N^beta — vocabulary size as a power
+    of cumulative token count, measured at 10 checkpoints along the
+    doc_id order and fitted by least squares in log-log space.
+    Natural text sits near beta ~ 0.4-0.6; beta near 0 flags a
+    templated/closed-vocabulary corpus, beta near 1 flags
+    noise/unsegmented junk. The growth-law companion to `zipf_fit`
+    (the static rank-frequency view of the same phenomenon — Heaps
+    and Zipf exponents are analytically linked).
+
+    Determinism: checkpoint cutoffs are integer div on doc_id
+    bounds; N(c) and V(c) are integer aggregates; the 10-point
+    regression follows `zipf_fit`'s exact pattern (ln of
+    bit-identical integer-valued doubles; 4dp round).
+
+    Plan: one token-per-doc projection and one first-occurrence
+    aggregate (groupBy word min(doc_id) — vocabulary-sized, the only
+    corpus shuffle); each checkpoint census is an explode of the
+    10-element cutoff array (doc-level and vocab-level rows x 10,
+    never token rows) into a map-side-combined 10-row aggregate;
+    the fit runs on 10 points via the 1-row broadcast-moments
+    crossJoin. No window, no sort, no pair stage."""
+    d = _docs(spark, sf_dir)
+    nt = d.select("doc_id", F.size(tokens_col(F.col("text"))).alias("nt"))
+    bounds = d.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mxd")
+    ).select(
+        F.expr(
+            "transform(sequence(1, 10), i -> mn + ((mxd - mn) * i) div 10)"
+        ).alias("cuts")
+    )
+    npts = (
+        nt.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "nt", F.explode(F.array_distinct("cuts")).alias("c"))
+        .filter(F.col("doc_id") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("nt").cast("long").alias("n_tok"))
+    )
+    fd = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    vpts = (
+        fd.crossJoin(F.broadcast(bounds))
+        .select("fdoc", F.explode(F.array_distinct("cuts")).alias("c"))
+        .filter(F.col("fdoc") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    pts = npts.join(vpts, "c").select(
+        F.log(F.col("n_tok").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.avg("x").alias("ax"), F.avg("y").alias("ay"), F.count(F.lit(1)).alias("n")
+    )
+    j = pts.crossJoin(F.broadcast(m))
+    slope = F.sum((F.col("x") - F.col("ax")) * (F.col("y") - F.col("ay"))) / F.sum(
+        (F.col("x") - F.col("ax")) * (F.col("x") - F.col("ax"))
+    )
+    return (
+        j.groupBy("ax", "ay")
+        .agg(
+            (F.round(slope, 4) + F.lit(0.0)).alias("heaps_beta"),
+            F.round(F.col("ay") - slope * F.col("ax"), 4).alias("ln_k"),
+            F.max("n").alias("n_points"),
+        )
+        .select("heaps_beta", "ln_k", "n_points")
+    )

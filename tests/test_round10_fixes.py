@@ -76,3 +76,121 @@ def test_new_round10_queries_no_cartesian(spark, sf_dir):
                  "ranker_agreement_topk", "label_margin_audit"):
         df = registry.QUERIES[name](spark, sf_dir)
         assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_referential_integrity_audit_clean_and_complete(spark):
+    """Testdata's star schema is referentially intact — every edge
+    must report zero orphans — and the audit must cover every FK
+    edge exactly once, with a plan free of cartesian products."""
+    df = registry.QUERIES["referential_integrity_audit"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {r["fk_edge"]: r for r in df.collect()}
+    assert len(rows) == 7
+    for edge, r in rows.items():
+        assert r["orphan_rows"] == 0, edge
+        assert r["orphan_rate"] == 0.0, edge
+        assert r["child_rows"] > 0, edge
+
+
+def test_join_skew_audit_invariants(spark):
+    """Distribution identities: sum of per-key rows equals the fact
+    row count, skew_ratio >= 1, hot_share in (0, 1], the hot key's
+    own count is max_rows, and the output is window-free (the argmax
+    rides the single aggregate)."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    df = registry.QUERIES["join_skew_audit"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = {r["fact_key"]: r for r in df.collect()}
+    orders_n = load_table(spark, SF_SMALL, "orders").count()
+    li_n = load_table(spark, SF_SMALL, "lineitem").count()
+    assert rows["orders.o_custkey"]["child_rows"] == orders_n
+    assert rows["lineitem.l_suppkey"]["child_rows"] == li_n
+    for r in rows.values():
+        assert r["skew_ratio"] >= 1.0
+        assert 0 < r["hot_share"] <= 1.0
+        assert r["max_rows"] >= r["p99_rows"] >= r["p50_rows"]
+    # the reported hot key really owns max_rows (tie-safe: min key)
+    from pyspark.sql import functions as F
+
+    o = rows["orders.o_custkey"]
+    cnt = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .orderBy(F.desc("count"), F.asc("o_custkey"))
+        .first()
+    )
+    assert cnt["o_custkey"] == o["hot_key"] and cnt["count"] == o["max_rows"]
+
+
+def test_events_mad_outliers_hampel_rule(spark):
+    """Re-derive one event_type's MAD census in pure Python and pin
+    the distributed result against it (median/MAD exact order
+    statistics, Hampel 3*1.4826 threshold)."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["events_mad_outliers"](spark, SF_SMALL).collect()
+    }
+    vals = sorted(
+        v["value"]
+        for v in load_table(spark, SF_SMALL, "events")
+        .filter("event_type = 'click'")
+        .select("value")
+        .collect()
+    )
+
+    def q50(xs):
+        n = len(xs)
+        h = 0.5 * (n - 1)
+        lo, frac = int(h), h - int(h)
+        return xs[lo] + frac * (xs[min(lo + 1, n - 1)] - xs[lo])
+
+    med = round(q50(vals), 6)
+    mad = round(q50(sorted(abs(v - med) for v in vals)), 6)
+    n_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
+    r = rows["click"]
+    assert r["median_value"] == med
+    assert r["mad"] == mad
+    assert r["n_outliers"] == n_out
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Hamilton's method invariant: allocations sum EXACTLY to the
+    budget, every stratum appears once, base <= alloc <= base + 1."""
+    rows = registry.QUERIES["neyman_allocation"](spark, SF_SMALL).collect()
+    assert sum(r["alloc"] for r in rows) == 100
+    assert len({r["source"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["base_alloc"] <= r["alloc"] <= r["base_alloc"] + 1
+        assert r["sd_chars"] > 0
+
+
+def test_events_autocorrelation_series_identities(spark):
+    """24 lags, pair counts shrink by exactly one grid row per lag,
+    and every sample-ACF value is bounded."""
+    rows = sorted(
+        registry.QUERIES["events_autocorrelation"](spark, SF_SMALL).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in rows] == list(range(1, 25))
+    n_grid = rows[0]["n_pairs"] + 1
+    for r in rows:
+        assert r["n_pairs"] == n_grid - r["lag"]
+        assert abs(r["acf"]) <= 1.0
+    # hourly event arrivals in testdata are near-uniform Poisson —
+    # low-lag autocorrelation should be weak, not structural
+    assert abs(rows[0]["acf"]) < 0.5
+
+
+def test_heaps_law_fit_checkpoints(spark):
+    """10 checkpoints; vocabulary growth exponent is a proper power
+    law reading: 0 <= beta <= 1 (0 = closed vocab, 1 = all-new)."""
+    r = registry.QUERIES["heaps_law_fit"](spark, SF_SMALL).collect()
+    assert len(r) == 1
+    assert r[0]["n_points"] == 10
+    assert 0.0 <= r[0]["heaps_beta"] <= 1.0

@@ -346,6 +346,17 @@ ALL_OPS = [
     # round-10 batch 3 (expected ~1: recall eval = brute-force k-heap
     # + two bounded candidate stages; wilson/card = scan + tiny aggs)
     "ann_recall_report", "wilson_ci_pass_rate", "dataset_card_report",
+    # round-10 batch 4 (expected ~1: RI audit = one key-pruned left
+    # join + single-row agg per edge; MAD = three event_type-keyed
+    # exact-percentile/count passes; skew audit = the per-key count
+    # exchange a join would do anyway + a single-row distribution agg)
+    "referential_integrity_audit", "events_mad_outliers",
+    "join_skew_audit",
+    # round-10 batch 5 (expected ~1: ACF = one hour-keyed count agg,
+    # lag join on the calendar-bounded grid; heaps = one vocab-sized
+    # first-occurrence agg + 10-row checkpoint censuses; neyman = one
+    # source-keyed integer-moment agg + |sources|-row allocation)
+    "events_autocorrelation", "heaps_law_fit", "neyman_allocation",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
@@ -374,6 +385,7 @@ RELATIONAL_OPS = {
     "lineitem_weighted_median", "supplier_herfindahl_by_type",
     "orders_yoy_growth", "nation_revenue_share_report",
     "orders_customer_acquisition",
+    "referential_integrity_audit", "join_skew_audit",
 }
 
 
