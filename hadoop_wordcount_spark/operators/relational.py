@@ -7858,3 +7858,174 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+        WITH qi AS (
+            SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                   CAST(floor(value / 10.0) AS BIGINT) AS vband,
+                   event_type
+            FROM events),
+        cls AS (
+            SELECT hod, vband, event_type, count(*) AS c
+            FROM qi GROUP BY hod, vband, event_type),
+        per AS (
+            SELECT hod, vband,
+                   CAST(count(*) AS BIGINT) AS l,
+                   CAST(sum(c) AS BIGINT) AS m,
+                   sum(c * ln(CAST(c AS DOUBLE))) AS slc
+            FROM cls GROUP BY hod, vband)
+        SELECT l,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(m) AS BIGINT) AS n_records,
+               round(min(exp(ln(CAST(m AS DOUBLE)) - slc / m)), 6)
+                   AS min_entropy_l,
+               round(max(exp(ln(CAST(m AS DOUBLE)) - slc / m)), 6)
+                   AS max_entropy_l
+        FROM per GROUP BY l ORDER BY l
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006 — the
+    re-identification defense k-anonymity alone can't give): within
+    each quasi-identifier equivalence class — (hour-of-day, value
+    decaband), the `k_anonymity_audit` keys MINUS the sensitive
+    attribute — how diverse is the SENSITIVE attribute (event_type)?
+    A class can be k-large yet reveal everyone's event type if all
+    its rows share one value (the homogeneity attack). Reports, per
+    distinct-sensitive-count level l: class count, record count, and
+    the min/max ENTROPY l-diversity exp(H) (the strictest published
+    variant — entropy-l >= l requires near-uniform sensitive mix).
+
+    Determinism: class keys are integer epoch/band math; per-class
+    entropy uses H = ln(m) - sum(c*ln c)/m on exact integer counts
+    (single-log integer inputs; the per-class sum spans <= |types|
+    = 5 terms); cross-class rollups use only min/max — order-safe —
+    never a sum of doubles across classes; 6dp round.
+
+    Plan: one (hod, vband, type)-keyed count (map-side combined, the
+    only corpus-sized exchange), one bounded (24 x |bands|)-row
+    class rollup, one <=|types|-row report agg. Flat at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    qi = e.select(
+        (F.expr("ts_ns div 3600000000000") % 24).alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vband"),
+        "event_type",
+    )
+    cls = qi.groupBy("hod", "vband", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = cls.groupBy("hod", "vband").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("slc"),
+    )
+    el = F.exp(F.log(F.col("m").cast("double")) - F.col("slc") / F.col("m"))
+    return (
+        per.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("m").cast("long").alias("n_records"),
+            F.round(F.min(el), 6).alias("min_entropy_l"),
+            F.round(F.max(el), 6).alias("max_entropy_l"),
+        )
+        .orderBy("l")
+    )
+
+
+@query(
+    "auc_mann_whitney",
+    oracle="""
+        WITH s AS (
+            SELECT value AS v,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(sum(CASE WHEN event_type <> 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            FROM events GROUP BY value),
+        c AS (SELECT np, nn,
+                     sum(nn) OVER (ORDER BY v) - nn AS below
+              FROM s),
+        t AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+                     CAST(sum(nn) AS BIGINT) AS nneg,
+                     CAST(sum(CASE WHEN np > 0 AND nn > 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS nt
+              FROM s)
+        SELECT p AS n_pos, nneg AS n_neg, nt AS n_tie_scores,
+               round(sum(2 * np * below + np * nn) * 1.0
+                     / (2.0 * p * nneg), 6) AS auc
+        FROM c CROSS JOIN t GROUP BY p, nneg, nt
+    """,
+)
+def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC by the Mann-Whitney U rank statistic: does the
+    event VALUE separate purchases from non-purchases? AUC =
+    P(score_pos > score_neg) + 0.5 * P(tie) — computed exactly from
+    per-distinct-score (pos, neg) counts and the running count of
+    negatives below each score, never from a pairwise join (the
+    naive P x N comparison is quadratic; this is the standard
+    rank-sum identity). The evaluation primitive every
+    classifier/quality-score pipeline needs at corpus scale —
+    `quality_score`/`perplexity_bucket_report` rank documents, this
+    measures how well any such score ranks a binary label.
+
+    Determinism: everything up to the final division is INTEGER —
+    per-score counts, the exclusive prefix sum of negatives
+    (`ranking.global_cumsum`, integer fold), and the 2U accumulator
+    2*np*below + np*nn (doubled to keep the 0.5-tie term integral);
+    one integer-ratio round at 6dp.
+
+    Plan: one groupBy(value) — the only event-sized exchange; the
+    prefix sum range-partitions the distinct-score table and
+    attaches per-partition offsets via the broadcast count-ahead
+    fold (window-free on every path); the totals attach by 1-row
+    broadcast; the final reduce is single-row. At 100 TB the
+    distinct-score table is the working set — itself distributed,
+    never collected."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
+    e = _t(spark, sf_dir, "events").select("value", "event_type")
+    s = e.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("np"),
+        F.sum(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("nn"),
+    )
+    c = global_cumsum(s, [("value", False)], "nn", out="cumnn").withColumn(
+        "below", F.col("cumnn") - F.col("nn")
+    )
+    t = s.agg(
+        F.sum("np").cast("long").alias("p"),
+        F.sum("nn").cast("long").alias("nneg"),
+        F.sum(F.when((F.col("np") > 0) & (F.col("nn") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("p", "nneg", "nt")
+        .agg(
+            F.round(
+                F.sum(
+                    2 * F.col("np") * F.col("below") + F.col("np") * F.col("nn")
+                )
+                * 1.0
+                / (2.0 * F.col("p") * F.col("nneg")),
+                6,
+            ).alias("auc")
+        )
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("nneg").alias("n_neg"),
+            F.col("nt").alias("n_tie_scores"),
+            "auc",
+        )
+    )

@@ -804,3 +804,91 @@ def q_heavy_hitters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(f"approx_top_k_estimate(st, {_ATK_K})")).alias("e")
     ).select(F.col("e.item").alias("user_id"), F.col("e.count").alias("cnt"))
     return items.orderBy(F.desc("cnt"), "user_id").limit(20)
+
+
+_DD_GAMMA = 1.02  # relative accuracy alpha = (gamma-1)/(gamma+1) ~ 0.0099
+
+
+@query(
+    "ddsketch_quantiles",
+    oracle=f"""
+        WITH v AS (SELECT value AS x FROM events),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        b AS (
+            SELECT CAST(ceil(ln(x) / ln({_DD_GAMMA})) AS BIGINT) AS bkt,
+                   count(*) AS c
+            FROM v GROUP BY 1),
+        cum AS (SELECT bkt, sum(c) OVER (ORDER BY bkt) AS cum FROM b),
+        q AS (
+            SELECT pct, (pct * n + 99) // 100 AS rq, n
+            FROM n, (VALUES (50), (95), (99)) t(pct))
+        SELECT CAST(pct AS INT) AS pct, q.n AS n,
+               CAST(rq AS BIGINT) AS rank_target,
+               CAST(min(bkt) AS BIGINT) AS bucket,
+               round(2 * pow({_DD_GAMMA}, min(bkt)) / ({_DD_GAMMA} + 1), 6)
+                   AS est
+        FROM cum CROSS JOIN q WHERE cum >= rq
+        GROUP BY pct, rq, q.n ORDER BY pct
+    """,
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile estimates (Masson, Rim & Lee, VLDB'19) over
+    the events value column: log-gamma buckets (gamma = 1.02) give a
+    RELATIVE-error guarantee alpha = (gamma-1)/(gamma+1) ~ 0.99% at
+    every quantile — the property GK/t-digest style rank sketches
+    don't have. Unlike `value_percentiles`' GK sketch this one is
+    FULLY deterministic and ANSI-expressible, so it carries a hash
+    oracle (the bucket census IS the sketch); pytest separately pins
+    the realized relative error vs exact quantiles under alpha.
+
+    Determinism: bucket = ceil(ln(x)/ln(gamma)) on bit-identical
+    parquet doubles — both engines take libm ln of the same bits
+    (the zipf/MI single-log discipline); rank targets are integer
+    ceil(pct*n/100) via `(pct*n + 99) div 100`; the estimate is
+    single-row arithmetic on the winning bucket index.
+
+    Plan/scale: one map-side-combined groupBy(bucket) — the sketch
+    is ~550 buckets for this value range and MERGEABLE (bucket
+    counts add), which is the whole point at 100 TB: per-partition
+    partial maps combine to a few-hundred-row table, the cumulative
+    walk runs on that bounded table via the broadcast-array fold
+    (window-free), and the three rank probes are a 3-row broadcast
+    crossJoin + min() — nothing after the scan depends on row
+    count."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
+    e = load_table(spark, sf_dir, "events").select("value")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = (
+        e.select(
+            F.ceil(F.log("value") / F.log(F.lit(_DD_GAMMA)))
+            .cast("long")
+            .alias("bkt")
+        )
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = global_cumsum(b, [("bkt", False)], "c", out="cum", size_hint=4096)
+    qs = n.select(
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("pct"), "n"
+    ).select(
+        "pct",
+        F.expr("(pct * n + 99) div 100").cast("long").alias("rq"),
+        "n",
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("rq"))
+        .groupBy("pct", "rq", "n")
+        .agg(F.min("bkt").alias("bucket"))
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            "n",
+            F.col("rq").alias("rank_target"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(
+                2 * F.pow(F.lit(_DD_GAMMA), F.col("bucket")) / (_DD_GAMMA + 1), 6
+            ).alias("est"),
+        )
+        .orderBy("pct")
+    )

@@ -194,3 +194,56 @@ def test_heaps_law_fit_checkpoints(spark):
     assert len(r) == 1
     assert r[0]["n_points"] == 10
     assert 0.0 <= r[0]["heaps_beta"] <= 1.0
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """DDSketch guarantee: the estimate's relative error vs the exact
+    rank-target order statistic is at most alpha = (gamma-1)/(gamma+1)
+    (~0.99% at gamma=1.02) at every probed quantile."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["ddsketch_quantiles"](spark, SF_SMALL).collect()
+    vals = sorted(
+        r["value"]
+        for r in load_table(spark, SF_SMALL, "events").select("value").collect()
+    )
+    alpha = 0.02 / 2.02
+    assert [r["pct"] for r in rows] == [50, 95, 99]
+    for r in rows:
+        exact = vals[r["rank_target"] - 1]
+        assert abs(r["est"] - exact) / exact <= alpha, (r["pct"], r["est"], exact)
+
+
+def test_l_diversity_accounting(spark):
+    """Every event lands in exactly one equivalence class; entropy
+    l-diversity never exceeds the distinct-sensitive count l (exp(H)
+    <= l, equality iff the class mix is uniform)."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["l_diversity_audit"](spark, SF_SMALL).collect()
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_records"] for r in rows) == total
+    for r in rows:
+        assert 1 <= r["l"] <= 5
+        assert r["max_entropy_l"] <= r["l"] + 1e-6
+        assert 1.0 - 1e-6 <= r["min_entropy_l"] <= r["max_entropy_l"] + 1e-9
+
+
+def test_auc_matches_pairwise_bruteforce(spark):
+    """The rank-sum AUC must equal the O(P*N) pairwise definition
+    P(pos > neg) + 0.5 * P(pos == neg), computed directly at sf0.001."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    r = registry.QUERIES["auc_mann_whitney"](spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    pos = sorted(e["value"] for e in ev if e["event_type"] == "purchase")
+    neg = sorted(e["value"] for e in ev if e["event_type"] != "purchase")
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    ties = sum(
+        bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p) for p in pos
+    )
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r["auc"] - round(auc, 6)) < 1e-9

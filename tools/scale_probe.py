@@ -357,6 +357,12 @@ ALL_OPS = [
     # first-occurrence agg + 10-row checkpoint censuses; neyman = one
     # source-keyed integer-moment agg + |sources|-row allocation)
     "events_autocorrelation", "heaps_law_fit", "neyman_allocation",
+    # round-10 batch 6 (expected ~1: ddsketch = one bounded-bucket
+    # census + 3 rank probes; l-diversity = one class census + two
+    # bounded rollups; AUC = one distinct-score agg + the range-
+    # partitioned prefix sum — the distinct-score table scales with
+    # rows but every stage over it is partition-local)
+    "ddsketch_quantiles", "l_diversity_audit", "auc_mann_whitney",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
