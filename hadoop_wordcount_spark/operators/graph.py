@@ -472,3 +472,136 @@ def q_bigram_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def _oracle_hits() -> str:
+    return """
+        WITH tok AS (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS tk
+            FROM documents),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS p
+            FROM tok WHERE len(tk) >= 2),
+        edges AS (
+            SELECT DISTINCT string_split(p, ' ')[1] AS src,
+                   string_split(p, ' ')[2] AS dst
+            FROM bi),
+        a1 AS (SELECT dst AS word, CAST(count(*) AS BIGINT) AS s
+               FROM edges GROUP BY dst),
+        h1 AS (SELECT e.src AS word, CAST(sum(a1.s) AS BIGINT) AS s
+               FROM edges e JOIN a1 ON e.dst = a1.word GROUP BY e.src),
+        a2 AS (SELECT e.dst AS word, CAST(sum(h1.s) AS BIGINT) AS s
+               FROM edges e JOIN h1 ON e.src = h1.word GROUP BY e.dst),
+        h2 AS (SELECT e.src AS word, CAST(sum(a2.s) AS BIGINT) AS s
+               FROM edges e JOIN a2 ON e.dst = a2.word GROUP BY e.src),
+        top_a AS (
+            SELECT 'authority' AS role, a2.word, a2.s AS score,
+                   a1.s AS score_l1
+            FROM a2 JOIN a1 USING (word)
+            ORDER BY a2.s DESC, a2.word LIMIT 10),
+        top_h AS (
+            SELECT 'hub' AS role, h2.word, h2.s AS score, h1.s AS score_l1
+            FROM h2 JOIN h1 USING (word)
+            ORDER BY h2.s DESC, h2.word LIMIT 10)
+        SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+    """
+
+
+@query("hits_hubs_authorities", oracle=_oracle_hits())
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the distinct
+    word-transition graph: two full unrolled iterations
+    a = A^T h, h = A a from h0 = 1 — the mutual-reinforcement
+    ranking PageRank's single random walk can't express (a good HUB
+    points at good authorities; a good AUTHORITY is pointed at by
+    good hubs — in the bigram graph: words that precede many
+    important words vs words many important words lead into). Top-10
+    of each role, with the level-1 score (in/out degree-weighted)
+    beside the level-2 score so the iteration's effect is visible.
+
+    Determinism: the scores are UNNORMALIZED — the per-iteration L2
+    normalization the textbook applies only rescales the ranking, so
+    dropping it makes every score an exact INTEGER (sums of sums of
+    degrees); no double arithmetic exists anywhere in this query —
+    the strongest possible cross-engine contract for an iterative
+    algorithm (c.f. `pagerank_bigram`'s 4dp-rounded doubles).
+    Overflow headroom: score <= n_edges * max_indeg * max_outdeg,
+    ~1e13 for this corpus family — far inside long range; at true
+    web scale you'd rescale per iteration (and accept rounding).
+
+    Plan: the distinct edge aggregate once, then each half-iteration
+    is one edges-to-scores equi-join + one map-side-combined groupBy
+    — O(edges) shuffle per half-step, the textbook distributed HITS
+    step, same shape as `pagerank_bigram`; the final top-10 cuts are
+    TakeOrderedAndProject; the level-1 attach is a broadcast join
+    onto 10-row cuts."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(tokens_col(F.col("text")).alias("tk"))
+    bi = tok.filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat(
+                    F.element_at("tk", i), F.lit(" "), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("p")
+    )
+    sp = F.split("p", " ")
+    edges = (
+        bi.select(sp.getItem(0).alias("src"), sp.getItem(1).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    a1 = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    h1 = (
+        edges.join(a1.withColumnRenamed("dst", "w"), F.col("dst") == F.col("w"))
+        .groupBy("src")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+    a2 = (
+        edges.join(
+            h1.withColumnRenamed("src", "w").withColumnRenamed("s", "hs"),
+            F.col("src") == F.col("w"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("hs").cast("long").alias("s"))
+    )
+    h2 = (
+        edges.join(
+            a2.withColumnRenamed("dst", "w").withColumnRenamed("s", "as_"),
+            F.col("dst") == F.col("w"),
+        )
+        .groupBy("src")
+        .agg(F.sum("as_").cast("long").alias("s"))
+    )
+    top_a = (
+        a2.orderBy(F.desc("s"), F.asc("dst"))
+        .limit(10)
+        .join(
+            F.broadcast(a1.withColumnRenamed("s", "s1")),
+            "dst",
+        )
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("dst").alias("word"),
+            F.col("s").alias("score"),
+            F.col("s1").alias("score_l1"),
+        )
+    )
+    top_h = (
+        h2.orderBy(F.desc("s"), F.asc("src"))
+        .limit(10)
+        .join(
+            F.broadcast(h1.withColumnRenamed("s", "s1")),
+            "src",
+        )
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("src").alias("word"),
+            F.col("s").alias("score"),
+            F.col("s1").alias("score_l1"),
+        )
+    )
+    return top_a.unionByName(top_h)

@@ -8029,3 +8029,78 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc",
         )
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+        WITH e AS (
+            SELECT (epoch_ns(ts) // 86400000000000) % 7 AS dow,
+                   (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                   event_type
+            FROM events),
+        cell_type AS (
+            SELECT dow, hod, event_type, count(*) AS c
+            FROM e GROUP BY dow, hod, event_type),
+        cell AS (
+            SELECT dow, hod,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   min(ROW(-c, event_type)) AS top_
+            FROM cell_type GROUP BY dow, hod),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cell)
+        SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hod, n,
+               top_[2] AS top_type,
+               round(n * 1.0 / t, 6) AS pct_of_total,
+               round(n * 168.0 / t, 4) AS load_index
+        FROM cell CROSS JOIN tot
+        ORDER BY dow, hod
+    """,
+)
+def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality grid: event load by (day-of-week,
+    hour-of-day) — 168 cells, each with its volume, share,
+    LOAD INDEX (observed / uniform expectation; 1.0 = flat,
+    capacity planning reads the max) and dominant event type. The
+    weekly-period complement to `events_autocorrelation` (which
+    detects periodicity; this localizes it) and the baseline grid an
+    anomaly detector normalizes against before alerting.
+
+    Day-of-week is epoch-day mod 7 (day 0 = Thursday 1970-01-01 —
+    a fixed, timezone-free labeling both engines compute as integer
+    nanos math; a calendar dayofweek() would drag session timezones
+    into the key). Counts are integers; share and index are
+    integer-ratio single-row math; the dominant type is the
+    min(struct(-count, type)) argmax — tie-safe.
+
+    Plan: one (dow, hod, type)-keyed map-side-combined count — the
+    only event-sized exchange (the 168-cell rollup and the 1-row
+    total broadcast are free). Flat at 100 TB."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.expr("ts_ns div 86400000000000") % 7).alias("dow"),
+        (F.expr("ts_ns div 3600000000000") % 24).alias("hod"),
+        "event_type",
+    )
+    ct = e.groupBy("dow", "hod", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cell = ct.groupBy("dow", "hod").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t"))
+        )
+        .getField("t")
+        .alias("top_type"),
+    )
+    tot = cell.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hod"),
+            "n",
+            "top_type",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("pct_of_total"),
+            F.round(F.col("n") * 168.0 / F.col("t"), 4).alias("load_index"),
+        )
+        .orderBy("dow", "hod")
+    )

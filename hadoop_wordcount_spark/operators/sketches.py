@@ -809,9 +809,7 @@ def q_heavy_hitters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD_GAMMA = 1.02  # relative accuracy alpha = (gamma-1)/(gamma+1) ~ 0.0099
 
 
-@query(
-    "ddsketch_quantiles",
-    oracle=f"""
+DD_ORACLE = f"""
         WITH v AS (SELECT value AS x FROM events),
         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
         b AS (
@@ -829,8 +827,10 @@ _DD_GAMMA = 1.02  # relative accuracy alpha = (gamma-1)/(gamma+1) ~ 0.0099
                    AS est
         FROM cum CROSS JOIN q WHERE cum >= rq
         GROUP BY pct, rq, q.n ORDER BY pct
-    """,
-)
+    """
+
+
+@query("ddsketch_quantiles", oracle=DD_ORACLE)
 def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch quantile estimates (Masson, Rim & Lee, VLDB'19) over
     the events value column: log-gamma buckets (gamma = 1.02) give a
@@ -858,16 +858,32 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_wordcount_spark.operators.ranking import global_cumsum
 
     e = load_table(spark, sf_dir, "events").select("value")
-    n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
     b = (
-        e.select(
-            F.ceil(F.log("value") / F.log(F.lit(_DD_GAMMA)))
-            .cast("long")
-            .alias("bkt")
-        )
+        e.select(dd_bucket_col(F.col("value")))
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return dd_quantile_walk(b)
+
+
+def dd_bucket_col(value: Column) -> Column:
+    """DDSketch bucket index for a positive value column."""
+    return (
+        F.ceil(F.log(value) / F.log(F.lit(_DD_GAMMA))).cast("long").alias("bkt")
+    )
+
+
+def dd_quantile_walk(b: DataFrame) -> DataFrame:
+    """Quantile extraction over a (bkt, c) DDSketch bucket census —
+    shared by the batch query and the streaming-landed variant (the
+    census is the WHOLE sketch state, so any path that lands bucket
+    partials can reuse this tail). n derives from the census itself
+    (sum of counts), the cumulative walk is the window-free
+    broadcast-array fold, and the three rank probes are a 3-row
+    broadcast crossJoin + min()."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
+    n = b.agg(F.sum("c").cast("long").alias("n"))
     cum = global_cumsum(b, [("bkt", False)], "c", out="cum", size_hint=4096)
     qs = n.select(
         F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("pct"), "n"

@@ -1026,3 +1026,76 @@ def q_streaming_foreach_batch_jdbc(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(tbl)
+
+
+def _dd_oracle() -> str:
+    from hadoop_wordcount_spark.operators.sketches import DD_ORACLE
+
+    return DD_ORACLE
+
+
+@query("streaming_ddsketch_quantiles", oracle=_dd_oracle())
+def q_streaming_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles maintained BY A STREAM: the log-gamma
+    bucket census (`ddsketch_quantiles`) is a bounded-cardinality
+    streaming aggregate — ~550 buckets for this value range,
+    regardless of event count — so the sketch lives as complete-mode
+    groupBy state, each micro-batch lands the settled census via
+    foreachBatch (idempotent overwrite, the exactly-once recipe),
+    and the batch-side quantile walk reads the landed table. This is
+    the production latency-percentile monitor shape: mergeable
+    sketch state in the stream, rank queries on the landed census —
+    and it answers quantile questions no windowed count can.
+
+    The oracle is `ddsketch_quantiles`' oracle VERBATIM: one
+    availableNow pass ingests the whole fixture, so the settled
+    census — and therefore every downstream quantile — must equal
+    the batch sketch exactly (hash-checked).
+
+    100 TB/infinite-stream note: complete mode is safe precisely
+    because the state is the sketch (bounded buckets), never raw
+    values; at true scale you'd shard the census by a key and merge
+    on read — bucket counts add, which is the DDSketch mergeability
+    property the batch twin's docstring proves out."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_wordcount_spark.operators.sketches import (
+        dd_bucket_col,
+        dd_quantile_walk,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "hwcs_sinks", sf_tag, f"stream_dd_{os.getpid()}"
+    )
+    out_path, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    census = (
+        events_stream(spark, sf_dir)
+        .select(dd_bucket_col(F.col("value")))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            census.writeStream.outputMode("complete")
+            .foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not os.path.exists(out_path):
+        return spark.createDataFrame([], census.schema)
+    return dd_quantile_walk(spark.read.parquet(out_path))

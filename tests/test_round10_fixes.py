@@ -247,3 +247,77 @@ def test_auc_matches_pairwise_bruteforce(spark):
     )
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(r["auc"] - round(auc, 6)) < 1e-9
+
+
+def test_streaming_ddsketch_equals_batch_sketch(spark):
+    """One availableNow pass must settle the streamed bucket census
+    to exactly the batch census — so the streamed quantile report
+    equals `ddsketch_quantiles` row for row."""
+    batch = {
+        r["pct"]: r
+        for r in registry.QUERIES["ddsketch_quantiles"](spark, SF_SMALL).collect()
+    }
+    stream = {
+        r["pct"]: r
+        for r in registry.QUERIES["streaming_ddsketch_quantiles"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(batch) == set(stream) == {50, 95, 99}
+    for pct in batch:
+        assert batch[pct].asDict() == stream[pct].asDict()
+
+
+def test_hits_matches_pure_python_iteration(spark):
+    """Unnormalized integer HITS on sf0.001 recomputed in pure
+    Python from the distinct bigram edge set must reproduce the
+    distributed top-10s exactly (scores are integers — no tolerance)."""
+    from collections import defaultdict
+
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+    from hadoop_wordcount_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(tokens_col(F.col("text")).alias("tk"))
+        .collect()
+    )
+    edges = set()
+    for r in docs:
+        tk = r["tk"]
+        for i in range(len(tk) - 1):
+            edges.add((tk[i], tk[i + 1]))
+    a = defaultdict(int)
+    for _, v in edges:
+        a[v] += 1
+    h = defaultdict(int)
+    for u, v in edges:
+        h[u] += a[v]
+    a2 = defaultdict(int)
+    for u, v in edges:
+        a2[v] += h[u]
+    h2 = defaultdict(int)
+    for u, v in edges:
+        h2[u] += a2[v]
+    top_a = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_h = sorted(h2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = registry.QUERIES["hits_hubs_authorities"](spark, SF_SMALL).collect()
+    got_a = [(r["word"], r["score"]) for r in rows if r["role"] == "authority"]
+    got_h = [(r["word"], r["score"]) for r in rows if r["role"] == "hub"]
+    assert sorted(got_a, key=lambda kv: (-kv[1], kv[0])) == top_a
+    assert sorted(got_h, key=lambda kv: (-kv[1], kv[0])) == top_h
+
+
+def test_seasonality_profile_accounting(spark):
+    """Every event lands in exactly one (dow, hod) cell; shares sum
+    to 1; the load index averages 1 over a full 168-cell grid."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["events_seasonality_profile"](spark, SF_SMALL).collect()
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    assert abs(sum(r["pct_of_total"] for r in rows) - 1.0) < 1e-3
+    assert len(rows) <= 168
+    assert all(r["top_type"] for r in rows)
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in rows)

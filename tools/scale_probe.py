@@ -363,6 +363,12 @@ ALL_OPS = [
     # partitioned prefix sum — the distinct-score table scales with
     # rows but every stage over it is partition-local)
     "ddsketch_quantiles", "l_diversity_audit", "auc_mann_whitney",
+    # round-10 batch 7 (expected ~1: HITS = 4 edge-sized equi-join +
+    # agg half-steps, same shape as pagerank; seasonality = one
+    # (dow,hod,type) census; streaming ddsketch = the batch census
+    # run through the file-stream source + foreachBatch landing)
+    "hits_hubs_authorities", "events_seasonality_profile",
+    "streaming_ddsketch_quantiles",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
