@@ -8104,3 +8104,213 @@ def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "abc_pareto_parts",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM lineitem GROUP BY l_partkey),
+        c AS (
+            SELECT l_partkey, cents,
+                   sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum
+            FROM r),
+        t AS (SELECT CAST(sum(cents) AS BIGINT) AS tt FROM r)
+        SELECT CASE WHEN 5 * cum <= 4 * tt THEN 'A'
+                    WHEN 20 * cum <= 19 * tt THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(sum(cents) / 100.0, 2) AS revenue,
+               round(sum(cents) * 1.0 / tt, 6) AS revenue_share
+        FROM c CROSS JOIN t GROUP BY 1, tt ORDER BY 1
+    """,
+)
+def q_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification of parts by revenue:
+    walk parts in descending revenue order; the parts covering the
+    first 80% of cumulative revenue are class A, to 95% class B, the
+    long tail C — the classic assortment/working-capital report
+    (and the corpus analogue of "which 20% of sources carry 80% of
+    tokens"). Parts with zero shipped lineitems carry no revenue and
+    are absent by construction.
+
+    Determinism end-to-end INTEGER: revenue is summed as exact cents
+    (`_sum_money` discipline), the cumulative walk is
+    `ranking.global_cumsum`'s integer fold, and the class boundaries
+    are cross-multiplied integer comparisons (5*cum <= 4*total for
+    the 80% line — never a double ratio near a boundary); only the
+    two report columns round at the end.
+
+    Plan: one partkey-keyed map-side-combined agg (the only
+    lineitem-sized exchange), then the range-partitioned prefix sum
+    over the |parts|-row revenue table (window-free bounded path /
+    partition-local window + broadcast offsets at scale), a 1-row
+    total broadcast, and a 3-row rollup."""
+    from hadoop_wordcount_spark.operators.ranking import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    c = global_cumsum(
+        r, [("cents", True), ("l_partkey", False)], "cents", out="cum"
+    )
+    t = r.agg(F.sum("cents").cast("long").alias("tt"))
+    cls = (
+        F.when(5 * F.col("cum") <= 4 * F.col("tt"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tt"), "B")
+        .otherwise("C")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("cents") * 1.0 / F.max("tt"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "psi_feature_drift",
+    oracle="""
+        WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+                   FROM events),
+        lab AS (
+            SELECT value,
+                   CASE WHEN epoch_ns(ts) <= (b.lo + b.hi) // 2
+                        THEN 'ref' ELSE 'cur' END AS half
+            FROM events CROSS JOIN b),
+        edges AS (
+            SELECT list_transform(
+                       quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                       e -> round(e, 6)) AS ed
+            FROM lab WHERE half = 'ref'),
+        binned AS (
+            SELECT half,
+                   CASE WHEN value <= ed[1] THEN 0
+                        WHEN value <= ed[2] THEN 1
+                        WHEN value <= ed[3] THEN 2
+                        WHEN value <= ed[4] THEN 3
+                        WHEN value <= ed[5] THEN 4
+                        WHEN value <= ed[6] THEN 5
+                        WHEN value <= ed[7] THEN 6
+                        WHEN value <= ed[8] THEN 7
+                        WHEN value <= ed[9] THEN 8
+                        ELSE 9 END AS bin
+            FROM lab CROSS JOIN edges),
+        cnt AS (
+            SELECT bin,
+                   CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ref,
+                   CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cur
+            FROM binned GROUP BY bin),
+        tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                       CAST(sum(n_cur) AS BIGINT) AS tc FROM cnt)
+        SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+               round((n_ref + 1.0) / (tr + 10), 6) AS p_ref,
+               round((n_cur + 1.0) / (tc + 10), 6) AS p_cur,
+               round(((n_ref + 1.0) / (tr + 10) - (n_cur + 1.0) / (tc + 10))
+                     * ln(((n_ref + 1.0) * (tc + 10))
+                          / ((n_cur + 1.0) * (tr + 10))), 6) AS psi_contrib
+        FROM cnt CROSS JOIN tot ORDER BY bin
+    """,
+)
+def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: split the event feed
+    at the midpoint of its time range, bin the CURRENT half's value
+    distribution by the REFERENCE half's deciles, and report the
+    per-bin PSI contribution (p_ref - p_cur) * ln(p_ref / p_cur) —
+    the standard train/serve skew alarm (rule of thumb: total PSI
+    < 0.1 stable, > 0.25 retrain). The production-ML companion to
+    `events_changepoint_cusum` (which finds WHEN a shift happened;
+    this quantifies HOW FAR the distribution moved, bin by bin).
+
+    Determinism: the time split is integer-nanos midpoint math; bin
+    edges are exact order-statistic deciles of the reference half
+    ROUNDED AT 6dp before any comparison (the `events_mad_outliers`
+    discipline); counts are integers; probabilities are
+    Laplace-smoothed integer ratios (+1/+10 — also what keeps empty
+    bins finite); the log argument is a single integer-product
+    ratio, so both engines take ln of bit-identical doubles.
+
+    Plan: one pass for time bounds (min/max partial agg), one
+    sort-based decile agg over the reference half, then ONE
+    map-side-combined (bin, half) count with the 9 edges attached as
+    a broadcast 1-row array — the CASE chain is whole-stage-codegen
+    comparisons, not an interpreted HOF (the bootstrap_ci_poisson
+    lesson). Flat at 100 TB; swap percentile for the DDSketch census
+    when the reference half is itself huge."""
+    e = _t(spark, sf_dir, "events").select("value", "ts_ns")
+    b = e.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    )
+    lab = e.crossJoin(F.broadcast(b)).select(
+        "value",
+        F.when(
+            F.col("ts_ns") <= F.expr("(lo + hi) div 2"), "ref"
+        )
+        .otherwise("cur")
+        .alias("half"),
+    )
+    edges = lab.filter(F.col("half") == "ref").agg(
+        F.transform(
+            F.percentile(
+                "value",
+                F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("ed")
+    )
+    binned = lab.crossJoin(F.broadcast(edges))
+    bin_col = F.lit(9)
+    for i in range(9, 0, -1):
+        bin_col = F.when(
+            F.col("value") <= F.col("ed").getItem(i - 1), i - 1
+        ).otherwise(bin_col)
+    cnt = binned.select(bin_col.alias("bin"), "half").groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    pr = (F.col("n_ref") + 1.0) / (F.col("tr") + 10)
+    pc = (F.col("n_cur") + 1.0) / (F.col("tc") + 10)
+    lg = F.log(
+        ((F.col("n_ref") + 1.0) * (F.col("tc") + 10))
+        / ((F.col("n_cur") + 1.0) * (F.col("tr") + 10))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.round(pr, 6).alias("p_ref"),
+            F.round(pc, 6).alias("p_cur"),
+            F.round((pr - pc) * lg, 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )

@@ -321,3 +321,38 @@ def test_seasonality_profile_accounting(spark):
     assert len(rows) <= 168
     assert all(r["top_type"] for r in rows)
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in rows)
+
+
+def test_abc_pareto_class_boundaries(spark):
+    """Classes partition all revenue; A's cumulative share <= 0.8 by
+    the integer boundary rule; class revenue ordering A >= B per part
+    (a B part can't out-earn an A part)."""
+    rows = {
+        r["abc_class"]: r
+        for r in registry.QUERIES["abc_pareto_parts"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
+    assert rows["A"]["revenue_share"] <= 0.8 + 1e-9
+    if "B" in rows:
+        assert (
+            rows["A"]["revenue"] / rows["A"]["n_parts"]
+            >= rows["B"]["revenue"] / rows["B"]["n_parts"]
+        )
+
+
+def test_psi_self_comparison_is_near_zero(spark):
+    """Identity check: the two halves of a stationary synthetic feed
+    must read near-zero total PSI (well under the 0.1 'stable' bar),
+    and bin populations must account for every event."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["psi_feature_drift"](spark, SF_SMALL).collect()
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == total
+    psi = sum(r["psi_contrib"] for r in rows)
+    assert psi < 0.1, psi
+    # reference deciles => reference bins are near-uniform
+    n_ref = sum(r["n_ref"] for r in rows)
+    for r in rows:
+        assert abs(r["n_ref"] - n_ref / 10) <= n_ref * 0.02 + 2

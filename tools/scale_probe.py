@@ -369,6 +369,10 @@ ALL_OPS = [
     # run through the file-stream source + foreachBatch landing)
     "hits_hubs_authorities", "events_seasonality_profile",
     "streaming_ddsketch_quantiles",
+    # round-10 batch 8 (expected ~1: ABC = one partkey agg + the
+    # prefix sum over the parts table; PSI = two scans — decile agg
+    # on the reference half, then one codegen'd CASE-chain census)
+    "abc_pareto_parts", "psi_feature_drift",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
@@ -398,6 +402,7 @@ RELATIONAL_OPS = {
     "orders_yoy_growth", "nation_revenue_share_report",
     "orders_customer_acquisition",
     "referential_integrity_audit", "join_skew_audit",
+    "abc_pareto_parts",
 }
 
 
