@@ -7538,7 +7538,9 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     schema — the data-contract check a pipeline runs after every
     ingest/backfill before letting joins loose on the batch (an
     orphan fk silently DROPS rows from inner joins; this audit makes
-    the loss visible as a rate per edge). One row per edge:
+    the loss visible as a rate per edge). `expectations_report` runs
+    ONE RI check inside its mixed-expectation suite; this is the
+    dedicated all-edges census with rates. One row per edge:
     child rows, orphan rows (fk with no parent key; a NULL fk counts
     as an orphan — testdata has none, so the strict and SQL-standard
     readings coincide), orphan rate.
@@ -7577,180 +7579,6 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
-
-
-_MAD_K = 3 * 1.4826  # 3 sigma-equivalents under normality
-
-
-@query(
-    "events_mad_outliers",
-    oracle=f"""
-        WITH med AS (
-            SELECT event_type,
-                   round(quantile_cont(value, 0.5), 6) AS med
-            FROM events GROUP BY event_type),
-        dev AS (
-            SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
-            FROM events e JOIN med m USING (event_type)),
-        mad AS (
-            SELECT event_type,
-                   round(quantile_cont(dev, 0.5), 6) AS mad
-            FROM dev GROUP BY event_type)
-        SELECT d.event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               max(d.med) AS median_value,
-               max(a.mad) AS mad,
-               CAST(sum(CASE WHEN d.dev > {_MAD_K} * a.mad
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-               round(sum(CASE WHEN d.dev > {_MAD_K} * a.mad
-                         THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-                   AS outlier_rate
-        FROM dev d JOIN mad a USING (event_type)
-        GROUP BY d.event_type
-    """,
-)
-def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier census per event_type by MEDIAN ABSOLUTE
-    DEVIATION (Hampel's rule: |x - median| > 3 * 1.4826 * MAD) — the
-    robust-statistics twin of `outlier_filter_p99`: a p99 cut moves
-    with the outliers themselves, while median/MAD have a 50%
-    breakdown point, so a heavy-tailed batch can't hide its own
-    contamination. The report a feature pipeline reads before
-    trusting a batch of metric values.
-
-    Determinism: both medians are exact order statistics (Spark
-    `percentile`, DuckDB `quantile_cont` — the identical continuous
-    definition, the `value_percentiles_exact` precedent) ROUNDED AT
-    6dp BEFORE re-use, so the deviation column and the Hampel
-    comparison run on bit-identical doubles in both engines; counts
-    are integers and the rate is one integer-ratio round.
-
-    Plan: two sort-based percentile aggs keyed on event_type (the
-    exact-quantile cost; the 100 TB path swaps in percentile_approx
-    exactly as `value_percentiles` does, at the cost of the hash
-    oracle) plus one conditional count — three scans, each a
-    map-side-combinable |types|-row exchange; the |types|-row
-    median/MAD tables broadcast back onto the fact."""
-    e = _t(spark, sf_dir, "events").select("event_type", "value")
-    med = e.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
-    )
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("dev"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
-    )
-    flagged = F.col("dev") > F.lit(_MAD_K) * F.col("mad")
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.max("med").alias("median_value"),
-            F.max("mad").alias("mad"),
-            F.sum(flagged.cast("long")).cast("long").alias("n_outliers"),
-            F.round(
-                F.sum(flagged.cast("long")) * 1.0 / F.count(F.lit(1)), 6
-            ).alias("outlier_rate"),
-        )
-    )
-
-
-def _skew_sql(label: str, table: str, key: str) -> str:
-    return f"""
-        SELECT '{label}' AS fact_key,
-               CAST(count(*) AS BIGINT) AS n_keys,
-               CAST(sum(c) AS BIGINT) AS child_rows,
-               CAST(max(c) AS BIGINT) AS max_rows,
-               round(sum(c) * 1.0 / count(*), 4) AS avg_rows,
-               round(quantile_cont(CAST(c AS DOUBLE), 0.5), 3) AS p50_rows,
-               round(quantile_cont(CAST(c AS DOUBLE), 0.99), 3) AS p99_rows,
-               round(max(c) * 1.0 * count(*) / sum(c), 4) AS skew_ratio,
-               CAST((SELECT min(k) FROM (SELECT {key} AS k, count(*) AS c
-                     FROM {table} GROUP BY 1) i
-                     WHERE i.c = (SELECT max(c) FROM (SELECT count(*) AS c
-                                  FROM {table} GROUP BY {key}) j))
-                    AS BIGINT) AS hot_key,
-               round(max(c) * 1.0 / sum(c), 6) AS hot_share
-        FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY 1)
-    """
-
-
-@query(
-    "join_skew_audit",
-    oracle=_skew_sql("orders.o_custkey", "orders", "o_custkey")
-    + " UNION ALL "
-    + _skew_sql("lineitem.l_suppkey", "lineitem", "l_suppkey")
-    + " ORDER BY fact_key",
-)
-def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-key skew diagnosis for the two hottest join keys in
-    the schema (orders by customer, lineitem by supplier): per-key
-    row-count distribution — key cardinality, max/avg/p50/p99 rows
-    per key, skew ratio (max over mean), the hottest key and its
-    share. THE report read before choosing a join strategy at scale:
-    skew_ratio near 1 = hash-partition freely; a hot key owning
-    percents of the table = salt it or isolate it (AQE's skew-join
-    splitting has the same trigger). Companion to the salted/bucketed
-    join entries — this is the measurement that justifies them.
-
-    Determinism: per-key counts are integers; percentiles over the
-    count distribution are exact order statistics on exact-integer
-    doubles; skew_ratio = max * n_keys / sum is an integer-product
-    ratio; the hot key is tie-broken by min(key) via a struct argmax.
-
-    Plan: per fact, one map-side-combined groupBy(key) count — the
-    identical exchange the join itself would do, so the audit costs
-    one shuffle of (key, partial count) pairs — then a single-row
-    aggregate over the per-key table (percentile sort is over
-    distinct keys, not rows). The argmax rides the same aggregate as
-    min(struct(-c, k)) — no second pass, no window."""
-    out = None
-    for label, table, key in [
-        ("orders.o_custkey", "orders", "o_custkey"),
-        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
-    ]:
-        c = (
-            _t(spark, sf_dir, table)
-            .groupBy(F.col(key).alias("k"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        row = c.agg(
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.sum("c").cast("long").alias("child_rows"),
-            F.max("c").cast("long").alias("max_rows"),
-            F.round(F.sum("c") * 1.0 / F.count(F.lit(1)), 4).alias("avg_rows"),
-            F.round(F.percentile(F.col("c").cast("double"), F.lit(0.5)), 3).alias(
-                "p50_rows"
-            ),
-            F.round(F.percentile(F.col("c").cast("double"), F.lit(0.99)), 3).alias(
-                "p99_rows"
-            ),
-            F.round(
-                F.max("c") * 1.0 * F.count(F.lit(1)) / F.sum("c"), 4
-            ).alias("skew_ratio"),
-            F.min(F.struct((-F.col("c")).alias("nc"), F.col("k").alias("k")))
-            .getField("k")
-            .cast("long")
-            .alias("hot_key"),
-            F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("hot_share"),
-        ).select(
-            F.lit(label).alias("fact_key"),
-            "n_keys",
-            "child_rows",
-            "max_rows",
-            "avg_rows",
-            "p50_rows",
-            "p99_rows",
-            "skew_ratio",
-            "hot_key",
-            "hot_share",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("fact_key")
 
 
 _ACF_MAX_LAG = 24
@@ -7794,7 +7622,9 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the hourly event-count series at
     lags 1..24 — the periodicity fingerprint read before building
     time features or anomaly baselines (a daily cycle shows as an
-    acf peak at lag 24; load bursts show as high low-lag acf). The
+    acf peak at lag 24; load bursts show as high low-lag acf —
+    `events_acf_by_type` reads lag-1/2 of each type's hourly MEAN
+    metric; this is the full 24-lag spectrum of global LOAD). The
     series is the GAP-FILLED hourly grid (`events_resample`'s
     densify discipline — a plain groupBy would silently skip empty
     hours and shift every lag alignment). Standard sample ACF:
@@ -8063,7 +7893,9 @@ def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity planning reads the max) and dominant event type. The
     weekly-period complement to `events_autocorrelation` (which
     detects periodicity; this localizes it) and the baseline grid an
-    anomaly detector normalizes against before alerting.
+    anomaly detector normalizes against before alerting
+    (`orders_seasonality_index` is the month-of-year revenue analogue
+    on the orders fact; this is the within-week operational grid).
 
     Day-of-week is epoch-day mod 7 (day 0 = Thursday 1970-01-01 —
     a fixed, timezone-free labeling both engines compute as integer
@@ -8103,85 +7935,6 @@ def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 168.0 / F.col("t"), 4).alias("load_index"),
         )
         .orderBy("dow", "hod")
-    )
-
-
-@query(
-    "abc_pareto_parts",
-    oracle=f"""
-        WITH r AS (
-            SELECT l_partkey,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                       * 100, 0) AS BIGINT)) AS BIGINT)
-                       AS cents
-            FROM lineitem GROUP BY l_partkey),
-        c AS (
-            SELECT l_partkey, cents,
-                   sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum
-            FROM r),
-        t AS (SELECT CAST(sum(cents) AS BIGINT) AS tt FROM r)
-        SELECT CASE WHEN 5 * cum <= 4 * tt THEN 'A'
-                    WHEN 20 * cum <= 19 * tt THEN 'B'
-                    ELSE 'C' END AS abc_class,
-               CAST(count(*) AS BIGINT) AS n_parts,
-               round(sum(cents) / 100.0, 2) AS revenue,
-               round(sum(cents) * 1.0 / tt, 6) AS revenue_share
-        FROM c CROSS JOIN t GROUP BY 1, tt ORDER BY 1
-    """,
-)
-def q_abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC / Pareto inventory classification of parts by revenue:
-    walk parts in descending revenue order; the parts covering the
-    first 80% of cumulative revenue are class A, to 95% class B, the
-    long tail C — the classic assortment/working-capital report
-    (and the corpus analogue of "which 20% of sources carry 80% of
-    tokens"). Parts with zero shipped lineitems carry no revenue and
-    are absent by construction.
-
-    Determinism end-to-end INTEGER: revenue is summed as exact cents
-    (`_sum_money` discipline), the cumulative walk is
-    `ranking.global_cumsum`'s integer fold, and the class boundaries
-    are cross-multiplied integer comparisons (5*cum <= 4*total for
-    the 80% line — never a double ratio near a boundary); only the
-    two report columns round at the end.
-
-    Plan: one partkey-keyed map-side-combined agg (the only
-    lineitem-sized exchange), then the range-partitioned prefix sum
-    over the |parts|-row revenue table (window-free bounded path /
-    partition-local window + broadcast offsets at scale), a 1-row
-    total broadcast, and a 3-row rollup."""
-    from hadoop_wordcount_spark.operators.ranking import global_cumsum
-
-    li = _t(spark, sf_dir, "lineitem")
-    r = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("cents")
-    )
-    c = global_cumsum(
-        r, [("cents", True), ("l_partkey", False)], "cents", out="cum"
-    )
-    t = r.agg(F.sum("cents").cast("long").alias("tt"))
-    cls = (
-        F.when(5 * F.col("cum") <= 4 * F.col("tt"), "A")
-        .when(20 * F.col("cum") <= 19 * F.col("tt"), "B")
-        .otherwise("C")
-    )
-    return (
-        c.crossJoin(F.broadcast(t))
-        .groupBy(cls.alias("abc_class"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
-            F.round(F.sum("cents") * 1.0 / F.max("tt"), 6).alias(
-                "revenue_share"
-            ),
-        )
-        .orderBy("abc_class")
     )
 
 

@@ -93,72 +93,6 @@ def test_referential_integrity_audit_clean_and_complete(spark):
         assert r["child_rows"] > 0, edge
 
 
-def test_join_skew_audit_invariants(spark):
-    """Distribution identities: sum of per-key rows equals the fact
-    row count, skew_ratio >= 1, hot_share in (0, 1], the hot key's
-    own count is max_rows, and the output is window-free (the argmax
-    rides the single aggregate)."""
-    from hadoop_wordcount_spark.sources.tables import load_table
-
-    df = registry.QUERIES["join_skew_audit"](spark, SF_SMALL)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    rows = {r["fact_key"]: r for r in df.collect()}
-    orders_n = load_table(spark, SF_SMALL, "orders").count()
-    li_n = load_table(spark, SF_SMALL, "lineitem").count()
-    assert rows["orders.o_custkey"]["child_rows"] == orders_n
-    assert rows["lineitem.l_suppkey"]["child_rows"] == li_n
-    for r in rows.values():
-        assert r["skew_ratio"] >= 1.0
-        assert 0 < r["hot_share"] <= 1.0
-        assert r["max_rows"] >= r["p99_rows"] >= r["p50_rows"]
-    # the reported hot key really owns max_rows (tie-safe: min key)
-    from pyspark.sql import functions as F
-
-    o = rows["orders.o_custkey"]
-    cnt = (
-        load_table(spark, SF_SMALL, "orders")
-        .groupBy("o_custkey")
-        .count()
-        .orderBy(F.desc("count"), F.asc("o_custkey"))
-        .first()
-    )
-    assert cnt["o_custkey"] == o["hot_key"] and cnt["count"] == o["max_rows"]
-
-
-def test_events_mad_outliers_hampel_rule(spark):
-    """Re-derive one event_type's MAD census in pure Python and pin
-    the distributed result against it (median/MAD exact order
-    statistics, Hampel 3*1.4826 threshold)."""
-    from hadoop_wordcount_spark.sources.tables import load_table
-
-    rows = {
-        r["event_type"]: r
-        for r in registry.QUERIES["events_mad_outliers"](spark, SF_SMALL).collect()
-    }
-    vals = sorted(
-        v["value"]
-        for v in load_table(spark, SF_SMALL, "events")
-        .filter("event_type = 'click'")
-        .select("value")
-        .collect()
-    )
-
-    def q50(xs):
-        n = len(xs)
-        h = 0.5 * (n - 1)
-        lo, frac = int(h), h - int(h)
-        return xs[lo] + frac * (xs[min(lo + 1, n - 1)] - xs[lo])
-
-    med = round(q50(vals), 6)
-    mad = round(q50(sorted(abs(v - med) for v in vals)), 6)
-    n_out = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
-    r = rows["click"]
-    assert r["median_value"] == med
-    assert r["mad"] == mad
-    assert r["n_outliers"] == n_out
-
-
 def test_neyman_allocation_sums_to_budget(spark):
     """Hamilton's method invariant: allocations sum EXACTLY to the
     budget, every stratum appears once, base <= alloc <= base + 1."""
@@ -321,24 +255,6 @@ def test_seasonality_profile_accounting(spark):
     assert len(rows) <= 168
     assert all(r["top_type"] for r in rows)
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in rows)
-
-
-def test_abc_pareto_class_boundaries(spark):
-    """Classes partition all revenue; A's cumulative share <= 0.8 by
-    the integer boundary rule; class revenue ordering A >= B per part
-    (a B part can't out-earn an A part)."""
-    rows = {
-        r["abc_class"]: r
-        for r in registry.QUERIES["abc_pareto_parts"](spark, SF_SMALL).collect()
-    }
-    assert set(rows) <= {"A", "B", "C"} and "A" in rows
-    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
-    assert rows["A"]["revenue_share"] <= 0.8 + 1e-9
-    if "B" in rows:
-        assert (
-            rows["A"]["revenue"] / rows["A"]["n_parts"]
-            >= rows["B"]["revenue"] / rows["B"]["n_parts"]
-        )
 
 
 def test_psi_self_comparison_is_near_zero(spark):

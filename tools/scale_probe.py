@@ -347,11 +347,8 @@ ALL_OPS = [
     # + two bounded candidate stages; wilson/card = scan + tiny aggs)
     "ann_recall_report", "wilson_ci_pass_rate", "dataset_card_report",
     # round-10 batch 4 (expected ~1: RI audit = one key-pruned left
-    # join + single-row agg per edge; MAD = three event_type-keyed
-    # exact-percentile/count passes; skew audit = the per-key count
-    # exchange a join would do anyway + a single-row distribution agg)
-    "referential_integrity_audit", "events_mad_outliers",
-    "join_skew_audit",
+    # join + single-row agg per edge)
+    "referential_integrity_audit",
     # round-10 batch 5 (expected ~1: ACF = one hour-keyed count agg,
     # lag join on the calendar-bounded grid; heaps = one vocab-sized
     # first-occurrence agg + 10-row checkpoint censuses; neyman = one
@@ -369,10 +366,9 @@ ALL_OPS = [
     # run through the file-stream source + foreachBatch landing)
     "hits_hubs_authorities", "events_seasonality_profile",
     "streaming_ddsketch_quantiles",
-    # round-10 batch 8 (expected ~1: ABC = one partkey agg + the
-    # prefix sum over the parts table; PSI = two scans — decile agg
+    # round-10 batch 8 (expected ~1: PSI = two scans — decile agg
     # on the reference half, then one codegen'd CASE-chain census)
-    "abc_pareto_parts", "psi_feature_drift",
+    "psi_feature_drift",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
@@ -401,8 +397,7 @@ RELATIONAL_OPS = {
     "lineitem_weighted_median", "supplier_herfindahl_by_type",
     "orders_yoy_growth", "nation_revenue_share_report",
     "orders_customer_acquisition",
-    "referential_integrity_audit", "join_skew_audit",
-    "abc_pareto_parts",
+    "referential_integrity_audit",
 }
 
 
