@@ -8067,3 +8067,134 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+        WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+                   FROM events),
+        lab AS (
+            SELECT event_type, value,
+                   CASE WHEN epoch_ns(ts) < b.lo + (b.hi - b.lo + 1) // 3
+                        THEN 0
+                        WHEN epoch_ns(ts) < b.lo + 2 * ((b.hi - b.lo + 1) // 3)
+                        THEN 1 ELSE 2 END AS part
+            FROM events CROSS JOIN b),
+        fit AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_fit,
+                   round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                         / (100.0 * count(*)), 6) AS mu
+            FROM lab WHERE part = 0 GROUP BY event_type),
+        cal AS (
+            SELECT l.event_type,
+                   round(quantile_cont(abs(l.value - f.mu), 0.9), 6) AS q90
+            FROM lab l JOIN fit f USING (event_type)
+            WHERE l.part = 1 GROUP BY l.event_type),
+        test AS (
+            SELECT l.event_type,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN abs(l.value - f.mu) <= c.q90
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM lab l JOIN fit f USING (event_type)
+                       JOIN cal c USING (event_type)
+            WHERE l.part = 2 GROUP BY l.event_type)
+        SELECT t.event_type, f.n_fit, f.mu, c.q90, t.n_test, t.n_covered,
+               round(t.n_covered * 1.0 / t.n_test, 6) AS coverage
+        FROM test t JOIN fit f USING (event_type) JOIN cal c USING (event_type)
+        ORDER BY t.event_type
+    """,
+)
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval with empirical coverage
+    (Vovk et al.; Lei et al. 2018): three temporal thirds of the
+    event feed — FIT a per-type point predictor (the mean) on the
+    first, CALIBRATE the 90% nonconformity quantile (q90 of
+    |value - mu|) on the second, and report the interval's realized
+    COVERAGE on the held-out third. The distribution-free guarantee
+    every modern uncertainty pipeline leans on: if the feed is
+    exchangeable, coverage lands near 90% REGARDLESS of the
+    predictor's quality — and a coverage collapse on the test third
+    is itself a drift alarm (the decision-grade companion to
+    `psi_feature_drift`'s distribution view).
+
+    Determinism: the 3-way split is integer-nanos boundary math; the
+    fit mean is exact integer CENTS over an integer count (values
+    are 2dp by construction — `_sum_money` discipline), rounded at
+    6dp BEFORE residuals; q90 is an exact order statistic rounded at
+    6dp before the coverage comparison (`events_mad_outliers`' —
+    now `event_anomaly_mad`'s — rounding-before-reuse rule); counts
+    are integers.
+
+    Plan: one bounds agg, then three passes over the fact (fit agg,
+    calibration percentile, coverage count), each one
+    event_type-keyed map-side-combined exchange with the
+    |types|-row fit/cal tables broadcast back. The percentile is
+    the one sort-based stage; at 100 TB swap in the DDSketch census
+    (`ddsketch_quantiles`) for q90 at a known relative-error cost."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "ts_ns")
+    b = e.agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+    third = F.expr("(hi - lo + 1) div 3")
+    lab = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts_ns") < F.col("lo") + third, 0)
+        .when(F.col("ts_ns") < F.col("lo") + 2 * third, 1)
+        .otherwise(2)
+        .alias("part"),
+    )
+    fit = (
+        lab.filter(F.col("part") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fit"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / (100.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mu"),
+        )
+    )
+    cal = (
+        lab.filter(F.col("part") == 1)
+        .join(F.broadcast(fit), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("mu")), F.lit(0.9)), 6
+            ).alias("q90")
+        )
+    )
+    test = (
+        lab.filter(F.col("part") == 2)
+        .join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(cal), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("mu")) <= F.col("q90")).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(cal), "event_type")
+        .select(
+            "event_type",
+            "n_fit",
+            "mu",
+            "q90",
+            "n_test",
+            "n_covered",
+            F.round(F.col("n_covered") * 1.0 / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("event_type")
+    )

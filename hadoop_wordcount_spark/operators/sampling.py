@@ -742,3 +742,80 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).withColumnRenamed("wi", "weight_units")
+
+
+_RES_K = 20
+_TWO60F = float(1 << 60)
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, lang, source, n_chars,
+                   list_reduce(list_transform(
+                       string_split_regex(
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                       c -> CAST(instr('0123456789abcdef', c) - 1
+                                 AS BIGINT)),
+                       (a, d) -> a * 16 + d) AS h60
+            FROM documents),
+        k AS (
+            SELECT doc_id, lang, source, n_chars,
+                   ln((h60 + 1) * 1.0 / {_TWO60F!r})
+                       / greatest(n_chars, 1) AS lnkey
+            FROM h)
+        SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+               round(lnkey * 1000000000, 4) AS lnkey_ppb
+        FROM k ORDER BY lnkey DESC, doc_id LIMIT {_RES_K}
+    """,
+)
+def q_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k weighted random sample in one pass: A-Res weighted
+    reservoir sampling (Efraimidis & Spirakis 2006) — each document
+    draws key u^(1/w) from a uniform u and weight w = n_chars; the
+    top-k keys ARE a weighted sample without replacement. The
+    fixed-SIZE complement of `weighted_sample_bernoulli` (fixed RATE
+    — which can return 0 or 2x the budget on small strata) and the
+    weighted complement of `eval_holdout_exact_k` (uniform per-group
+    quotas). u is the portable md5 60-bit uniform, so the 'random'
+    sample is deterministic, layout-invariant and hash-checkable —
+    the repo's seeded-sampling discipline.
+
+    Determinism: keys are compared UNROUNDED as ln(u)/w — a
+    monotone transform of u^(1/w) that avoids pow — where ln's
+    argument is the integer-ratio (h+1)/2^60; both engines order
+    bit-identical doubles with a doc_id tiebreak, and the published
+    key is rounded only for display.
+
+    Plan: one scan projecting (key, payload), then a distributed
+    top-k (TakeOrderedAndProject — per-partition k-heaps, merge of
+    P*k rows at the driver-side limit) — THE one-pass fixed-size
+    weighted sampler at 100 TB: no sort, no shuffle of the corpus,
+    and per-partition reservoirs are exactly how the streaming
+    variant would maintain state."""
+    d = load_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    lnkey = F.log((h60 + 1) * 1.0 / F.lit(_TWO60F)) / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            lnkey.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(_RES_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.round(F.col("_k") * 1000000000, 4).alias("lnkey_ppb"),
+        )
+    )

@@ -2705,3 +2705,152 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("heaps_beta", "ln_k", "n_points")
     )
+
+
+_NB_TRAIN_HI = "cc"  # dataset_split's md5-bucket convention (~80% train)
+
+
+@query(
+    "naive_bayes_langid",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS tk,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
+            FROM documents),
+        tr AS (SELECT * FROM b WHERE bk <= '{_NB_TRAIN_HI}'),
+        ev AS (SELECT * FROM b WHERE bk > '{_NB_TRAIN_HI}' AND len(tk) >= 1),
+        cls AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc
+                FROM tr GROUP BY lang),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS td FROM tr),
+        tw AS (SELECT lang AS c, unnest(tk) AS w FROM tr),
+        cnt AS (SELECT c, w, CAST(count(*) AS BIGINT) AS cw
+                FROM tw GROUP BY c, w),
+        ct AS (SELECT c, CAST(count(*) AS BIGINT) AS tc FROM tw GROUP BY c),
+        vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tw),
+        meta AS (
+            SELECT cls.c,
+                   CAST(round(ln(cls.dc * 1.0 / tot.td) * 1000000, 0)
+                        AS BIGINT) AS prior_m,
+                   CAST(round(ln(1.0 / (ct.tc + vv.v)) * 1000000, 0)
+                        AS BIGINT) AS def_m,
+                   ct.tc, vv.v
+            FROM cls JOIN ct ON cls.c = ct.c CROSS JOIN tot CROSS JOIN vv),
+        lik AS (
+            SELECT cnt.c, cnt.w,
+                   CAST(round(ln((cnt.cw + 1.0) / (meta.tc + meta.v))
+                              * 1000000, 0) AS BIGINT) AS m
+            FROM cnt JOIN meta ON cnt.c = meta.c),
+        et AS (SELECT doc_id, lang, unnest(tk) AS w FROM ev),
+        sc AS (
+            SELECT e.doc_id, e.lang, meta.c,
+                   meta.prior_m + sum(coalesce(lik.m, meta.def_m)) AS score
+            FROM et e CROSS JOIN meta
+            LEFT JOIN lik ON lik.c = meta.c AND lik.w = e.w
+            GROUP BY e.doc_id, e.lang, meta.c, meta.prior_m),
+        pred AS (
+            SELECT doc_id, lang AS actual_lang,
+                   min(ROW(-score, c))[2] AS predicted_lang
+            FROM sc GROUP BY doc_id, lang)
+        SELECT actual_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY actual_lang, predicted_lang
+        ORDER BY actual_lang, predicted_lang
+    """,
+)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A classifier TRAINED AND APPLIED entirely in-engine:
+    multinomial Naive Bayes language ID — add-one-smoothed token
+    likelihoods and class priors fit on the md5-bucket train split
+    (`dataset_split`'s 80% convention), argmax-scored on the held-out
+    split, reported as the actual x predicted confusion matrix. The
+    LEARNED counterpart of `lang_id_heuristic` (hand rules, audited
+    by `lang_id_confusion`): this is the shape of every
+    classifier-based curation gate (quality/toxicity/domain
+    classifiers) — training is aggregation, inference is a join.
+    Honesty note: this corpus's languages draw from one shared
+    synthetic vocabulary with only mildly different frequency
+    profiles, so the achievable ceiling is low — the pytest pins
+    accuracy ABOVE THE MAJORITY-CLASS BASELINE (weak learnability),
+    and the deliverable is the mechanism + exact confusion matrix,
+    not a benchmark score.
+
+    Determinism: every log-likelihood is ln of an integer-ratio
+    (bit-identical doubles) quantized to INTEGER MICRO-LOG units
+    (round(ln(p) * 1e6)) at the per-token level, so document scores
+    are integer sums — order-independent — and the argmax
+    (min(struct(-score, class)) — tie-safe) can never flip on
+    partial-aggregation order. Unseen-at-train tokens take the
+    per-class smoothed default, exactly as the oracle does.
+
+    Plan: training is two map-side-combined aggregates ((class,
+    token) counts + class totals); inference joins the likelihood
+    table onto the eval token stream BY TOKEN KEY (vocabulary-sized
+    shuffle — never a broadcast of the vocab; the |classes|-row meta
+    table is the only broadcast, and the x|classes| explode rides
+    it), then one (doc, class) integer-sum agg, one per-doc argmax,
+    and a |classes|^2-row census. Zero-token eval docs are excluded
+    (no evidence, matching the oracle's len(tk) >= 1)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        tokens_col(F.col("text")).alias("tk"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("bk"),
+    )
+    tr = d.filter(F.col("bk") <= _NB_TRAIN_HI)
+    ev = d.filter((F.col("bk") > _NB_TRAIN_HI) & (F.size("tk") >= 1))
+    cls = tr.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("dc")
+    )
+    tot = tr.agg(F.count(F.lit(1)).cast("long").alias("td"))
+    tw = tr.select(F.col("lang").alias("c"), F.explode("tk").alias("w"))
+    cnt = tw.groupBy("c", "w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    ct = tw.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    vv = tw.agg(F.countDistinct("w").cast("long").alias("v"))
+    meta = (
+        cls.join(ct, "c")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "c",
+            F.round(F.log(F.col("dc") * 1.0 / F.col("td")) * 1000000, 0)
+            .cast("long")
+            .alias("prior_m"),
+            F.round(F.log(1.0 / (F.col("tc") + F.col("v"))) * 1000000, 0)
+            .cast("long")
+            .alias("def_m"),
+            "tc",
+            "v",
+        )
+    )
+    lik = cnt.join(F.broadcast(meta.select("c", "tc", "v")), "c").select(
+        "c",
+        "w",
+        F.round(
+            F.log((F.col("cw") + 1.0) / (F.col("tc") + F.col("v"))) * 1000000, 0
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    et = ev.select("doc_id", "lang", F.explode("tk").alias("w"))
+    sc = (
+        et.crossJoin(F.broadcast(meta.select("c", "prior_m", "def_m")))
+        .join(lik, ["c", "w"], "left")
+        .groupBy("doc_id", "lang", "c", "prior_m")
+        .agg(
+            (
+                F.first("prior_m")
+                + F.sum(F.coalesce(F.col("m"), F.col("def_m")))
+            ).alias("score")
+        )
+    )
+    pred = sc.groupBy("doc_id", F.col("lang").alias("actual_lang")).agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c")))
+        .getField("c")
+        .alias("predicted_lang")
+    )
+    return (
+        pred.groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual_lang", "predicted_lang")
+    )

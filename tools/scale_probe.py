@@ -369,6 +369,12 @@ ALL_OPS = [
     # round-10 batch 8 (expected ~1: PSI = two scans — decile agg
     # on the reference half, then one codegen'd CASE-chain census)
     "psi_feature_drift",
+    # round-10 batch 9 (expected ~1: NB trains by aggregation and
+    # infers by a vocab-keyed join onto the x|classes| token stream;
+    # reservoir = one scan + TakeOrdered k-heaps; conformal = three
+    # type-keyed passes incl. one exact percentile)
+    "naive_bayes_langid", "weighted_reservoir_sample",
+    "conformal_interval_coverage",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
