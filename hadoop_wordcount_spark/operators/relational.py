@@ -8198,3 +8198,82 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+        WITH d AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS day, count(*) AS x
+            FROM events GROUP BY day),
+        mn AS (SELECT min(day) AS m0 FROM d),
+        s AS (SELECT day - m0 AS t, CAST(x AS BIGINT) AS x
+              FROM d CROSS JOIN mn),
+        pairs AS (
+            SELECT (b.x - a.x) * 1.0 / (b.t - a.t) AS slope
+            FROM s a JOIN s b ON b.t > a.t),
+        sl AS (SELECT round(quantile_cont(slope, 0.5), 6) AS slope,
+                      CAST(count(*) AS BIGINT) AS n_pairs
+               FROM pairs)
+        SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_days,
+               sl.n_pairs, sl.slope,
+               round(quantile_cont(s.x - sl.slope * s.t, 0.5), 6)
+                   AS intercept
+        FROM s CROSS JOIN sl GROUP BY sl.n_pairs, sl.slope
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the MEDIAN of
+    all pairwise slopes between daily counts (and the median-residual
+    intercept) — the trend estimator with a 29% breakdown point,
+    immune to the outlier days that wreck an OLS fit
+    (`lineitem_regr_family` / `discount_elasticity` are the
+    moment-based least-squares family; this is their robust twin,
+    exactly as `event_anomaly_mad` is to z-scores).
+
+    Determinism: daily counts are integers on integer epoch-day
+    keys; every pairwise slope is an integer-difference ratio
+    (bit-identical doubles); both medians are exact order statistics
+    rounded at 6dp, with the slope rounded BEFORE the intercept
+    residuals reuse it.
+
+    Plan/scale: the pair stage is a self-join of the DAILY series —
+    CALENDAR-bounded, not data-bounded (a decade is ~3.7k rows →
+    ~6.6M slope pairs, trivially partitionable), so the operator is
+    one map-side-combined groupBy(day) over the corpus plus
+    bounded-table work; the textbook O(n^2) cost lands on n = days,
+    never on events."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    d = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mn = d.agg(F.min("day").alias("m0"))
+    s = d.crossJoin(F.broadcast(mn)).select(
+        (F.col("day") - F.col("m0")).alias("t"), "x"
+    )
+    a = s.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = s.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("tb") > F.col("ta")).select(
+        ((F.col("xb") - F.col("xa")) * 1.0 / (F.col("tb") - F.col("ta"))).alias(
+            "slope"
+        )
+    )
+    sl = pairs.agg(
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nd = s.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        s.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(nd))
+        .groupBy("n_days", "n_pairs", "slope")
+        .agg(
+            F.round(
+                F.percentile(
+                    F.col("x") - F.col("slope") * F.col("t"), F.lit(0.5)
+                ),
+                6,
+            ).alias("intercept")
+        )
+        .select("n_days", "n_pairs", "slope", "intercept")
+    )

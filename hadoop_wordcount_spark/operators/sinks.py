@@ -604,3 +604,50 @@ def q_writer_v2_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table being overwritten (self-overwrite is undefined).
     agg.writeTo(tbl).overwrite(F.lit(True))
     return spark.table(tbl)
+
+
+@query(
+    "jdbc_pushdown_read",
+    oracle="""
+        SELECT CAST(n_regionkey AS INT) AS n_regionkey,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               min(n_name) AS first_name
+        FROM nation WHERE n_regionkey >= 2
+        GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_jdbc_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC V2 READ path with predicate pushdown: land the nation dim
+    in the bundled-Derby JDBC catalog (idempotent createOrReplace —
+    the `writer_v2_lifecycle` write side), then read it back THROUGH
+    the catalog with a filter — Spark's V2 JDBC scan compiles the
+    predicate into the remote WHERE clause (PushedFilters in the
+    scan, pinned by pytest), so only qualifying rows ever cross the
+    wire. The serving-store round trip every pipeline with an
+    operational database does: warehouse → JDBC table → filtered
+    read-back, with the database doing the filtering.
+
+    Determinism: pure integer keys and counts plus min(name) —
+    nothing floating anywhere; output column names are re-aliased
+    lowercase because Derby stores identifiers uppercase.
+
+    Scale: the dim is dimension-sized by design (this is the
+    serving-store pattern, not a fact-export path); pushdown means
+    the JDBC source ships the WHERE (and, with pushDownAggregate,
+    the GROUP BY) to the database instead of scanning the table into
+    the cluster."""
+    from hadoop_wordcount_spark.sources.lakehouse import jdbc_catalog
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    cat = jdbc_catalog(spark)
+    n = load_table(spark, sf_dir, "nation")
+    n.writeTo(f"{cat}.ns.nation_pd").createOrReplace()
+    t = spark.table(f"{cat}.ns.nation_pd").filter(F.col("n_regionkey") >= 2)
+    return (
+        t.groupBy(F.col("n_regionkey").cast("int").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )

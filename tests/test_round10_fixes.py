@@ -332,3 +332,47 @@ def test_conformal_coverage_near_nominal(spark):
     for r in rows:
         assert 0.75 <= r["coverage"] <= 1.0, (r["event_type"], r["coverage"])
         assert r["q90"] > 0
+
+
+def test_theil_sen_matches_python(spark):
+    """Median-of-pairwise-slopes recomputed in pure Python from the
+    daily counts must match exactly (slope AND intercept)."""
+    from collections import Counter
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    days = Counter(
+        r["day"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .select(F.expr("ts_ns div 86400000000000").alias("day"))
+        .collect()
+    )
+    m0 = min(days)
+    s = sorted((d - m0, c) for d, c in days.items())
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        h = 0.5 * (n - 1)
+        lo, frac = int(h), h - int(h)
+        return xs[lo] + frac * (xs[min(lo + 1, n - 1)] - xs[lo])
+
+    slopes = [
+        (xb - xa) / (tb - ta) for i, (ta, xa) in enumerate(s)
+        for tb, xb in s[i + 1:]
+    ]
+    slope = round(med(slopes), 6)
+    intercept = round(med([x - slope * t for t, x in s]), 6)
+    r = registry.QUERIES["theil_sen_trend"](spark, SF_SMALL).collect()[0]
+    assert r["n_days"] == len(s) and r["n_pairs"] == len(slopes)
+    assert r["slope"] == slope and r["intercept"] == intercept
+
+
+def test_jdbc_read_pushes_filter_down(spark):
+    """The V2 JDBC scan must carry the predicate in PushedFilters —
+    the database filters, not the cluster."""
+    df = registry.QUERIES["jdbc_pushdown_read"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "n_regionkey >= 2" in plan or "N_REGIONKEY >= 2" in plan

@@ -375,6 +375,11 @@ ALL_OPS = [
     # type-keyed passes incl. one exact percentile)
     "naive_bayes_langid", "weighted_reservoir_sample",
     "conformal_interval_coverage",
+    # round-10 batch 10 (expected ~1: theil-sen's O(n^2) pair stage
+    # is calendar-bounded days, never events — the event-sized work
+    # is one day-keyed count). jdbc_pushdown_read is dim-sized by
+    # design (serving-store pattern) — not probed.
+    "theil_sen_trend",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
