@@ -5653,7 +5653,7 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust,
                    CAST(sum(n) AS BIGINT) AS n_orders
             FROM b GROUP BY priority),
-        gm AS (
+        glob AS (
             SELECT 'ALL' AS priority,
                    CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust,
                    CAST(sum(n) AS BIGINT) AS n_orders
