@@ -8248,9 +8248,15 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
     mn = d.agg(F.min("day").alias("m0"))
+    # cache() is a constant-factor necessity, not a hint: the daily
+    # series is referenced by BOTH pair sides, the intercept pass and
+    # the day count — uncached, each reference re-runs the full
+    # events scan+agg (measured 5x scan cost at the 256x rung); the
+    # cached table is calendar-bounded (~30 rows here), so this pins
+    # one scan and makes everything after it bounded work.
     s = d.crossJoin(F.broadcast(mn)).select(
         (F.col("day") - F.col("m0")).alias("t"), "x"
-    )
+    ).cache()
     a = s.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
     b = s.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
     pairs = a.join(b, F.col("tb") > F.col("ta")).select(
