@@ -517,3 +517,60 @@ def test_topic_terms_word_marginal_not_broadcast_pinned(spark, sf_dir):
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_vocab_join_not_broadcast_pinned(spark, sf_dir):
+    """naive_bayes_langid: the token-likelihood table is
+    vocabulary-sized and must attach to the eval token stream by
+    shuffle equi-join on (class, token) — never a pinned broadcast
+    (the cluster_topic_terms word-marginal rule). Only the
+    |classes|-row meta table broadcasts."""
+    df = registry.QUERIES["naive_bayes_langid"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ddsketch_census_is_partial_agg_and_window_free(spark, sf_dir):
+    """ddsketch_quantiles: the bucket census must partial-aggregate
+    map-side (the sketch's mergeability IS the partial agg), and the
+    cumulative walk must not introduce a Window."""
+    df = registry.QUERIES["ddsketch_quantiles"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_psi_binning_is_codegen_not_hof(spark, sf_dir):
+    """psi_feature_drift: the PER-ROW decile binning must be a
+    codegen'd CASE chain (the bootstrap_ci_poisson lesson: HOFs
+    evaluate interpreted per element). The one permitted lambda is
+    the 9-element edge-rounding transform on the 1-ROW decile
+    aggregate — so the CASE chain must exist and no Window may."""
+    df = registry.QUERIES["psi_feature_drift"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CASE WHEN" in plan, plan
+    assert "Window" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    """weighted_reservoir_sample: the top-k must be
+    TakeOrderedAndProject (per-partition k-heaps) — never a global
+    Sort + Limit."""
+    df = registry.QUERIES["weighted_reservoir_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_referential_integrity_mixed_join_strategies(spark, sf_dir):
+    """referential_integrity_audit: the fixed dims (nation, region)
+    are broadcast-pinned; the SF-scaling parents carry no hint (at
+    test SFs the planner may still size them under the broadcast
+    threshold — that is a size decision, not a pin, so it is not
+    asserted away). Hard pins: every edge is an equi join (no
+    cartesian, no nested loop) and the plan stays window-free."""
+    df = registry.QUERIES["referential_integrity_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
