@@ -8283,3 +8283,221 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_days", "n_pairs", "slope", "intercept")
     )
+
+
+@query(
+    "events_linear_interpolate",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, epoch_ns(ts) // 3600000000000 AS bkt,
+                   CAST(round(value * 1000, 0) AS BIGINT) AS mills
+            FROM events),
+        agg AS (
+            SELECT event_type, bkt,
+                   CAST(round(sum(mills) / count(*), 0) AS BIGINT) AS avg_m
+            FROM e GROUP BY 1, 2),
+        rng AS (SELECT event_type, min(bkt) AS mn, max(bkt) AS mx
+                FROM agg GROUP BY 1),
+        grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bkt
+                 FROM rng),
+        j AS (
+            SELECT g.event_type, g.bkt, a.avg_m,
+                   last_value(CASE WHEN a.avg_m IS NOT NULL
+                                   THEN ROW(g.bkt, a.avg_m) END IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.bkt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pv,
+                   first_value(CASE WHEN a.avg_m IS NOT NULL
+                                    THEN ROW(g.bkt, a.avg_m) END IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.bkt
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS nv
+            FROM grid g
+            LEFT JOIN agg a
+              ON g.event_type = a.event_type AND g.bkt = a.bkt)
+        SELECT event_type, bkt,
+               CASE WHEN avg_m IS NOT NULL THEN 'observed'
+                    WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+                    ELSE 'interpolated' END AS kind,
+               CASE WHEN avg_m IS NOT NULL THEN avg_m / 1000.0
+                    WHEN pv IS NULL OR nv IS NULL THEN NULL
+                    ELSE ((2 * (pv[2] * (nv[1] - bkt)
+                                + nv[2] * (bkt - pv[1]))
+                           + (nv[1] - pv[1]))
+                          // (2 * (nv[1] - pv[1]))) / 1000.0
+               END AS value
+        FROM j
+    """,
+)
+def q_events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in the hourly mean-value series —
+    the CONTINUOUS gap-fill between `events_resample` (zeros) and
+    `events_locf_impute` (step function): missing buckets take the
+    straight line between the nearest observed neighbors (pandas'
+    `interpolate(method='linear')`, the default for sensor/price
+    level series), leading/trailing gaps stay null and are labeled
+    `edge` so consumers can trim them.
+
+    Determinism: bucket means follow the LOCF entry's exact-mills
+    discipline carried as INTEGER MILLS end-to-end; the neighbor
+    carriers are `last/first_value(... IGNORE NULLS)` over structs
+    of (bucket, mills), and the interpolation itself is integer
+    round-half-up — (2*(pv*(nb-b)+nv*(b-pb)) + D) div (2D) — so no
+    double is ever rounded near a decimal boundary (a 4dp round of
+    the naive double form flipped a half-boundary at sf0.001); the
+    single /1000.0 display divide is exact-mills-to-double.
+
+    Plan: one (type, hour) partial+final agg collapses the corpus;
+    both neighbor windows run per type over the CALENDAR-bounded
+    grid (|types| x |hours| rows — at 100 TB still thousands), never
+    raw events."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").alias("bkt"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("mills"),
+    )
+    agg = e.groupBy("event_type", "bkt").agg(
+        F.round(F.sum("mills") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("avg_m")
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("bkt").alias("mn"), F.max("bkt").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("bkt"))
+    )
+    j = grid.join(agg, ["event_type", "bkt"], "left")
+    carrier = F.when(
+        F.col("avg_m").isNotNull(),
+        F.struct(F.col("bkt").alias("b"), F.col("avg_m").alias("v")),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = j.select(
+        "event_type",
+        "bkt",
+        "avg_m",
+        F.last(carrier, ignorenulls=True).over(wp).alias("pv"),
+        F.first(carrier, ignorenulls=True).over(wn).alias("nv"),
+    )
+    # integer round-half-up interpolation in exact mills:
+    # (2*(pv*(nb-b) + nv*(b-pb)) + D) div (2*D) — no double ever
+    # rounds near a decimal boundary (the 32.2925 trap, see LOCF)
+    interp_m = F.expr(
+        "(2 * (pv.v * (nv.b - bkt) + nv.v * (bkt - pv.b))"
+        " + (nv.b - pv.b)) div (2 * (nv.b - pv.b))"
+    )
+    return j.select(
+        "event_type",
+        "bkt",
+        F.when(F.col("avg_m").isNotNull(), "observed")
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), "edge")
+        .otherwise("interpolated")
+        .alias("kind"),
+        F.when(F.col("avg_m").isNotNull(), F.col("avg_m") / 1000.0)
+        .when(
+            F.col("pv").isNull() | F.col("nv").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(interp_m / 1000.0)
+        .alias("value"),
+    )
+
+
+_FORGET_PREFIX = "00"  # md5 bucket ~ 1/256 of customers
+
+
+@query(
+    "delete_cascade_audit",
+    oracle=f"""
+        WITH fs AS (
+            SELECT c_custkey FROM customer
+            WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)
+                  = '{_FORGET_PREFIX}'),
+        ords AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM fs)),
+        rows_ AS (
+            SELECT 'customer' AS tbl,
+                   CAST((SELECT count(*) FROM fs) AS BIGINT) AS n_delete,
+                   CAST((SELECT count(*) FROM customer) AS BIGINT)
+                       AS n_table
+            UNION ALL
+            SELECT 'orders',
+                   CAST((SELECT count(*) FROM ords) AS BIGINT),
+                   CAST((SELECT count(*) FROM orders) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem',
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IN
+                               (SELECT o_orderkey FROM ords)) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT))
+        SELECT tbl, n_delete, n_table,
+               round(n_delete * 1.0 / n_table, 6) AS pct_of_table
+        FROM rows_ ORDER BY tbl
+    """,
+)
+def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for a deterministic
+    forget-set of customers (md5 bucket — the repo's seeded-sampling
+    stand-in for a real deletion request list), count the rows that
+    a compliant cascade would remove from every table reachable
+    along the FK edges (customer -> orders -> lineitem), with each
+    table's share. The data-governance PLANNING read before running
+    a GDPR/CCPA erasure: how much data moves, which table dominates
+    the rewrite, and is the blast radius proportionate to the
+    request. Complements `referential_integrity_audit` (the same
+    edge graph, walked downward instead of validated upward) and
+    `cdc_apply_changes` (the mechanism that applies the tombstones
+    this audit sizes).
+
+    Determinism: the forget-set is an md5-prefix bucket; everything
+    else is integer counts + one 6dp integer-ratio round.
+
+    Plan: the forget-set and affected-orders key sets are
+    key-column-only semi joins (left semi on the fk), each a single
+    key-pruned exchange; counts are map-side-combined single-row
+    aggs. At 100 TB this is two semi joins and three counts — the
+    cheapest possible exact blast-radius measurement."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fs = c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+        == _FORGET_PREFIX
+    ).select("c_custkey")
+    ords = o.join(
+        fs, o.o_custkey == fs.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_hit = li.join(ords, li.l_orderkey == ords.o_orderkey, "left_semi")
+
+    def row(label: str, deleted: DataFrame, table: DataFrame) -> DataFrame:
+        # declarative 1-row report: two count aggregates crossed —
+        # no driver-side action anywhere (the repo's no-collect rule)
+        nd = deleted.agg(F.count(F.lit(1)).cast("long").alias("n_delete"))
+        nt = table.agg(F.count(F.lit(1)).cast("long").alias("n_table"))
+        return nd.crossJoin(F.broadcast(nt)).select(
+            F.lit(label).alias("tbl"), "n_delete", "n_table"
+        )
+
+    out = (
+        row("customer", fs, c)
+        .unionByName(row("orders", ords, o))
+        .unionByName(row("lineitem", li_hit, li))
+    )
+    return out.select(
+        "tbl",
+        "n_delete",
+        "n_table",
+        F.round(F.col("n_delete") * 1.0 / F.col("n_table"), 6).alias(
+            "pct_of_table"
+        ),
+    ).orderBy("tbl")

@@ -908,3 +908,117 @@ def dd_quantile_walk(b: DataFrame) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+def _f2_sql(label: str, table: str, key: str) -> str:
+    h = _h60_sql(f"CAST(t.r AS VARCHAR) || ':' || CAST(k.{key} AS VARCHAR)")
+    return f"""
+        SELECT '{label}' AS fact_key,
+               CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
+               CAST((SELECT count(DISTINCT {key}) FROM {table}) AS BIGINT)
+                   AS n_keys,
+               CAST((SELECT sum(c * c) FROM (
+                         SELECT count(*) AS c FROM {table} GROUP BY {key}))
+                    AS BIGINT) AS exact_f2,
+               CAST((SELECT min(s) FROM (
+                         SELECT r, sum(cnt * cnt) AS s FROM (
+                             SELECT t.r AS r, {h} % {_CMS_W} AS col,
+                                    count(*) AS cnt
+                             FROM {table} k,
+                                  unnest(range(0, {_CMS_D})) AS t(r)
+                             GROUP BY t.r, col)
+                         GROUP BY r)) AS BIGINT) AS cms_f2
+    """
+
+
+@query(
+    "f2_self_join_size_cms",
+    oracle="SELECT fact_key, n_rows, n_keys, exact_f2, cms_f2, "
+    "CAST(cms_f2 - exact_f2 AS BIGINT) AS overestimate, "
+    "round((cms_f2 - exact_f2) * 1.0 / exact_f2, 6) AS rel_err FROM ("
+    + _f2_sql("lineitem.l_suppkey", "lineitem", "l_suppkey")
+    + " UNION ALL "
+    + _f2_sql("events.user_id", "events", "user_id")
+    + ") ORDER BY fact_key",
+)
+def q_f2_self_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment F2 = sum of squared
+    key multiplicities) estimated from a Count-Min sketch and
+    AUDITED against exact — the classic AMS'96 / CMS inner-product
+    estimator (Cormode & Muthukrishnan '05): F2-hat = min over the
+    d rows of sum_c counter[r,c]^2, a one-sided (>=) estimate whose
+    excess is the hash-collision cross terms. F2 IS the size of the
+    key's self-join and the variance term of every shuffle-size /
+    join-cardinality planner bound — the number a 100 TB engine
+    needs BEFORE running the join, which is exactly why it must come
+    from a mergeable O(d*w)-space sketch rather than the per-key
+    census (`skew_key_report` renders that census; this prices the
+    join from constant space).
+
+    Determinism: the sketch uses the portable md5 60-bit row-salted
+    hash (`heavy_hitters_cms`'s construction), so every counter —
+    and therefore the estimate itself — is a bit-identical integer
+    in both engines; rel_err is the one 6dp integer-ratio round.
+
+    Plan: per fact, one map-side-combined (r, col) census (every
+    partition compresses to <= d*w partial rows before the shuffle —
+    the sketch's mergeability), one d-row square-sum rollup, and a
+    1-row min; the exact side is one groupBy(key) agg, present only
+    as the audit and dropped at true scale."""
+    out = None
+    for label, table, key in [
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+    ]:
+        t = load_table(spark, sf_dir, table).select(
+            F.col(key).cast("string").alias("k")
+        )
+        n_rows = t.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        per_key = t.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        exact = per_key.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"),
+        )
+        rc = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (_h60(F.concat(F.lit(f"{r}:"), F.col("k"))) % _CMS_W).alias(
+                        "col"
+                    ),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+        counters = (
+            t.select(F.explode(rc).alias("rc"))
+            .groupBy(F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        est = (
+            counters.groupBy("r")
+            .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+            .agg(F.min("s").cast("long").alias("cms_f2"))
+        )
+        row = (
+            n_rows.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(est))
+            .select(
+                F.lit(label).alias("fact_key"),
+                "n_rows",
+                "n_keys",
+                "exact_f2",
+                "cms_f2",
+                (F.col("cms_f2") - F.col("exact_f2"))
+                .cast("long")
+                .alias("overestimate"),
+                F.round(
+                    (F.col("cms_f2") - F.col("exact_f2"))
+                    * 1.0
+                    / F.col("exact_f2"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fact_key")

@@ -376,3 +376,68 @@ def test_jdbc_read_pushes_filter_down(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "n_regionkey >= 2" in plan or "N_REGIONKEY >= 2" in plan
+
+
+def test_linear_interpolate_geometry(spark):
+    """Observed rows reproduce the direct bucket means; every
+    interpolated value lies strictly between (or at) its neighbor
+    values; edge rows carry null and exist only where a type's grid
+    has no earlier/later observation (never interior)."""
+    rows = registry.QUERIES["events_linear_interpolate"](spark, SF_SMALL).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for tp, rs in by_type.items():
+        rs.sort(key=lambda r: r["bkt"])
+        obs = [r for r in rs if r["kind"] == "observed"]
+        assert obs, tp
+        lo = min(r["bkt"] for r in obs)
+        hi = max(r["bkt"] for r in obs)
+        for r in rs:
+            if r["kind"] == "edge":
+                assert r["value"] is None and not (lo <= r["bkt"] <= hi)
+            else:
+                assert r["value"] is not None
+        vals = {r["bkt"]: r["value"] for r in rs if r["value"] is not None}
+        for r in rs:
+            if r["kind"] != "interpolated":
+                continue
+            pb = max(b for b in vals if b < r["bkt"] and
+                     any(o["bkt"] == b for o in obs))
+            nb = min(b for b in vals if b > r["bkt"] and
+                     any(o["bkt"] == b for o in obs))
+            bounds = sorted([vals[pb], vals[nb]])
+            assert bounds[0] - 1e-9 <= r["value"] <= bounds[1] + 1e-9
+
+
+def test_delete_cascade_accounting(spark):
+    """The forget-set counts match direct recomputation and shares
+    are sane (the cascade can only shrink relative to each table)."""
+    from hadoop_wordcount_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["tbl"]: r
+        for r in registry.QUERIES["delete_cascade_audit"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    c = load_table(spark, SF_SMALL, "customer")
+    n_fs = c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) == "00"
+    ).count()
+    assert rows["customer"]["n_delete"] == n_fs
+    for r in rows.values():
+        assert 0 <= r["n_delete"] <= r["n_table"]
+        assert 0.0 <= r["pct_of_table"] <= 1.0
+
+
+def test_f2_sketch_one_sided_and_tight(spark):
+    """CMS F2 guarantee: the sketch estimate is >= exact (one-sided,
+    collision cross terms only add), and the excess is bounded by
+    the expected F1^2/w collision mass per row (x4 slack)."""
+    rows = registry.QUERIES["f2_self_join_size_cms"](spark, SF_SMALL).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["cms_f2"] >= r["exact_f2"]
+        bound = 4.0 * (r["n_rows"] ** 2) / 256
+        assert r["overestimate"] <= bound, (r["fact_key"], r["overestimate"], bound)

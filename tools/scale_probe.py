@@ -380,6 +380,12 @@ ALL_OPS = [
     # is one day-keyed count). jdbc_pushdown_read is dim-sized by
     # design (serving-store pattern) — not probed.
     "theil_sen_trend",
+    # round-10 batch 11 (expected ~1: interpolate = one (type,hour)
+    # agg + calendar-bounded neighbor windows; cascade = two
+    # key-pruned semi joins + three count aggs; f2 = one d*w sketch
+    # census + the exact audit agg per key)
+    "events_linear_interpolate", "f2_self_join_size_cms",
+    "delete_cascade_audit",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
@@ -408,7 +414,8 @@ RELATIONAL_OPS = {
     "lineitem_weighted_median", "supplier_herfindahl_by_type",
     "orders_yoy_growth", "nation_revenue_share_report",
     "orders_customer_acquisition",
-    "referential_integrity_audit",
+    "referential_integrity_audit", "delete_cascade_audit",
+    "f2_self_join_size_cms",
 }
 
 
