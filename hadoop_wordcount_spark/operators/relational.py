@@ -8501,3 +8501,85 @@ def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_table"
         ),
     ).orderBy("tbl")
+
+
+@query(
+    "value_moments_by_type",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS DOUBLE) AS s1,
+                   CAST(sum(c * c) AS DOUBLE) AS s2,
+                   CAST(sum(c * c * c) AS DOUBLE) AS s3,
+                   CAST(sum((c * c) * (c * c)) AS DOUBLE) AS s4
+            FROM c GROUP BY event_type)
+        SELECT event_type, n,
+               round(s1 / n / 100.0, 6) AS mean,
+               round((s2 / n - (s1 / n) * (s1 / n)) / 10000.0, 6)
+                   AS variance,
+               round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                      + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6)
+                   AS skewness,
+               round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6)
+                   AS kurtosis_excess
+        FROM m ORDER BY event_type
+    """,
+)
+def q_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution shape per event type: skewness and
+    excess kurtosis alongside mean/variance — the tail-shape report
+    (`stats_aggregates` stops at second moments; heavy positive skew
+    or kurtosis >> 0 is what says 'p99 thinking required' before any
+    percentile is computed). Built-in skewness()/kurtosis() would
+    sum DOUBLES in partition order — order-dependent partials — so
+    this computes raw moments as EXACT integer sums instead (values
+    are 2dp: cents fit a long up to the 4th power per element,
+    49002^4 < 2^63; the cross-partition sums go through
+    decimal(38,0)/HUGEINT — exact in both engines) and derives the
+    central moments in single-row arithmetic on the identical
+    nearest-double casts. 6dp round.
+
+    Plan: ONE map-side-combined groupBy(event_type) computing five
+    sums — a single scan, no second pass, no sort; the moment
+    algebra runs on |types| rows. Flat at 100 TB (and mergeable:
+    raw-moment sums are the canonical associative aggregation
+    state)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    c, c2 = F.col("c"), F.col("c") * F.col("c")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(c2.cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((c2 * c).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((c2 * c2).cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mu / 100.0, 6).alias("mean"),
+        F.round(m2 / 10000.0, 6).alias("variance"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("event_type")

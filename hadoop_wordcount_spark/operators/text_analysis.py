@@ -2854,3 +2854,93 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+@query(
+    "nucleus_vocab_cut",
+    oracle="""
+        WITH tw AS (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS w
+            FROM documents),
+        f AS (SELECT source, w, count(*) AS cnt FROM tw GROUP BY source, w),
+        t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS vocab
+              FROM f GROUP BY source),
+        r AS (
+            SELECT source, cnt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, w) AS rk,
+                   sum(cnt) OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, w
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum
+            FROM f),
+        cut AS (
+            SELECT r.source, CAST(min(rk) AS BIGINT) AS n_words_p90
+            FROM r JOIN t ON r.source = t.source
+            WHERE cum * 10 >= tot * 9
+            GROUP BY r.source)
+        SELECT c.source, t.vocab AS vocab_size, c.n_words_p90,
+               round(c.n_words_p90 * 1.0 / t.vocab, 6) AS vocab_share
+        FROM cut c JOIN t ON c.source = t.source
+        ORDER BY c.source
+    """,
+)
+def q_nucleus_vocab_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive top-p (nucleus) vocabulary cut per source: the
+    SMALLEST frequency-ranked word set covering 90% of each source's
+    token mass, and the share of its vocabulary that set is — the
+    adaptive complement of `vocab_coverage`'s FIXED top-1000 cut
+    (natural text concentrates: a few percent of vocab covers 90%;
+    templated or noisy sources need far more or far less — the same
+    concentration statistic nucleus/top-p sampling uses on model
+    logits, here read off the corpus itself).
+
+    Determinism: counts are integers; the ranking is tie-broken by
+    word; the 90% boundary is the integer cross-product compare
+    cum*10 >= tot*9 — no ratio near a threshold; one 6dp display
+    round.
+
+    Plan: one (source, word) map-side-combined count (the corpus
+    exchange), then rank + running-sum windows PARTITIONED BY SOURCE
+    over the vocabulary-sized table — per-source partition-local
+    sorts, never a global window; this is the vocabulary-sized
+    analysis class (`zipf_fit`/`bpe_merges_train`), whose input
+    scales with VOCAB, not tokens. The cut itself is a filter +
+    min() rollup to |sources| rows."""
+    d = _docs(spark, sf_dir)
+    tw = d.select("source", F.explode(tokens_col(F.col("text"))).alias("w"))
+    f = tw.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    t = f.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
+    r = f.select(
+        "source",
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    cut = (
+        r.join(F.broadcast(t), "source")
+        .filter(F.col("cum") * 10 >= F.col("tot") * 9)
+        .groupBy("source")
+        .agg(F.min("rk").cast("long").alias("n_words_p90"))
+    )
+    return (
+        cut.join(F.broadcast(t), "source")
+        .select(
+            "source",
+            F.col("vocab").alias("vocab_size"),
+            "n_words_p90",
+            F.round(F.col("n_words_p90") * 1.0 / F.col("vocab"), 6).alias(
+                "vocab_share"
+            ),
+        )
+        .orderBy("source")
+    )

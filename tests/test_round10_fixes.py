@@ -441,3 +441,61 @@ def test_f2_sketch_one_sided_and_tight(spark):
         assert r["cms_f2"] >= r["exact_f2"]
         bound = 4.0 * (r["n_rows"] ** 2) / 256
         assert r["overestimate"] <= bound, (r["fact_key"], r["overestimate"], bound)
+
+
+def test_value_moments_match_numpy(spark):
+    """Exact-integer-moment skewness/kurtosis must agree with a
+    direct numpy recomputation on the raw cents."""
+    import numpy as np
+
+    from hadoop_wordcount_spark.sources.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["value_moments_by_type"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    for tp in rows:
+        c = np.array(
+            [round(e["value"] * 100) for e in ev if e["event_type"] == tp],
+            dtype=np.float64,
+        )
+        mu, m2 = c.mean(), ((c - c.mean()) ** 2).mean()
+        skew = ((c - mu) ** 3).mean() / m2**1.5
+        kurt = ((c - mu) ** 4).mean() / m2**2 - 3
+        r = rows[tp]
+        assert abs(r["skewness"] - skew) < 1e-4, tp
+        assert abs(r["kurtosis_excess"] - kurt) < 1e-4, tp
+        assert abs(r["mean"] - mu / 100) < 1e-4
+
+
+def test_nucleus_cut_is_minimal_cover(spark):
+    """The reported set really is the smallest prefix covering 90%:
+    its cumulative mass >= 0.9 * total, and one word fewer < 0.9."""
+    from collections import Counter
+
+    from hadoop_wordcount_spark.operators.wordcount import tokens_col
+    from hadoop_wordcount_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["source"]: r
+        for r in registry.QUERIES["nucleus_vocab_cut"](spark, SF_SMALL).collect()
+    }
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("source", tokens_col(F.col("text")).alias("tk"))
+        .collect()
+    )
+    per = {}
+    for d in docs:
+        cnt = per.setdefault(d["source"], Counter())
+        cnt.update(d["tk"])
+    for src, cnt in per.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        tot = sum(cnt.values())
+        k = rows[src]["n_words_p90"]
+        cum_k = sum(c for _, c in ranked[:k])
+        assert cum_k * 10 >= tot * 9
+        assert sum(c for _, c in ranked[: k - 1]) * 10 < tot * 9
+        assert rows[src]["vocab_size"] == len(cnt)

@@ -386,6 +386,10 @@ ALL_OPS = [
     # census + the exact audit agg per key)
     "events_linear_interpolate", "f2_self_join_size_cms",
     "delete_cascade_audit",
+    # round-10 batch 12 (expected ~1: moments = ONE 5-sum scan;
+    # nucleus = one (source,word) count + per-source vocab-sized
+    # partition-local windows — the zipf/bpe vocab-bounded class)
+    "value_moments_by_type", "nucleus_vocab_cut",
 ]
 
 # Deregistered queries that remain ladder-probe-able (pytest-only
