@@ -8516,7 +8516,8 @@ def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(c) AS DOUBLE) AS s1,
                    CAST(sum(c * c) AS DOUBLE) AS s2,
                    CAST(sum(c * c * c) AS DOUBLE) AS s3,
-                   CAST(sum((c * c) * (c * c)) AS DOUBLE) AS s4
+                   CAST(sum(CAST(c * c AS HUGEINT)
+                            * CAST(c * c AS HUGEINT)) AS DOUBLE) AS s4
             FROM c GROUP BY event_type)
         SELECT event_type, n,
                round(s1 / n / 100.0, 6) AS mean,
@@ -8541,12 +8542,14 @@ def q_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     or kurtosis >> 0 is what says 'p99 thinking required' before any
     percentile is computed). Built-in skewness()/kurtosis() would
     sum DOUBLES in partition order — order-dependent partials — so
-    this computes raw moments as EXACT integer sums instead (values
-    are 2dp: cents fit a long up to the 4th power per element,
-    49002^4 < 2^63; the cross-partition sums go through
-    decimal(38,0)/HUGEINT — exact in both engines) and derives the
-    central moments in single-row arithmetic on the identical
-    nearest-double casts. 6dp round.
+    this computes raw moments as EXACT integer sums instead: cents
+    up to the 3rd power fit a long per element, the 4th power goes
+    through decimal(19)/HUGEINT PRODUCTS (56021 cents^4 = 9.85e18
+    overflows a long by 7% — caught by the ladder's full evaluation
+    at 1x; a count() smoke had pruned the unused column), and every
+    cross-partition sum is decimal(38)/HUGEINT — exact in both
+    engines; the central moments derive in single-row arithmetic on
+    the identical nearest-double casts. 6dp round.
 
     Plan: ONE map-side-combined groupBy(event_type) computing five
     sums — a single scan, no second pass, no sort; the moment
@@ -8563,7 +8566,9 @@ def q_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c.cast("decimal(38,0)")).cast("double").alias("s1"),
         F.sum(c2.cast("decimal(38,0)")).cast("double").alias("s2"),
         F.sum((c2 * c).cast("decimal(38,0)")).cast("double").alias("s3"),
-        F.sum((c2 * c2).cast("decimal(38,0)")).cast("double").alias("s4"),
+        F.sum(c2.cast("decimal(19,0)") * c2.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s4"),
     )
     n = F.col("n")
     mu = F.col("s1") / n
