@@ -7281,6 +7281,10 @@ def q_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # h >= 999 maps to weight 6). Integer thresholds make the resample
 # weights BIT-IDENTICAL across engines — no float RNG to reconcile.
 _BS_B = 64
+# sqrt(B) blocking: the Spark plan explodes x_BS_BLOCK (b_hi) and
+# aggregates _BS_BLOCK weighted-sum pairs per row (b_lo) — see the
+# query docstring. Must satisfy _BS_BLOCK * _BS_BLOCK == _BS_B.
+_BS_BLOCK = 8
 # Thresholds are the Poisson(1) CDF scaled to the PRIME modulus 1009
 # (prime so every odd per-resample multiplier is invertible and the
 # mixed draws stay uniform): P(<=k), k=0..5; draw >= 1008 -> w=6.
@@ -7354,10 +7358,20 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     define identically (`value_percentiles_exact` precedent) and
     round at 4dp.
 
-    Plan at 100 TB: the B-way explode is a flat map (x{_BS_B} rows of
-    12 bytes, no shuffle), then ONE (group, b)-keyed partial agg —
-    B x |groups| cells cross the exchange — and a |groups|-row
-    quantile. Compare the naive bootstrap: B full shuffles of n rows.
+    Plan at 100 TB: the B resamples are BLOCKED sqrt(B) x sqrt(B) —
+    an x{_BS_BLOCK} row explode (b_hi), each exploded row feeding
+    {_BS_BLOCK} weighted-sum aggregate column pairs (b_lo) — so the
+    row blowup is {_BS_BLOCK}x instead of the r10 plan's {_BS_B}x
+    while the aggregate stays narrow enough ({2 * _BS_BLOCK} buffer
+    columns + keys, well under spark.sql.codegen.maxFields=100) for
+    full WholeStageCodegen; the measured sf0.1 rung dropped ~3.5x vs
+    the x{_BS_B} explode, and the all-columns variant (zero explode,
+    {2 * _BS_B} agg columns) measured SLOWER because it breaks
+    codegen. One (group, b_hi)-keyed partial agg — B x |groups|
+    cells cross the exchange, exactly as before — then the
+    {_BS_BLOCK}-wide cells unpivot in-expression (array + explode on
+    the tiny aggregated table) into the same (group, b) mean stream.
+    Compare the naive bootstrap: B full shuffles of n rows.
     Poisson(1) weights make resample sizes ~Poisson(n), the standard
     large-n approximation to multinomial resampling."""
     e = _t(spark, sf_dir, "events")
@@ -7377,33 +7391,33 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _BS_P1
     )
-    expl = e.select(
+    base = e.select(
         "event_type",
         "value",
         h0.alias("h0"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BS_BLOCK - 1))).alias("bh"),
     )
-    draw = (
-        F.col("h0") * (2 * F.col("b") + 1) + _BS_MIXC * F.col("b")
-    ) % _BS_P2
-    # Plain comparison sum, NOT a higher-order array filter: HOFs
-    # evaluate interpreted per element, and this projection runs on
-    # the x64-exploded stream — six codegen'd comparisons keep the
-    # whole stage in WholeStageCodegen.
-    w = sum(
-        (draw >= t).cast("int") for t in _BS_THRESH
-    )
-    per = (
-        expl.select("event_type", "b", "value", w.alias("w"))
-        .groupBy("event_type", "b")
-        .agg(
+    # Plain comparison sums, NOT higher-order array filters: HOFs
+    # evaluate interpreted per element; these projections run on the
+    # exploded stream — codegen'd comparisons keep the whole stage
+    # in WholeStageCodegen.
+    aggs = []
+    for lo in range(_BS_BLOCK):
+        bcol = F.col("bh") * _BS_BLOCK + lo
+        draw = (F.col("h0") * (2 * bcol + 1) + _BS_MIXC * bcol) % _BS_P2
+        w = sum((draw >= t).cast("int") for t in _BS_THRESH)
+        aggs.append(F.sum(w * F.col("value")).alias(f"sv{lo}"))
+        aggs.append(F.sum(w).alias(f"sw{lo}"))
+    g = base.groupBy("event_type", "bh").agg(*aggs)
+    means = F.array(
+        *[
             F.round(
-                F.sum(F.col("w") * F.col("value"))
-                / F.greatest(F.sum("w"), F.lit(1)),
-                6,
-            ).alias("mean_b")
-        )
+                F.col(f"sv{lo}") / F.greatest(F.col(f"sw{lo}"), F.lit(1)), 6
+            )
+            for lo in range(_BS_BLOCK)
+        ]
     )
+    per = g.select("event_type", F.explode(means).alias("mean_b"))
     pt = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.avg("value"), 4).alias("mean_value"),
@@ -7705,14 +7719,17 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT hod, vband,
                    CAST(count(*) AS BIGINT) AS l,
                    CAST(sum(c) AS BIGINT) AS m,
-                   sum(c * ln(CAST(c AS DOUBLE))) AS slc
+                   CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000, 0)
+                                 AS BIGINT)) AS BIGINT) AS slc_m
             FROM cls GROUP BY hod, vband)
         SELECT l,
                CAST(count(*) AS BIGINT) AS n_classes,
                CAST(sum(m) AS BIGINT) AS n_records,
-               round(min(exp(ln(CAST(m AS DOUBLE)) - slc / m)), 6)
+               round(min(exp(ln(CAST(m AS DOUBLE))
+                             - slc_m / 1000000.0 / m)), 6)
                    AS min_entropy_l,
-               round(max(exp(ln(CAST(m AS DOUBLE)) - slc / m)), 6)
+               round(max(exp(ln(CAST(m AS DOUBLE))
+                             - slc_m / 1000000.0 / m)), 6)
                    AS max_entropy_l
         FROM per GROUP BY l ORDER BY l
     """,
@@ -7730,10 +7747,12 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant — entropy-l >= l requires near-uniform sensitive mix).
 
     Determinism: class keys are integer epoch/band math; per-class
-    entropy uses H = ln(m) - sum(c*ln c)/m on exact integer counts
-    (single-log integer inputs; the per-class sum spans <= |types|
-    = 5 terms); cross-class rollups use only min/max — order-safe —
-    never a sum of doubles across classes; 6dp round.
+    entropy uses H = ln(m) - sum(c*ln c)/m on exact integer counts,
+    with each c*ln(c) term quantized to INTEGER MICRO-UNITS
+    (round(x*1e6) as bigint, the naive_bayes_langid pattern) so the
+    per-class sum is an order-independent integer — no double sum
+    anywhere, so partial-aggregation order can never flip a 6dp
+    boundary; cross-class rollups use only min/max; 6dp round.
 
     Plan: one (hod, vband, type)-keyed count (map-side combined, the
     only corpus-sized exchange), one bounded (24 x |bands|)-row
@@ -7750,9 +7769,18 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = cls.groupBy("hod", "vband").agg(
         F.count(F.lit(1)).cast("long").alias("l"),
         F.sum("c").cast("long").alias("m"),
-        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("slc"),
+        F.sum(
+            F.round(
+                F.col("c") * F.log(F.col("c").cast("double")) * 1000000, 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("slc_m"),
     )
-    el = F.exp(F.log(F.col("m").cast("double")) - F.col("slc") / F.col("m"))
+    el = F.exp(
+        F.log(F.col("m").cast("double"))
+        - F.col("slc_m") / F.lit(1000000.0) / F.col("m")
+    )
     return (
         per.groupBy("l")
         .agg(

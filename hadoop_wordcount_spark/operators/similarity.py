@@ -354,9 +354,16 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_K = 8        # coarse centroids
 IVF_ITERS = 3    # fixed k-means rounds (deterministic)
 IVF_NPROBE = 2   # cells probed per query
+# The fixed-K production regime `ann_recall_report` registers (r10
+# verdict #1): K pinned in BOTH the query and its oracle, independent
+# of the module default and of the ladder's sqrt-n dial — train-once /
+# fixed-codebook is the deployment shape (SemDeDup / IVF-PQ), and the
+# fixed-K ladder measures linear (lsq alpha 0.85) where the sqrt-K
+# regime is superlinear by design.
+ANN_RECALL_K = 64
 
 
-def _ivf_assign_ctes() -> tuple[str, str]:
+def _ivf_assign_ctes(k: int | None = None) -> tuple[str, str]:
     """(CTE chain, final-centroid CTE name) for the unrolled
     long-format k-means quantizer in DuckDB SQL, mirroring
     `ivf_assignments` exactly: same init (vec_id < K), same round-4
@@ -364,12 +371,14 @@ def _ivf_assign_ctes() -> tuple[str, str]:
     tiebreak. The final inverted file is CTE ``a{IVF_ITERS}``. Shared
     by the `ann_ivf_search` oracle and the IVF-blocked dedup oracle in
     `operators/dedup.py` so both engines always train the identical
-    quantizer."""
+    quantizer. ``k`` overrides the module default (the fixed-K
+    production regime `ann_recall_report` registers)."""
+    kk = IVF_K if k is None else k
     sql = f"""ev AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS val
             FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM ev WHERE vec_id < {IVF_K})"""
+        c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM ev WHERE vec_id < {kk})"""
     prev = "c0"
     for i in range(IVF_ITERS + 1):
         sql += f""",
@@ -490,22 +499,30 @@ def reset_ivf_memo() -> None:
     _IVF_MEMO.clear()
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Train the IVF coarse quantizer (fixed-round k-means,
     deterministic init = vec_id < K) entirely in DataFrame ops and
     return ``(inverted_file, centroids)`` — ``inverted_file`` is
     (vec_id, cid), ``centroids`` is (cid, cv: array<double>).
+    ``k`` overrides the module default (the fixed-K production
+    regime `ann_recall_report` registers).
 
     Shared by `ann_ivf_search` (cell-pruned query answering) and
     `dedup_embedding_cosine_ivf` (cell-blocked pair generation); both
     oracles train the identical quantizer via `_ivf_assign_ctes`.
 
     Scale shape per stage, at 100 TB:
-    - assignment: |V| x K rows via crossJoin(broadcast(centroids)) —
-      centroids are K x d values, always broadcastable; the argmin is
-      min(struct(d2, cid)) with MAP-SIDE partials, so the shuffle
-      carries one partial per vector, never the |V| x K distance rows
-      (a window argmin would sort all of them post-shuffle).
+    - assignment: SHUFFLE-FREE — the K x d centroid table is folded
+      into ONE row (array<struct<cid, cv>>, cid-sorted) and broadcast;
+      each vector row computes all K distances in-expression
+      (transform → struct(d2, cid)) and takes array_min, which
+      compares (d2, cid) lexicographically — the same deterministic
+      tiebreak as min(struct(d2, cid)), with NO |V| x K intermediate
+      rows, no hash aggregate, and no exchange (the r10 plan
+      materialized |V| x K distance rows and shuffled |V| partial
+      mins; at K=64 that row blowup dominated the ladder).
     - update: groupBy(cid, pos) mean with map-side partials; the
       exchange carries K x d rows regardless of corpus size. Each
       round's centroid table is localCheckpoint-ed (it is tiny) so the
@@ -522,7 +539,8 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     (bench cold mode calls this so per-query costs stay honest);
     keying on applicationId makes entries from a stopped session
     unreachable rather than stale."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, IVF_K)
+    kk = IVF_K if k is None else k
+    memo_key = (spark.sparkContext.applicationId, sf_dir, kk)
     hit = _IVF_MEMO.get(memo_key)
     if hit is not None:
         return hit
@@ -533,25 +551,30 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).cache()
-    cent = vecs.filter(F.col("vec_id") < IVF_K).select(
+    cent = vecs.filter(F.col("vec_id") < kk).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     ).localCheckpoint()
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        # argmin as min(struct(d2, cid)): struct ordering compares d2
-        # then cid — the same deterministic tiebreak as a window
-        # ordered by (d2, cid), but as a HashAggregate with MAP-SIDE
-        # partials: the shuffle carries one partial min per vec_id per
-        # map partition instead of all |V| x K distance rows that a
-        # window argmin would sort post-shuffle.
-        best = F.struct(
-            _ivf_d2(F.col("v"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
+        # Fold the K centroids into one broadcast row and argmin
+        # in-expression: transform builds K struct(d2, cid) entries
+        # (one `_ivf_d2` each — the identical 4dp-quantized fold),
+        # array_min picks the lexicographic minimum = min d2, ties on
+        # cid (cid-sorted array, struct compare). One output row per
+        # vector, zero intermediate rows, zero exchanges.
+        carr = cent_df.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+        dists = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _ivf_d2(F.col("v"), c["cv"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
         )
         return (
-            vecs.crossJoin(F.broadcast(cent_df))
-            .select("vec_id", best.alias("dc"))
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("best"))
+            vecs.crossJoin(F.broadcast(carr))
+            .select("vec_id", F.array_min(dists).alias("best"))
             .select("vec_id", F.col("best.cid").alias("cid"))
         )
 
@@ -592,8 +615,17 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid — the classic IVF recall/cost dial (nprobe/K of the data
     scanned, here 1/4). The planner sees plain joins/agg — AQE
     right-sizes every exchange."""
+    return _ivf_search(spark, sf_dir)
+
+
+def _ivf_search(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """The IVF search pipeline at quantizer size ``k`` (module
+    default when None). Shared by `ann_ivf_search` (default-K) and
+    `ann_recall_report` (the pinned fixed-K production regime)."""
     emb = _emb(spark, sf_dir)
-    inverted_file, cent = ivf_assignments(spark, sf_dir)
+    inverted_file, cent = ivf_assignments(spark, sf_dir, k)
 
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
     qcol = F.array(*[F.lit(float(x)) for x in qv])
@@ -1801,14 +1833,16 @@ def q_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall_oracle() -> str:
     """Composes three chains: brute-force ground truth, the IVF
-    search tail (same text as `_ivf_oracle`), and the s-prefixed SRP
-    multiprobe chain from `dedup._srp_ctes`/`_srp_multiprobe_body`."""
+    search tail (same text as `_ivf_oracle`, trained at the PINNED
+    ANN_RECALL_K — the fixed-K production regime, not the module
+    default), and the s-prefixed SRP multiprobe chain from
+    `dedup._srp_ctes`/`_srp_multiprobe_body`."""
     from hadoop_wordcount_spark.functions.srp import (
         _srp_ctes,
         _srp_multiprobe_body,
     )
 
-    ctes, prev = _ivf_assign_ctes()
+    ctes, prev = _ivf_assign_ctes(ANN_RECALL_K)
     return f"""
         WITH {ctes},
         {_srp_ctes("s")},
@@ -1876,13 +1910,21 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brute-force top-k heap — the eval cost you pay by definition);
     each method contributes its own bounded candidate stage; the
     report is a 2-row spine. Evaluate on a SAMPLED query set in
-    production — same plan, query spine instead of one fixed id."""
+    production — same plan, query spine instead of one fixed id.
+
+    The IVF arm runs at the PINNED fixed ANN_RECALL_K=64 (query and
+    oracle alike, r10 verdict #1 — the `dedup_embedding_pq@K64`
+    precedent): train-once / fixed-codebook is the production
+    deployment regime and its ladder is linear (lsq alpha 0.85),
+    where the sqrt-n-K ladder dial is Θ(n^1.5) by design. The
+    quantizer is the shared `ivf_assignments` memo keyed on K, so a
+    session evaluating the index it serves trains k-means once."""
     from hadoop_wordcount_spark.operators.dedup import (
         q_sim_search_srp_multiprobe,
     )
 
     bf = q_sim_search_topk(spark, sf_dir).select("vec_id")
-    ivf = q_ann_ivf_search(spark, sf_dir).select("vec_id")
+    ivf = _ivf_search(spark, sf_dir, ANN_RECALL_K).select("vec_id")
     mp = q_sim_search_srp_multiprobe(spark, sf_dir).select("vec_id")
     union = ivf.withColumn("method", F.lit("ivf")).unionByName(
         mp.withColumn("method", F.lit("srp_multiprobe"))

@@ -640,9 +640,16 @@ def q_jdbc_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_wordcount_spark.sources.tables import load_table
 
     cat = jdbc_catalog(spark)
+    # Per-SF table name like every other JDBC-catalog sink (the
+    # orders_priority_agg_{sf} convention): nation is SF-invariant
+    # today, but an untagged name would cross-contaminate the shared
+    # Derby catalog the moment the pattern is copied for a scaling
+    # table or run concurrently across sf_dirs.
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"{cat}.ns.nation_pd_{sf}"
     n = load_table(spark, sf_dir, "nation")
-    n.writeTo(f"{cat}.ns.nation_pd").createOrReplace()
-    t = spark.table(f"{cat}.ns.nation_pd").filter(F.col("n_regionkey") >= 2)
+    n.writeTo(tbl).createOrReplace()
+    t = spark.table(tbl).filter(F.col("n_regionkey") >= 2)
     return (
         t.groupBy(F.col("n_regionkey").cast("int").alias("n_regionkey"))
         .agg(

@@ -855,8 +855,6 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window-free), and the three rank probes are a 3-row broadcast
     crossJoin + min() — nothing after the scan depends on row
     count."""
-    from hadoop_wordcount_spark.operators.ranking import global_cumsum
-
     e = load_table(spark, sf_dir, "events").select("value")
     b = (
         e.select(dd_bucket_col(F.col("value")))

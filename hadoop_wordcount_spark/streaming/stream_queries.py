@@ -1097,5 +1097,8 @@ def q_streaming_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     if not os.path.exists(out_path):
-        return spark.createDataFrame([], census.schema)
+        # Degenerate (empty-stream) path must carry the SAME output
+        # schema as the normal path — the quantile-report columns,
+        # not the internal bucket-census shape (r10 ADVICE).
+        return dd_quantile_walk(spark.createDataFrame([], census.schema))
     return dd_quantile_walk(spark.read.parquet(out_path))
