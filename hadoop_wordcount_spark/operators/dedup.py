@@ -881,51 +881,77 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 8 x 32-bit hashes come from TWO md5 digests per shingle (four
     8-hex slices each) rather than 8 independent md5 calls — 4x less
-    hash compute in the featurization stage, which dominates the
-    pipeline's cost at scale (measured 6.9s -> 4.7s for the cold
-    base at sf0.1; the shingle explode itself is 3.8s of that). Slice
-    min ties are ~n_shingles^2/2^32 — negligible, and deterministic
-    (lexicographic) when they happen."""
+    hash compute. Slice min ties are ~n_shingles^2/2^32 — negligible,
+    and deterministic (lexicographic) when they happen.
+
+    Tokenization stays JVM-side (`tokens_col(norm_text(...))` — the
+    MapClass.java:22-27 fidelity contract lives in ONE place);
+    shingling + hashing + slice-min run as an ARROW-BATCHED
+    mapInPandas kernel. This stage is PURE STRING computation — md5
+    hex digests, ' '-joins, first-occurrence dedup, lexicographic min
+    — with bit-for-bit Python equivalents (hashlib.md5 on UTF-8 ==
+    Spark md5; dict.fromkeys == array_distinct's first-occurrence
+    order; str min == array_min on ASCII hex), so unlike a float
+    kernel there is NO rounding surface at all. The r10 in-plan
+    formulation spent 263 s of its 335 s 64x-ladder rung inside the
+    interpreted per-position slice+array_join lambdas (HOFs evaluate
+    interpreted per element — the bootstrap_ci_poisson lesson); the
+    kernel runs the same work in ~5 s across the 32 workers. At
+    100 TB this featurization is embarrassingly parallel per
+    partition either way; the hatch only changes the per-row
+    constant."""
     d = _docs(spark, sf_dir)
     # Shingle the token SEQUENCE (order matters); only the resulting
     # shingle SET is deduped — set ops downstream are order-free.
     tk = tokens_col(norm_text(F.col("text")))
-    n = F.size(tk)
-    shingles = F.when(
-        n < 3, F.array(F.array_join(tk, " "))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda i: F.array_join(F.slice(tk, i, 3), " "),
+    toks = d.select("doc_id", tk.alias("tk"))
+
+    def featurize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_sh, out_sig = [], []
+            for tks in pdf["tk"]:
+                tl = list(tks)
+                if len(tl) < 3:
+                    sh = [" ".join(tl)]
+                else:
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(tl[i : i + 3])
+                            for i in range(len(tl) - 2)
+                        )
+                    )
+                d0 = [
+                    hashlib.md5(("0:" + s).encode()).hexdigest() for s in sh
+                ]
+                d1 = [
+                    hashlib.md5(("1:" + s).encode()).hexdigest() for s in sh
+                ]
+                # Same order as the previous in-plan formulation:
+                # k (digest) outer, j (8-hex slice) inner.
+                sig = [
+                    min(h[8 * j : 8 * j + 8] for h in dig)
+                    for dig in (d0, d1)
+                    for j in range(4)
+                ]
+                out_sh.append(sh)
+                out_sig.append(sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shingles": out_sh,
+                    "sig": out_sig,
+                }
             )
-        )
-    )
-    # NOTE: higher-order-function lambdas here MUST take exactly one
-    # parameter — F.transform treats a two-parameter callable as
-    # (element, index) and silently passes the index Column as the
-    # second argument, so the `lambda s, k=k` default-capture idiom
-    # corrupts the expression (the index Column overrides the
-    # default). Close over per-k/per-j constants with helper scopes.
-    def _dig(k: int) -> Column:
-        prefix = f"{k}:"
-        return F.transform(
-            F.col("shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s))
-        )
 
-    digs = F.array(_dig(0), _dig(1))
-
-    def _slice_min(k: int, j: int) -> Column:
-        lo = 1 + 8 * j
-        return F.array_min(
-            F.transform(F.element_at("digs", k + 1), lambda h: F.substring(h, lo, 8))
-        )
-
-    sig = F.array(*[_slice_min(k, j) for k in range(2) for j in range(4)])
-    base = (
-        d.select("doc_id", shingles.alias("shingles"))
-        .select("doc_id", "shingles", digs.alias("digs"))
-        .select("doc_id", "shingles", sig.alias("sig"))
+    base = toks.mapInPandas(
+        featurize,
+        "doc_id bigint, shingles array<string>, sig array<string>",
     )
     return base.cache()
 
@@ -1994,7 +2020,6 @@ from hadoop_wordcount_spark.functions import srp as _srp_mod
 from hadoop_wordcount_spark.functions.srp import (
     _srp_ctes,
     _srp_multiprobe_body,
-    _srp_planes,
 )
 
 
@@ -2049,9 +2074,11 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: hyperplane components are module-computed doubles
     injected as identical literals into both engines; dots fold in
-    array index order and round at 6dp before the sign test, so the
-    bit vectors are engine-identical; final cosines round at 4dp
-    with id tiebreaks.
+    array index order (the codegen'd multiply-add chain of
+    `srp_spark_side` — bit-identical to the interpreted fold it
+    replaced) and round at 6dp before the sign test, so the bit
+    vectors are engine-identical; final cosines round at 4dp with id
+    tiebreaks.
 
     Scale shape: the bit projection is a per-row O(bits x d) map —
     linear, shuffle-free; the candidate stage is an equi-join on
@@ -2062,34 +2089,10 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SRP_BAND_BITS}: P[band agrees] = (1 - θ/π)^{_SRP_BAND_BITS},
     union over 4 bands ≈ 0.7+ for near-dup angles — raise bands to
     raise recall, the standard LSH dial."""
-    from hadoop_wordcount_spark.functions.vectors import dot, l2_norm
+    from hadoop_wordcount_spark.functions.vectors import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _srp_planes()
-    n_bands = _srp_mod._SRP_BITS // _srp_mod._SRP_BAND_BITS
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select("vec_id", v.alias("v"))
-
-    def _fold_dot(vcol, row):
-        hv = F.array(*[F.lit(x) for x in row])
-        return F.aggregate(
-            F.zip_with(vcol, hv, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    bits = [
-        F.when(F.round(_fold_dot(F.col("v"), row), 6) >= 0, 1).otherwise(0)
-        for row in planes
-    ]
-    keys = [
-        sum(
-            (bits[b * _srp_mod._SRP_BAND_BITS + i] * (1 << i))
-            for i in range(_srp_mod._SRP_BAND_BITS)
-        ).cast("long")
-        for b in range(n_bands)
-    ]
-    side = e.select("vec_id", F.array(*keys).alias("ks"))
+    side, n_bands = _srp_mod.srp_spark_side(emb)
     expl = side.select(
         "vec_id", "ks", F.posexplode("ks").alias("b", "key")
     )
@@ -2105,21 +2108,24 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "key",
     )
-    earlier_hit = F.exists(
-        F.zip_with(
-            F.slice("ks_a", 1, F.col("b")),
-            F.slice("ks_b", 1, F.col("b")),
-            lambda x, y: x == y,
-        ),
-        lambda x: x,
-    )
+    # First-colliding-band ownership as a codegen'd OR chain over the
+    # (n_bands - 1) earlier positions, not an interpreted
+    # slice/zip_with/exists HOF — this predicate runs on every joined
+    # band-bucket row, the widest row stream in the plan.
+    earlier_hit = F.lit(False)
+    for i in range(n_bands - 1):
+        earlier_hit = earlier_hit | (
+            (F.col("b") > i)
+            & (F.element_at("ks_a", i + 1) == F.element_at("ks_b", i + 1))
+        )
     cand = (
         a.join(b, ["b", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(~earlier_hit)
         .select("vec_a", "vec_b")
     )
-    withn = e.select(
+    v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    withn = emb.select("vec_id", v).select(
         "vec_id", "v", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)).alias("nrm")
     )
     ea = withn.select(
@@ -2132,11 +2138,13 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"),
     )
-    pair_dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Codegen'd multiply-add chain over the candidate pairs (the same
+    # left-assoc order as the HOF fold and the oracle's list_sum);
+    # candidates are the second-widest stream — interpreted lambdas
+    # were the verify stage's dominant cost at ladder scale.
+    pair_dot = F.element_at("v_a", 1) * F.element_at("v_b", 1)
+    for i in range(2, _srp_mod._SRP_DIM + 1):
+        pair_dot = pair_dot + F.element_at("v_a", i) * F.element_at("v_b", i)
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -2184,46 +2192,32 @@ def q_sim_search_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_embedding_srp` module constants; same 6dp-rounded-dot
     sign rule, same 4dp/id-tiebreak determinism."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _srp_planes()
-    n_bands = _srp_mod._SRP_BITS // _srp_mod._SRP_BAND_BITS
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select("vec_id", v.alias("v"))
-
-    def _fold_dot(vcol, row):
-        hv = F.array(*[F.lit(x) for x in row])
-        return F.aggregate(
-            F.zip_with(vcol, hv, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    bits = [
-        F.when(F.round(_fold_dot(F.col("v"), row), 6) >= 0, 1).otherwise(0)
-        for row in planes
-    ]
-    keys = [
-        sum(
-            (bits[b * _srp_mod._SRP_BAND_BITS + i] * (1 << i))
-            for i in range(_srp_mod._SRP_BAND_BITS)
-        ).cast("long")
-        for b in range(n_bands)
-    ]
-    side = e.select(
-        "vec_id", "v", *[k.alias(f"k{b}") for b, k in enumerate(keys)]
-    )
-    qrow = side.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"),
-        *[F.col(f"k{b}").alias(f"qk{b}") for b in range(n_bands)],
+    keysdf, n_bands = _srp_mod.srp_spark_side(emb)
+    qkeys = keysdf.filter(F.col("vec_id") == 0).select(
+        F.col("ks").alias("qks")
     )
     probe_hit = None
     for b in range(n_bands):
         hit = (
             F.bit_count(
-                F.col(f"k{b}").bitwiseXOR(F.col(f"qk{b}"))
+                F.element_at("ks", b + 1).bitwiseXOR(
+                    F.element_at("qks", b + 1)
+                )
             )
             <= 1
         )
         probe_hit = hit if probe_hit is None else (probe_hit | hit)
+    cand = (
+        keysdf.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qkeys))
+        .filter(probe_hit)
+        .select("vec_id")
+    )
+    # Exact-cosine rescore on the bounded candidate set only: vectors
+    # re-attach from the scan by id (the keys frame stays slim).
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     pair_dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y),
         F.lit(0.0),
@@ -2243,9 +2237,8 @@ def q_sim_search_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        side.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qrow))
-        .filter(probe_hit)
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             F.round(
