@@ -344,7 +344,12 @@ ALL_OPS = [
     "bootstrap_ci_poisson", "user_gap_regularity",
     "sim_search_srp_multiprobe",
     # round-10 batch 3 (expected ~1: recall eval = brute-force k-heap
-    # + two bounded candidate stages; wilson/card = scan + tiny aggs)
+    # + two bounded candidate stages; wilson/card = scan + tiny aggs).
+    # Round 11: ann_recall_report PINS its own quantizer size
+    # (similarity.ANN_RECALL_K=64, query + oracle alike) — the probe's
+    # sqrt-n IVF_K patch below no longer reaches it, so its plain-name
+    # rows measure the registered fixed-K production regime directly
+    # (the old @K64 sub-ladder rows are the same regime, pre-pin).
     "ann_recall_report", "wilson_ci_pass_rate", "dataset_card_report",
     # round-10 batch 4 (expected ~1: RI audit = one key-pruned left
     # join + single-row agg per edge)
