@@ -514,15 +514,13 @@ def ivf_assignments(
     oracles train the identical quantizer via `_ivf_assign_ctes`.
 
     Scale shape per stage, at 100 TB:
-    - assignment: SHUFFLE-FREE — the K x d centroid table is folded
-      into ONE row (array<struct<cid, cv>>, cid-sorted) and broadcast;
-      each vector row computes all K distances in-expression
-      (transform → struct(d2, cid)) and takes array_min, which
-      compares (d2, cid) lexicographically — the same deterministic
-      tiebreak as min(struct(d2, cid)), with NO |V| x K intermediate
-      rows, no hash aggregate, and no exchange (the r10 plan
-      materialized |V| x K distance rows and shuffled |V| partial
-      mins; at K=64 that row blowup dominated the ladder).
+    - assignment: SHUFFLE-FREE — an Arrow-vectorized kernel closes
+      over the K x d centroid table (dimension-sized, the .head()
+      bounded-pull class) and emits one (vec_id, cid) row per vector:
+      sequential per-dim accumulation at 4dp, strict-< argmin in
+      ascending-cid order == min(struct(d2, cid)) exactly (see the
+      in-function comment for the determinism argument and the r10/
+      r11 formulations this replaced and why).
     - update: groupBy(cid, pos) mean with map-side partials; the
       exchange carries K x d rows regardless of corpus size. Each
       round's centroid table is localCheckpoint-ed (it is tiny) so the
@@ -556,27 +554,61 @@ def ivf_assignments(
     ).localCheckpoint()
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        # Fold the K centroids into one broadcast row and argmin
-        # in-expression: transform builds K struct(d2, cid) entries
-        # (one `_ivf_d2` each — the identical 4dp-quantized fold),
-        # array_min picks the lexicographic minimum = min d2, ties on
-        # cid (cid-sorted array, struct compare). One output row per
-        # vector, zero intermediate rows, zero exchanges.
-        carr = cent_df.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
-        )
-        dists = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _ivf_d2(F.col("v"), c["cv"]).alias("d2"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return (
-            vecs.crossJoin(F.broadcast(carr))
-            .select("vec_id", F.array_min(dists).alias("best"))
-            .select("vec_id", F.col("best.cid").alias("cid"))
-        )
+        # Arrow-vectorized argmin kernel (the srp_spark_side
+        # discipline): the K x d centroid table — dimension-sized by
+        # construction, the same bounded-pull class as the query
+        # vector's .head() — rides the closure; each vector's K
+        # quantized distances accumulate SEQUENTIALLY over dims
+        # (acc = acc + (v_i - c_i)^2, i ascending — the exact
+        # left-fold order of `_ivf_d2`'s aggregate(zip_with(...)) and
+        # of the oracle's GROUP BY sum at 4dp), and the argmin scans
+        # centroids in ascending cid with a STRICT less-than, so ties
+        # keep the lowest cid — exactly min(struct(d2, cid)). Zero
+        # intermediate rows, zero exchanges; the r10 plan's
+        # |V| x K distance-row blowup (and the r11-interim
+        # transform+array_min variant's K x d interpreted lambda
+        # evals per row) both measured as the recall rung's dominant
+        # cost at K=64. np.round(., 4) differs from the engines'
+        # rounding paths only within a sub-ulp window of an exact
+        # .5e-4 boundary — the same measure-zero class the 4dp
+        # discipline already tolerates cross-engine; the pytest pin
+        # (test_round11_fixes) holds the kernel bit-identical to the
+        # DataFrame argmin formulation.
+        crows = cent_df.orderBy("cid").collect()
+        cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in crows]
+
+        def assign_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            cid_arr = [c for c, _ in cents]
+            cvecs = [v for _, v in cents]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emb = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                n, dim = emb.shape
+                best_d2 = None
+                best_cid = None
+                for k in range(len(cents)):
+                    cv = cvecs[k]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for i in range(dim):
+                        diff = emb[:, i] - cv[i]
+                        acc = acc + diff * diff
+                    d2 = np.round(acc, 4)
+                    if best_d2 is None:
+                        best_d2 = d2
+                        best_cid = np.full(n, cid_arr[k], dtype=np.int64)
+                    else:
+                        better = d2 < best_d2
+                        best_d2 = np.where(better, d2, best_d2)
+                        best_cid = np.where(better, cid_arr[k], best_cid)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "cid": best_cid}
+                )
+
+        return vecs.mapInPandas(assign_kernel, "vec_id bigint, cid bigint")
 
     for _ in range(IVF_ITERS):
         assigned = assign(cent)

@@ -173,11 +173,16 @@ def test_bootstrap_block_invariant():
 
 
 def test_bootstrap_plan_blocked_explode(spark):
-    """The registered plan explodes x_BS_BLOCK (b_hi), not x_BS_B —
-    the r10 x64 row blowup must not regress."""
+    """The registered plan aggregates _BS_BLOCK weighted-sum column
+    pairs per exploded row (sv0..sv{_BS_BLOCK-1}) — the r10 x64 row
+    blowup (one sum per resample over a x_BS_B explode) must not
+    regress, and the block must not silently widen past the codegen
+    field budget."""
     from hadoop_wordcount_spark.operators import relational as R
 
     df = registry.QUERIES["bootstrap_ci_poisson"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert f"sequence(0, {R._BS_BLOCK - 1}" in plan
-    assert f"sequence(0, {R._BS_B - 1}" not in plan
+    assert f"sv{R._BS_BLOCK - 1}" in plan
+    assert f"sv{R._BS_BLOCK}" not in plan
+    # The means unpivot covers the full block width.
+    assert plan.count("round((sv") == R._BS_BLOCK

@@ -679,6 +679,13 @@ def main() -> None:
             _replicate_events_shifted(spark, n, shift_path)
         if any(q in RELATIONAL_OPS for q in ops):
             _replicate_relational(spark, n, path)
+        # Flush replication writeback before timing: at 256x the
+        # replicas leave multiple GB of dirty pages, and a short op
+        # measured while the kernel flushes them is billed for IO it
+        # didn't issue (r11: lineitem_weighted_median read 13.9-33 s
+        # in-protocol vs 6.4 s cold solo — pure writeback contention;
+        # its plan is a 3-column scan + 600-cell partial agg).
+        os.sync()
         for q in ops:
             if q in ("word_count", "dedup_exact", "text_stats_agg"):
                 continue
