@@ -101,7 +101,7 @@ def _srp_multiprobe_body(prefix: str = "") -> str:
             JOIN {p}e e ON e.vec_id = c.vec_id CROSS JOIN {p}qv qv)"""
 
 
-def srp_spark_side(emb_df):
+def srp_spark_side(emb_df, carry_embedding: bool = False):
     """Spark-side shared projection: (DataFrame with ``vec_id`` and
     ``ks`` (array of n_bands long band keys), n_bands). The dominant
     linear stage of every SRP consumer, so it runs as an
@@ -151,11 +151,33 @@ def srp_spark_side(emb_df):
                     acc = acc + emb[:, i] * row[i]
                 bit = (np.round(acc, 6) >= 0).astype(np.int64)
                 keys[:, j // bb] |= bit << (j % bb)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "ks": list(keys)}
-            )
+            cols = {"vec_id": pdf["vec_id"], "ks": list(keys)}
+            if carry_embedding:
+                cols["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(cols)
 
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("ks", ArrayType(LongType())),
+        ]
+    )
+    if carry_embedding:
+        # Pass the raw vector through the kernel (Arrow round-trip,
+        # zero extra shuffle) for consumers whose downstream join
+        # wants the vectors IN the band-shuffled rows — the
+        # dedup_embedding_srp pair stage, where re-attaching vectors
+        # to the candidate-pair stream by id costs two corpus-pair
+        # exchanges (measured dominant at 256x).
+        out_schema = out_schema.add(emb_df.schema["embedding"])
     out = emb_df.select("vec_id", "embedding").mapInPandas(
-        project, "vec_id bigint, ks array<bigint>"
+        project, out_schema
     )
     return out, n_bands

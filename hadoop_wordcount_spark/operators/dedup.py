@@ -2092,19 +2092,41 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_wordcount_spark.functions.vectors import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    side, n_bands = _srp_mod.srp_spark_side(emb)
-    expl = side.select(
-        "vec_id", "ks", F.posexplode("ks").alias("b", "key")
+    # Vectors ride THROUGH the band shuffle (x n_bands duplication of
+    # the raw float32 array — ~n_bands x 260 B per vector, a bounded
+    # constant), so the candidate-PAIR stream — pairs >> vectors at
+    # any bucket occupancy >= 2 — never crosses an exchange: the
+    # verify dot and the top-20 heap (TakeOrderedAndProject) run
+    # inside the join stage. The r11-interim plan attached vectors to
+    # pairs by id, which shuffled the 55M-pair stream TWICE at 256x —
+    # measured as the dominant cost (340 s of 378 s).
+    side, n_bands = _srp_mod.srp_spark_side(emb, carry_embedding=True)
+    withn = side.select(
+        "vec_id",
+        "ks",
+        "embedding",
+        F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)).alias("nrm"),
+    )
+    expl = withn.select(
+        "vec_id",
+        "ks",
+        "embedding",
+        "nrm",
+        F.posexplode("ks").alias("b", "key"),
     )
     a = expl.select(
         F.col("vec_id").alias("vec_a"),
         F.col("ks").alias("ks_a"),
+        F.col("embedding").alias("v_a"),
+        F.col("nrm").alias("n_a"),
         "b",
         "key",
     )
     b = expl.select(
         F.col("vec_id").alias("vec_b"),
         F.col("ks").alias("ks_b"),
+        F.col("embedding").alias("v_b"),
+        F.col("nrm").alias("n_b"),
         "b",
         "key",
     )
@@ -2118,36 +2140,24 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b") > i)
             & (F.element_at("ks_a", i + 1) == F.element_at("ks_b", i + 1))
         )
-    cand = (
+    # Codegen'd multiply-add chain over the candidate pairs (the same
+    # left-assoc order as the HOF fold and the oracle's list_sum),
+    # widening the raw float32 values to double in-expression
+    # (float->double is exact, so this is bit-identical to casting
+    # before the join); interpreted lambdas were the verify stage's
+    # dominant MATH cost at ladder scale before the exchange
+    # restructure above removed its dominant SHUFFLE cost.
+    pair_dot = F.element_at("v_a", 1).cast("double") * F.element_at(
+        "v_b", 1
+    ).cast("double")
+    for i in range(2, _srp_mod._SRP_DIM + 1):
+        pair_dot = pair_dot + F.element_at("v_a", i).cast(
+            "double"
+        ) * F.element_at("v_b", i).cast("double")
+    return (
         a.join(b, ["b", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(~earlier_hit)
-        .select("vec_a", "vec_b")
-    )
-    v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    withn = emb.select("vec_id", v).select(
-        "vec_id", "v", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)).alias("nrm")
-    )
-    ea = withn.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"),
-    )
-    eb = withn.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
-    # Codegen'd multiply-add chain over the candidate pairs (the same
-    # left-assoc order as the HOF fold and the oracle's list_sum);
-    # candidates are the second-widest stream — interpreted lambdas
-    # were the verify stage's dominant cost at ladder scale.
-    pair_dot = F.element_at("v_a", 1) * F.element_at("v_b", 1)
-    for i in range(2, _srp_mod._SRP_DIM + 1):
-        pair_dot = pair_dot + F.element_at("v_a", i) * F.element_at("v_b", i)
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
