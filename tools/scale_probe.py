@@ -771,7 +771,16 @@ def _write_md(store: dict) -> None:
         "(the SemDeDup / IVF-PQ deployment shape — small fixed "
         "codebook, assignment linear in n), so those rows INCLUDE "
         "training and are expected ~1 end-to-end; the cell-size cap "
-        "is what keeps the pair stage safe as cells grow with n/K.",
+        "is what keeps the pair stage safe as cells grow with n/K. "
+        "Round 11: ann_recall_report PINS its own quantizer size "
+        "(similarity.ANN_RECALL_K=64, query and oracle alike), so "
+        "its plain-name rows ARE the fixed-K production regime — the "
+        "historical @K64 rows measured the same regime before the "
+        "pin, under the r10 (pre-Arrow-kernel) assignment plan. "
+        "Rows measured from round 11 on also benefit from the "
+        "os.sync() writeback settle after replication (see DEVNOTES "
+        "r11 — short-op rows from earlier rounds could be billed for "
+        "replica writeback IO, e.g. lineitem_weighted_median).",
         "",
         "alpha: observed exponent in t ~ docs^alpha — least-squares over "
         "all factors (biased low by fixed job overhead at small N) and "
