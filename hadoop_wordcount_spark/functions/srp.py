@@ -19,6 +19,8 @@ _SRP_BITS/_SRP_BAND_BITS on THIS module during ladders (bits-per-band
 
 from __future__ import annotations
 
+from hadoop_wordcount_spark.functions.rounding import round_half_away
+
 _SRP_BITS = 32
 _SRP_BAND_BITS = 8  # 4 bands x 8 bits = 256 buckets/band at test SFs
 _SRP_DIM = 64
@@ -118,13 +120,13 @@ def srp_spark_side(emb_df, carry_embedding: bool = False):
     dispatch per element — ~5x slower), and a codegen'd scalar
     multiply-add chain (beats the HOF at 32 bits but blows the JVM
     64KB method limit at the ladder's wider band dials and falls
-    back to an even slower interpreted tree). The np.round(.,6)
-    rounding path differs from Spark's BigDecimal HALF_UP and
-    DuckDB's C-library round only within a sub-ulp window of an
-    exact .5e-6 boundary — the same measure-zero class as the
-    PRE-EXISTING cross-engine BigDecimal-vs-C difference the 6dp
-    discipline already tolerates. Reads the band dials through the
-    module at call time so the scale probe's monkeypatch applies."""
+    back to an even slower interpreted tree). The 6dp quantization
+    uses `round_half_away` — the half-away-from-zero mode Spark's
+    BigDecimal HALF_UP and DuckDB's round() agree on — rather than
+    np.round's half-even, so a dot landing exactly on a .5e-6
+    boundary cannot flip the sign bit against the oracle (r11
+    ADVICE). Reads the band dials through the module at call time so
+    the scale probe's monkeypatch applies."""
     from pyspark.sql import functions as F
 
     planes = _srp_planes()
@@ -142,6 +144,15 @@ def srp_spark_side(emb_df, carry_embedding: bool = False):
                 continue
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             n, dim = emb.shape
+            if dim != len(plane_mat[0]):
+                # Hyperplanes are drawn at _SRP_DIM, and downstream
+                # rescorers (dedup.py pair_dot) unroll dots over the
+                # same constant — a different table dim must fail
+                # loudly here, not emit NULL cosines silently.
+                raise ValueError(
+                    f"embedding dim {dim} != SRP plane dim "
+                    f"{len(plane_mat[0])} (_SRP_DIM)"
+                )
             keys = np.zeros((n, n_bands), dtype=np.int64)
             for j in range(bits):
                 acc = np.zeros(n, dtype=np.float64)
@@ -149,7 +160,7 @@ def srp_spark_side(emb_df, carry_embedding: bool = False):
                 for i in range(dim):
                     # Sequential accumulation — the fold order pledge.
                     acc = acc + emb[:, i] * row[i]
-                bit = (np.round(acc, 6) >= 0).astype(np.int64)
+                bit = (round_half_away(acc, 6) >= 0).astype(np.int64)
                 keys[:, j // bb] |= bit << (j % bb)
             cols = {"vec_id": pdf["vec_id"], "ks": list(keys)}
             if carry_embedding:

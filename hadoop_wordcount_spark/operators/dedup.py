@@ -916,6 +916,15 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             out_sh, out_sig = [], []
             for tks in pdf["tk"]:
+                if tks is None:
+                    # NULL tokens (null/absent text) propagate as NULL
+                    # shingles/sig — exactly what the replaced Column
+                    # formulation did; the band posexplode then drops
+                    # the row. Without this a null text would raise
+                    # TypeError and fail the whole job (r11 ADVICE).
+                    out_sh.append(None)
+                    out_sig.append(None)
+                    continue
                 tl = list(tks)
                 if len(tl) < 3:
                     sh = [" ".join(tl)]

@@ -7300,6 +7300,57 @@ _BS_W_SQL = " + ".join(
 )
 
 
+def _bs_blocked_means(e: DataFrame) -> DataFrame:
+    """The sqrt(B)-blocked per-resample means stream behind
+    `bootstrap_ci_poisson`: (event_type, mean_b), exactly _BS_B rows
+    per event_type. Module-level so the structural pin
+    (tests/test_round11_fixes.py) can assert the stream's result
+    invariants directly instead of matching optimized-plan text."""
+    h0 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BS_P1
+    )
+    base = e.select(
+        "event_type",
+        "value",
+        h0.alias("h0"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BS_BLOCK - 1))).alias("bh"),
+    )
+    # Plain comparison sums, NOT higher-order array filters: HOFs
+    # evaluate interpreted per element; these projections run on the
+    # exploded stream — codegen'd comparisons keep the whole stage
+    # in WholeStageCodegen.
+    aggs = []
+    for lo in range(_BS_BLOCK):
+        bcol = F.col("bh") * _BS_BLOCK + lo
+        draw = (F.col("h0") * (2 * bcol + 1) + _BS_MIXC * bcol) % _BS_P2
+        w = sum((draw >= t).cast("int") for t in _BS_THRESH)
+        aggs.append(F.sum(w * F.col("value")).alias(f"sv{lo}"))
+        aggs.append(F.sum(w).alias(f"sw{lo}"))
+    g = base.groupBy("event_type", "bh").agg(*aggs)
+    means = F.array(
+        *[
+            F.round(
+                F.col(f"sv{lo}") / F.greatest(F.col(f"sw{lo}"), F.lit(1)), 6
+            )
+            for lo in range(_BS_BLOCK)
+        ]
+    )
+    return g.select("event_type", F.explode(means).alias("mean_b"))
+
+
 @query(
     "bootstrap_ci_poisson",
     oracle=f"""
@@ -7375,49 +7426,7 @@ def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) weights make resample sizes ~Poisson(n), the standard
     large-n approximation to multinomial resampling."""
     e = _t(spark, sf_dir, "events")
-    h0 = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("bs:"), F.col("event_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _BS_P1
-    )
-    base = e.select(
-        "event_type",
-        "value",
-        h0.alias("h0"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BS_BLOCK - 1))).alias("bh"),
-    )
-    # Plain comparison sums, NOT higher-order array filters: HOFs
-    # evaluate interpreted per element; these projections run on the
-    # exploded stream — codegen'd comparisons keep the whole stage
-    # in WholeStageCodegen.
-    aggs = []
-    for lo in range(_BS_BLOCK):
-        bcol = F.col("bh") * _BS_BLOCK + lo
-        draw = (F.col("h0") * (2 * bcol + 1) + _BS_MIXC * bcol) % _BS_P2
-        w = sum((draw >= t).cast("int") for t in _BS_THRESH)
-        aggs.append(F.sum(w * F.col("value")).alias(f"sv{lo}"))
-        aggs.append(F.sum(w).alias(f"sw{lo}"))
-    g = base.groupBy("event_type", "bh").agg(*aggs)
-    means = F.array(
-        *[
-            F.round(
-                F.col(f"sv{lo}") / F.greatest(F.col(f"sw{lo}"), F.lit(1)), 6
-            )
-            for lo in range(_BS_BLOCK)
-        ]
-    )
-    per = g.select("event_type", F.explode(means).alias("mean_b"))
+    per = _bs_blocked_means(e)
     pt = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.avg("value"), 4).alias("mean_value"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_wordcount_spark.functions.rounding import round_half_away
 from hadoop_wordcount_spark.functions.vectors import cosine, l2_norm
 from hadoop_wordcount_spark.registry import query
 from hadoop_wordcount_spark.sources.tables import load_table
@@ -568,12 +569,20 @@ def ivf_assignments(
         # |V| x K distance-row blowup (and the r11-interim
         # transform+array_min variant's K x d interpreted lambda
         # evals per row) both measured as the recall rung's dominant
-        # cost at K=64. np.round(., 4) differs from the engines'
-        # rounding paths only within a sub-ulp window of an exact
-        # .5e-4 boundary — the same measure-zero class the 4dp
-        # discipline already tolerates cross-engine; the pytest pin
+        # cost at K=64. The 4dp quantization uses round_half_away —
+        # the mode Spark F.round (HALF_UP) and DuckDB round() agree
+        # on — so a d2 on an exact .5e-4 boundary cannot flip an
+        # assignment against the oracle (r11 ADVICE); the pytest pin
         # (test_round11_fixes) holds the kernel bit-identical to the
         # DataFrame argmin formulation.
+        #
+        # K ceiling: the centroid table rides the closure and the
+        # kernel runs a Python-level K x d loop of numpy passes, so
+        # driver shipping and per-batch work grow linearly in K. Fine
+        # through the ladder's sqrt-n dialed K (~2.4k at 256x, ~300KB
+        # closure); past K ~ 10^4 prefer re-formulating assignment as
+        # a broadcast join + min(struct(d2, cid)) aggregation (the
+        # r10 plan) whose exchange the planner can size.
         crows = cent_df.orderBy("cid").collect()
         cents = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in crows]
 
@@ -596,7 +605,7 @@ def ivf_assignments(
                     for i in range(dim):
                         diff = emb[:, i] - cv[i]
                         acc = acc + diff * diff
-                    d2 = np.round(acc, 4)
+                    d2 = round_half_away(acc, 4)
                     if best_d2 is None:
                         best_d2 = d2
                         best_cid = np.full(n, cid_arr[k], dtype=np.int64)

@@ -26,16 +26,35 @@ cannot contaminate a whole family at once (the r04
 alphabetical-block anomaly, see DEVNOTES). Rows-only entries (no
 ANSI oracle by design) stay permanently last — a driver slot spent
 on an ``err: no_oracle`` row is a wasted slot (r7 verdict #5).
-``tests/test_registry_budget.py`` asserts the ordering invariants.
+
+PLAN-EPOCH REQUEUE (r11 verdict #1): a green ledger row certifies
+the *implementation that existed when the driver ran it*. Round 11
+rewrote the physical plans of ~12 heavy operators but their r10
+rows kept them out of the r11 budget — the ledger round alone
+cannot see that an entry's code changed. So each entry also carries
+a content FINGERPRINT (sha256 over the query function's source, the
+transitive closure of package-defined callables it references by
+global name, and its oracle SQL). ``LEDGER_EPOCH.json`` at the repo
+root snapshots the fingerprint each entry had when its latest
+driver row landed (refreshed per round by
+``tools/snapshot_epoch.py``); ``load_all()`` treats a mismatch —
+or an entry missing from the snapshot — as round 0, requeuing it at
+the head of the next driver budget. Docstring-only or verified
+non-behavioral edits can be exempted with the tool's ``--refresh``
+flag so they don't burn a driver slot (rationale goes in DEVNOTES).
+``tests/test_registry_budget.py`` asserts the ordering invariants,
+including the epoch requeue.
 """
 
 from __future__ import annotations
 
 import glob
 import hashlib
+import inspect
 import json
 import os
 import re
+import types
 from collections.abc import Callable
 from typing import Optional
 
@@ -129,6 +148,150 @@ def priority_key(name: str, rounds: dict[str, int]) -> tuple[int, str]:
     return (rounds.get(name, 0), hashlib.md5(name.encode()).hexdigest())
 
 
+_PKG_PREFIX = "hadoop_wordcount_spark"
+EPOCH_FILE = "LEDGER_EPOCH.json"
+
+
+def _code_global_names(code: types.CodeType) -> set[str]:
+    """All global names referenced by a code object, including those
+    inside nested code objects (lambdas, comprehensions, inner defs)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_global_names(const)
+    return names
+
+
+def _module_callables(mod: types.ModuleType) -> list[object]:
+    """Module-level functions/classes DEFINED in ``mod`` (not
+    re-exports)."""
+    out = []
+    for val in vars(mod).values():
+        if isinstance(val, (types.FunctionType, type)) and (
+            getattr(val, "__module__", "") == mod.__name__
+        ):
+            out.append(val)
+    return out
+
+
+def _referenced_package_callables(fn: Callable) -> list[object]:
+    """Transitive closure of functions/classes defined in this package
+    that ``fn`` references. Bounds the fingerprint to what the entry
+    can actually execute: a rewrite of a shared kernel (e.g. the
+    Arrow SRP fold) changes the fingerprint of every entry that
+    reaches it, which is exactly the r11 gap — helper-level rewrites
+    left entry-level rows looking fresh.
+
+    Three reference shapes are resolved per code object (including
+    nested lambdas/inner defs): a global that IS a package function/
+    class; a global that is a package MODULE (attribute calls like
+    ``_srp_mod.srp_spark_side`` — the module's own callables all join
+    the closure, a deliberate over-approximation); and an in-function
+    ``import``/``from-import`` of a package module, whose dotted name
+    appears in co_names without ever touching ``__globals__``."""
+    import sys
+
+    seen: dict[int, object] = {}
+    seen_mods: set[str] = set()
+    stack: list[object] = [fn]
+
+    def push_module(mod: types.ModuleType) -> None:
+        if mod.__name__ in seen_mods:
+            return
+        seen_mods.add(mod.__name__)
+        stack.extend(_module_callables(mod))
+
+    while stack:
+        obj = stack.pop()
+        if id(obj) in seen:
+            continue
+        if isinstance(obj, type):
+            seen[id(obj)] = obj
+            for meth in vars(obj).values():
+                if isinstance(meth, (staticmethod, classmethod)):
+                    meth = meth.__func__
+                if isinstance(meth, types.FunctionType):
+                    stack.append(meth)
+            continue
+        seen[id(obj)] = obj
+        code = getattr(obj, "__code__", None)
+        glb = getattr(obj, "__globals__", None)
+        if code is None or glb is None:
+            continue
+        for name in sorted(_code_global_names(code)):
+            # In-function imports: the dotted module path sits in
+            # co_names; resolve through sys.modules (operator modules
+            # are all imported by load_all before fingerprinting).
+            if name.startswith(_PKG_PREFIX):
+                mod = sys.modules.get(name)
+                if mod is not None:
+                    push_module(mod)
+                continue
+            ref = glb.get(name)
+            if ref is None or id(ref) in seen:
+                continue
+            if isinstance(ref, types.ModuleType):
+                if (ref.__name__ or "").startswith(_PKG_PREFIX):
+                    push_module(ref)
+                continue
+            if not (getattr(ref, "__module__", "") or "").startswith(
+                _PKG_PREFIX
+            ):
+                continue
+            if isinstance(ref, (types.FunctionType, type)):
+                stack.append(ref)
+    return list(seen.values())
+
+
+def _source_of(obj: object) -> str:
+    try:
+        return inspect.getsource(obj)  # type: ignore[arg-type]
+    except (OSError, TypeError):
+        return repr(obj)
+
+
+def entry_fingerprint(name: str) -> str:
+    """Content fingerprint of a registered entry: sha256 over its
+    query function's source, the sources of every package-defined
+    callable it transitively references, and its oracle SQL string.
+    A driver ledger row is only FRESH while this fingerprint matches
+    the one snapshotted when the row landed (LEDGER_EPOCH.json).
+
+    Known limit: module-level *constants* an entry reads (e.g. a dim
+    literal) are not hashed — only callables are. Constant-only
+    tuning therefore needs a manual ``tools/snapshot_epoch.py
+    --requeue`` (documented in DEVNOTES)."""
+    fn = QUERIES[name]
+    parts = []
+    for obj in _referenced_package_callables(fn):
+        qual = f"{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', '?')}"
+        parts.append((qual, _source_of(obj)))
+    parts.sort()
+    h = hashlib.sha256()
+    for qual, src in parts:
+        h.update(qual.encode())
+        h.update(b"\x00")
+        h.update(src.encode())
+        h.update(b"\x00")
+    h.update(ORACLES.get(name, "").encode())
+    return h.hexdigest()
+
+
+def _epoch_fingerprints(repo_root: Optional[str] = None) -> Optional[dict]:
+    """The committed fingerprint snapshot, or None when absent or
+    unparsable (bare checkout — epoch requeue is then a no-op and
+    ordering falls back to pure ledger rounds)."""
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo_root, EPOCH_FILE)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return data if isinstance(data, dict) else None
+
+
 def load_all() -> None:
     """Import every operator module so its queries register, then
     reorder the registry: oracled entries stalest-ledger-round first
@@ -152,6 +315,15 @@ def load_all() -> None:
     from hadoop_wordcount_spark.streaming import stream_queries  # noqa: F401
 
     rounds = _ledger_rounds()
+    epoch = _epoch_fingerprints()
+    if epoch is not None:
+        # Plan-epoch requeue: a ledgered entry whose implementation
+        # changed since its row landed (fingerprint mismatch, or no
+        # snapshot at all) re-verifies as round 0.
+        for n in QUERIES:
+            if n in ORACLES and rounds.get(n, 0) > 0:
+                if epoch.get(n) != entry_fingerprint(n):
+                    rounds[n] = 0
     oracled = sorted(
         (n for n in QUERIES if n in ORACLES),
         key=lambda n: priority_key(n, rounds),

@@ -43,6 +43,14 @@ def _latest_rows() -> dict[str, tuple[int, dict]]:
     return latest
 
 
+def _epoch() -> dict:
+    try:
+        data = json.load(open(os.path.join(REPO, "LEDGER_EPOCH.json")))
+        return data if isinstance(data, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def _stale_round(name: str, latest: dict[str, tuple[int, dict]]) -> int:
     if name not in latest:
         return 0
@@ -53,7 +61,16 @@ def _stale_round(name: str, latest: dict[str, tuple[int, dict]]) -> int:
         and row.get("hash_match")
         and not row.get("err")
     )
-    return rnd if green else 0
+    if not green:
+        return 0
+    # Plan-epoch rule (r11 verdict #1): a green row only stays fresh
+    # while the entry's implementation fingerprint matches the
+    # committed snapshot taken when that row landed.
+    from hadoop_wordcount_spark import registry
+
+    if _epoch().get(name) != registry.entry_fingerprint(name):
+        return 0
+    return rnd
 
 
 def _loaded_registry():
@@ -154,6 +171,71 @@ def test_ledger_rounds_requeue_failed_latest(tmp_path):
     )
     rounds = registry._ledger_rounds(repo_root=str(tmp_path))
     assert rounds == {"q_stays": 1, "q_regressed": 0, "q_new": 2}
+
+
+def test_epoch_mismatch_requeues_entry_first(monkeypatch):
+    """Plan-epoch requeue (r11 verdict #1): tampering one entry's
+    snapshotted fingerprint must move it into the round-0 prefix of
+    the iteration order, ahead of every epoch-fresh ledgered entry."""
+    from hadoop_wordcount_spark import registry
+
+    registry.load_all()
+    latest = _latest_rows()
+    epoch = _epoch()
+    # Pick a ledgered, snapshotted entry that currently sorts LATE.
+    victim = next(
+        n
+        for n in reversed(list(registry.QUERIES))
+        if n in registry.ORACLES and n in epoch and n in latest
+    )
+    tampered = {**epoch, victim: "not-the-real-fingerprint"}
+    monkeypatch.setattr(
+        registry, "_epoch_fingerprints", lambda repo_root=None: tampered
+    )
+    registry.load_all()
+    try:
+        order = [n for n in registry.QUERIES if n in registry.ORACLES]
+        fresh_positions = [
+            order.index(n)
+            for n in order
+            if n != victim
+            and _stale_round(n, latest) > 0
+        ]
+        assert order.index(victim) < min(fresh_positions), (
+            f"{victim!r} (tampered fingerprint) iterates after an "
+            f"epoch-fresh ledgered entry"
+        )
+    finally:
+        monkeypatch.undo()
+        registry.load_all()
+
+
+def test_unsnapshotted_entries_precede_snapshotted():
+    """An oracled entry absent from LEDGER_EPOCH.json has no proof its
+    latest row certified its current code — it must iterate before
+    every snapshotted-and-matching entry. (Today this pins the nine
+    r11-rewritten operators into the r12 driver head; the invariant
+    stays valid after they land fresh rows and get re-snapshotted.)"""
+    registry = _loaded_registry()
+    latest = _latest_rows()
+    epoch = _epoch()
+    order = [n for n in registry.QUERIES if n in registry.ORACLES]
+    requeued = [
+        n for n in order if n in latest and _stale_round(n, latest) == 0
+    ]
+    if not requeued:
+        return
+    last_requeued = max(order.index(n) for n in requeued)
+    jumped = [
+        n
+        for n in order[: last_requeued + 1]
+        if _stale_round(n, latest) > 0
+    ]
+    assert not jumped, (
+        f"epoch-fresh entries iterate before requeued ones: {jumped[:10]}"
+    )
+    # And the snapshot file itself must exist and cover the fresh set.
+    assert epoch, "LEDGER_EPOCH.json missing or empty"
 
 
 def test_rows_only_entries_are_last():

@@ -134,9 +134,11 @@ def test_ann_recall_pinned_k_independent_of_module_default(spark):
 
 
 def test_ivf_arraymin_assignment_matches_groupby_argmin(spark):
-    """The shuffle-free transform+array_min assignment must pick the
-    same (d2, cid) argmin as the r10 crossJoin+groupBy+min(struct)
-    formulation — same 4dp-quantized distances, same cid tiebreak."""
+    """The shuffle-free Arrow argmin assignment kernel (sequential
+    per-dim accumulation, half-away 4dp quantization, strict-< scan
+    in ascending-cid order) must pick the same (d2, cid) argmin as
+    the r10 crossJoin+groupBy+min(struct) formulation — same
+    quantized distances, same cid tiebreak."""
     from hadoop_wordcount_spark.operators.similarity import (
         _ivf_d2,
         ivf_assignments,
@@ -172,17 +174,26 @@ def test_bootstrap_block_invariant():
     assert R._BS_BLOCK * R._BS_BLOCK == R._BS_B
 
 
-def test_bootstrap_plan_blocked_explode(spark):
-    """The registered plan aggregates _BS_BLOCK weighted-sum column
-    pairs per exploded row (sv0..sv{_BS_BLOCK-1}) — the r10 x64 row
-    blowup (one sum per resample over a x_BS_B explode) must not
-    regress, and the block must not silently widen past the codegen
-    field budget."""
+def test_bootstrap_blocked_means_stream_invariants(spark):
+    """The sqrt(B)-blocked means stream (`_bs_blocked_means`) must
+    cover the B resamples exactly: _BS_B mean_b rows per event_type,
+    produced as _BS_BLOCK aggregate cells per type unpivoted
+    _BS_BLOCK-wide — asserted on RESULTS, not optimized-plan text
+    (plan strings proved brittle against Spark/codegen formatting,
+    r11 ADVICE)."""
     from hadoop_wordcount_spark.operators import relational as R
 
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    per = R._bs_blocked_means(e)
+    counts = per.groupBy("event_type").count().collect()
+    assert counts, "no event types"
+    assert all(r["count"] == R._BS_B for r in counts), counts
+    # The registered query consumes this exact stream (no drifted
+    # copy): its CI bounds must bracket correctly per type and the
+    # row set must be one row per event_type.
     df = registry.QUERIES["bootstrap_ci_poisson"](spark, SF_SMALL)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert f"sv{R._BS_BLOCK - 1}" in plan
-    assert f"sv{R._BS_BLOCK}" not in plan
-    # The means unpivot covers the full block width.
-    assert plan.count("round((sv") == R._BS_BLOCK
+    rows = df.collect()
+    assert len(rows) == len(counts)
+    assert all(r["ci_lo"] <= r["ci_hi"] for r in rows), rows

@@ -1,0 +1,124 @@
+"""Round-12 pins: the cross-engine half-away rounding helper used by
+the Arrow kernels (r11 ADVICE — np.round is half-even while Spark
+F.round/HALF_UP and DuckDB round() are half-away), the SRP dim guard,
+the MinHash NULL-tokens propagation, and the registry plan-epoch
+requeue machinery's fingerprint sensitivity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hadoop_wordcount_spark.functions.rounding import round_half_away
+
+
+def test_round_half_away_matches_spark_round(spark):
+    """On exact .5 boundaries (representable in binary at the tested
+    scales) the helper must agree with Spark F.round — the half-away
+    mode — where np.round (half-even) disagrees on half of them."""
+    vals = [0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.25, -0.25, 3.75]
+    got = round_half_away(np.array(vals), 1)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [r[0] for r in df.select(F.round("x", 1)).collect()]
+    assert got.tolist() == want
+    # And the disagreement this guards against is real:
+    assert np.round(np.array([0.25]), 1).tolist() == [0.2]  # half-even
+    assert round_half_away(np.array([0.25]), 1).tolist() == [0.3]
+
+
+def test_round_half_away_matches_duckdb_round():
+    import duckdb
+
+    vals = [0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.25, -0.25, 3.75]
+    want = [
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 1)").fetchone()[0]
+        for v in vals
+    ]
+    assert round_half_away(np.array(vals), 1).tolist() == want
+
+
+def test_srp_kernel_rejects_wrong_embedding_dim(spark):
+    """Hyperplanes (and the pair_dot unroll in dedup.py) are built at
+    _SRP_DIM; a table with a different dim must fail loudly, not emit
+    NULL cosines silently (r11 ADVICE)."""
+    import pytest
+
+    from hadoop_wordcount_spark.functions import srp as srp_mod
+
+    bad = spark.createDataFrame(
+        [(0, [0.1] * (srp_mod._SRP_DIM + 1))],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    out, _ = srp_mod.srp_spark_side(bad)
+    with pytest.raises(Exception, match="SRP plane dim"):
+        out.collect()
+
+
+def test_minhash_featurize_propagates_null_tokens(spark):
+    """A NULL text row must flow through the MinHash Arrow kernel as
+    NULL shingles/sig (the replaced Column formulation's semantics)
+    rather than raising TypeError and failing the job (r11 ADVICE);
+    the band explode then drops it."""
+    from hadoop_wordcount_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, None),
+            (3, "alpha beta gamma delta"),
+        ],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+    )
+
+    def fake_docs(spark_, sf_dir_):
+        return docs
+
+    orig = D._docs
+    D._docs = fake_docs
+    try:
+        base = D._minhash_base(spark, "/null-tokens-test")
+        rows = {r["doc_id"]: r for r in base.collect()}
+        base.unpersist()
+    finally:
+        D._docs = orig
+    assert rows[2]["shingles"] is None and rows[2]["sig"] is None
+    assert rows[1]["sig"] == rows[3]["sig"] is not None
+    assert len(rows[1]["sig"]) == 8
+
+
+def test_entry_fingerprint_sees_helper_rewrites():
+    """The plan-epoch fingerprint must cover package-defined helpers
+    an entry reaches transitively — the exact r11 gap (kernel
+    rewrites left entry rows looking fresh). Spot-check: the SRP
+    kernel module's source participates in dedup_embedding_srp's
+    fingerprint, and fingerprints are stable across calls."""
+    from hadoop_wordcount_spark import registry
+    from hadoop_wordcount_spark.functions import srp as srp_mod
+
+    registry.load_all()
+    fp1 = registry.entry_fingerprint("dedup_embedding_srp")
+    assert fp1 == registry.entry_fingerprint("dedup_embedding_srp")
+    closure = registry._referenced_package_callables(
+        registry.QUERIES["dedup_embedding_srp"]
+    )
+    mods = {getattr(o, "__module__", "") for o in closure}
+    assert srp_mod.__name__ in mods, sorted(mods)

@@ -447,10 +447,36 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _replicate(spark, n: int, path: str) -> int:
+def _replicate(spark, n: int, path: str, reuse: bool = False) -> int:
     """Write n-fold replicated documents/embeddings/events under
     ``path`` (see module docstring for the per-table schemes).
-    Returns the replicated document count."""
+    Returns the replicated document count.
+
+    ``reuse`` (the --reuse-replicas flag) skips the rewrite when the
+    three replica tables already exist at ``path`` with the expected
+    document count — the schemes are fully deterministic in (SF_DIR,
+    n), so a same-session or same-host re-adjudication run (the
+    watchlist solo re-rows) need not pay the multi-GB replication
+    again. Counts are still verified; any mismatch falls through to
+    a fresh rewrite."""
+    if reuse:
+        try:
+            base = spark.read.parquet(
+                f"{SF_DIR}/documents.parquet"
+            ).count()
+            got_docs = spark.read.parquet(
+                os.path.join(path, "documents.parquet")
+            ).count()
+            got_vecs = spark.read.parquet(
+                os.path.join(path, "embeddings.parquet")
+            ).count()
+            spark.read.parquet(
+                os.path.join(path, "events.parquet")
+            ).head(1)
+            if got_docs == base * n and got_vecs % n == 0:
+                return got_docs, got_vecs
+        except Exception:
+            pass  # fall through to a fresh rewrite
     reps = spark.range(n).select(F.col("id").alias("rep"))
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -604,6 +630,7 @@ def main() -> None:
     argv = sys.argv[1:]
     ops = ALL_OPS
     fixed_k = None
+    reuse = False
     # Order-insensitive flag loop (r9 ADVICE: the old two-if chain
     # only recognized --ivf-k-fixed AFTER --ops, so swapped flags fell
     # through to the factors parser and crashed on int("--ops")).
@@ -611,6 +638,9 @@ def main() -> None:
         if argv[0] == "--ops" and len(argv) >= 2:
             ops = argv[1].split(",")
             argv = argv[2:]
+        elif argv[0] == "--reuse-replicas":
+            reuse = True
+            argv = argv[1:]
         elif argv[0] == "--ivf-k-fixed" and len(argv) >= 2:
             # Production-regime sub-ladder: hold the coarse quantizer
             # at a FIXED K across factors (the SemDeDup/IVF-PQ
@@ -631,7 +661,7 @@ def main() -> None:
 
     for n in factors:
         path = os.path.join(tempfile.gettempdir(), f"hwcs_scale_{n}x")
-        n_docs, n_vecs = _replicate(spark, n, path)
+        n_docs, n_vecs = _replicate(spark, n, path, reuse=reuse)
         store["docs"][str(n)] = n_docs
         store["base_docs"] = n_docs // n
         big = spark.read.parquet(os.path.join(path, "documents.parquet"))
