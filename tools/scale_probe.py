@@ -782,9 +782,15 @@ def _write_md(store: dict) -> None:
         "dedup_clusters runs right after "
         "dedup_minhash_banded at each factor, so its number is the "
         "INCREMENTAL connected-components cost on the warm banded "
-        "cache; dedup_cluster_representatives likewise reuses the "
-        "signature base dedup_incremental warms just before it — its "
-        "number is banded-pair + CC + argmax on warm features. "
+        "cache. dedup_cluster_representatives rows are SOLO COLD as "
+        "of round 12 (the full featurize + banded-pair + CC + argmax "
+        "pipeline in its own session): its r11 in-protocol rows "
+        "inherited whatever fraction of the shared banded cache "
+        "survived the intervening ops, which made the rung "
+        "order-dependent (6.0 s warm at 64x vs 57.3 s partially-warm "
+        "at 256x read as a fake alpha 1.63; solo the ladder is "
+        "coherent at ~1.05, and the marginal argmax on a warm banded "
+        "build is ~12 s at 256x — see DEVNOTES r12). "
         "dedup_embedding_cosine_ivf runs with IVF_K = sqrt(n_vecs) "
         "(its docstring's scale rule): single-probe IVF with exact "
         "within-cell scoring is Theta(n^1.5) at optimal K by design — "
