@@ -174,13 +174,26 @@ def _module_callables(mod: types.ModuleType) -> list[object]:
     return out
 
 
-def _referenced_package_callables(fn: Callable) -> list[object]:
-    """Transitive closure of functions/classes defined in this package
-    that ``fn`` references. Bounds the fingerprint to what the entry
-    can actually execute: a rewrite of a shared kernel (e.g. the
-    Arrow SRP fold) changes the fingerprint of every entry that
-    reaches it, which is exactly the r11 gap — helper-level rewrites
-    left entry-level rows looking fresh.
+def _is_const(val: object) -> bool:
+    """Immutable scalar (or tuple thereof) safe to repr into a
+    fingerprint. Mutable module state (memo dicts, lists) is
+    excluded — its repr is runtime-dependent."""
+    if isinstance(val, (bool, int, float, str, bytes)):
+        return True
+    if isinstance(val, (tuple, frozenset)):
+        return all(_is_const(v) for v in val)
+    return False
+
+
+def _referenced_package_objects(
+    fn: Callable,
+) -> tuple[list[object], list[tuple[str, str]]]:
+    """Transitive closure of (callables, module-level constants)
+    defined in this package that ``fn`` references. Bounds the
+    fingerprint to what the entry can actually execute: a rewrite of
+    a shared kernel (e.g. the Arrow SRP fold) changes the fingerprint
+    of every entry that reaches it, which is exactly the r11 gap —
+    helper-level rewrites left entry-level rows looking fresh.
 
     Three reference shapes are resolved per code object (including
     nested lambdas/inner defs): a global that IS a package function/
@@ -188,11 +201,19 @@ def _referenced_package_callables(fn: Callable) -> list[object]:
     ``_srp_mod.srp_spark_side`` — the module's own callables all join
     the closure, a deliberate over-approximation); and an in-function
     ``import``/``from-import`` of a package module, whose dotted name
-    appears in co_names without ever touching ``__globals__``."""
+    appears in co_names without ever touching ``__globals__``.
+    Constant capture closes the constant-only-tuning hole (a
+    ``_SRP_BITS`` change must requeue the SRP family): a referenced
+    global that is an immutable scalar/tuple joins the fingerprint as
+    ``(module.name, repr)``. Runtime-mutable globals (memo dicts) and
+    monkeypatch targets are the caller's responsibility to leave at
+    committed values when fingerprinting (load_all runs at import,
+    before any patching)."""
     import sys
 
     seen: dict[int, object] = {}
     seen_mods: set[str] = set()
+    consts: dict[str, str] = {}
     stack: list[object] = [fn]
 
     def push_module(mod: types.ModuleType) -> None:
@@ -227,12 +248,18 @@ def _referenced_package_callables(fn: Callable) -> list[object]:
                 if mod is not None:
                     push_module(mod)
                 continue
-            ref = glb.get(name)
-            if ref is None or id(ref) in seen:
+            if name not in glb:
+                continue
+            ref = glb[name]
+            if id(ref) in seen:
                 continue
             if isinstance(ref, types.ModuleType):
                 if (ref.__name__ or "").startswith(_PKG_PREFIX):
                     push_module(ref)
+                continue
+            owner = glb.get("__name__", "?")
+            if _is_const(ref) and str(owner).startswith(_PKG_PREFIX):
+                consts.setdefault(f"{owner}.{name}", repr(ref))
                 continue
             if not (getattr(ref, "__module__", "") or "").startswith(
                 _PKG_PREFIX
@@ -240,7 +267,11 @@ def _referenced_package_callables(fn: Callable) -> list[object]:
                 continue
             if isinstance(ref, (types.FunctionType, type)):
                 stack.append(ref)
-    return list(seen.values())
+    return list(seen.values()), sorted(consts.items())
+
+
+def _referenced_package_callables(fn: Callable) -> list[object]:
+    return _referenced_package_objects(fn)[0]
 
 
 def _source_of(obj: object) -> str:
@@ -256,17 +287,17 @@ def entry_fingerprint(name: str) -> str:
     callable it transitively references, and its oracle SQL string.
     A driver ledger row is only FRESH while this fingerprint matches
     the one snapshotted when the row landed (LEDGER_EPOCH.json).
-
-    Known limit: module-level *constants* an entry reads (e.g. a dim
-    literal) are not hashed — only callables are. Constant-only
-    tuning therefore needs a manual ``tools/snapshot_epoch.py
-    --requeue`` (documented in DEVNOTES)."""
+    Referenced module-level scalar/tuple constants are hashed by
+    repr, so constant-only tuning (a ``_SRP_BITS`` bump) requeues
+    too; mutable globals (memo dicts) stay outside the hash."""
     fn = QUERIES[name]
+    callables, consts = _referenced_package_objects(fn)
     parts = []
-    for obj in _referenced_package_callables(fn):
+    for obj in callables:
         qual = f"{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', '?')}"
         parts.append((qual, _source_of(obj)))
     parts.sort()
+    parts.extend(consts)
     h = hashlib.sha256()
     for qual, src in parts:
         h.update(qual.encode())

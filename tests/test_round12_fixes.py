@@ -122,3 +122,29 @@ def test_entry_fingerprint_sees_helper_rewrites():
     )
     mods = {getattr(o, "__module__", "") for o in closure}
     assert srp_mod.__name__ in mods, sorted(mods)
+
+
+def test_entry_fingerprint_sees_constant_tuning(monkeypatch):
+    """Constant-only tuning (e.g. a _SRP_BITS bump) must change the
+    fingerprint of entries that read the constant — module-level
+    scalar/tuple globals are hashed by repr."""
+    from hadoop_wordcount_spark import registry
+    from hadoop_wordcount_spark.functions import srp as srp_mod
+
+    registry.load_all()
+    before = registry.entry_fingerprint("dedup_embedding_srp")
+    monkeypatch.setattr(srp_mod, "_SRP_BITS", srp_mod._SRP_BITS + 8)
+    after = registry.entry_fingerprint("dedup_embedding_srp")
+    assert before != after
+    monkeypatch.undo()
+    assert registry.entry_fingerprint("dedup_embedding_srp") == before
+    # Mutable globals (session-keyed memo dicts) stay OUTSIDE the
+    # hash — their repr is runtime state, not implementation.
+    from hadoop_wordcount_spark.operators import similarity
+
+    fp0 = registry.entry_fingerprint("ann_ivf_search")
+    similarity._IVF_MEMO["fp-test-key"] = ("x", "y")
+    try:
+        assert registry.entry_fingerprint("ann_ivf_search") == fp0
+    finally:
+        similarity._IVF_MEMO.pop("fp-test-key", None)
