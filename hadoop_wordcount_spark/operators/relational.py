@@ -1515,13 +1515,25 @@ def q_shipmonth_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     whose last ulp differs between engines' formulas, so the tail
     quantile is percentile_disc on purpose.
 
-    Plan: ONE shuffle on the (flag x month) cohort key; exact
-    percentiles imply a per-cohort sort, kept safe at 100 TB by the
-    cohort key's bounded-but-numerous cells (3 flags x ~84 months),
-    same discipline as priority_price_quantiles — never ORDER BY over
-    a handful of giant groups, never an unpartitioned window. The GK
-    sketch twin is the mergeable bounded-memory path when cohort
-    cardinalities explode.
+    Plan (round 12 rewrite): VALUE-HISTOGRAM percentiles. The direct
+    `percentile_cont/_disc` aggregates are TypedImperativeAggregates
+    that buffer EVERY row's value per cohort — measured quadratic-ish
+    on the 256x ladder (8.3 s at 64x -> 146 s at 256x solo; each of
+    the three aggregates independently re-buffered the 154M-row scan
+    at ~55 s apiece while a plain count agg took 9 s). Exact
+    percentiles over a value domain this narrow want the classic
+    two-level plan instead: (1) ONE map-side-combinable count agg on
+    (cohort, cents) — the histogram, bounded by |cohorts| x |distinct
+    prices|, which replication (and real fact growth) barely moves;
+    (2) cumulative counts over the tiny histogram (window partitioned
+    by the bounded cohort key) and conditional-min lookups for each
+    target rank. Identical results: percentile_disc(q) = smallest v
+    with cume_dist >= q; percentile_cont(0.5) = midpoint of the two
+    middle order statistics, exact in IEEE on integer-valued cents
+    (the reason the tail quantile stays disc). At 100 TB the heavy
+    stage is the same partial-agg scan a COUNT(*) costs; nothing
+    buffers rows. The GK sketch twin remains the mergeable path when
+    even the histogram explodes.
     """
     l = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -1530,20 +1542,51 @@ def q_shipmonth_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
     )
-    return l.groupBy("l_returnflag", "ship_month").agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
-            / 100.0
-        ).alias("p50_cont"),
-        (
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
-            / 100.0
-        ).alias("p50_disc"),
-        (
-            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
-            / 100.0
-        ).alias("p90_disc"),
+    hist = l.groupBy("l_returnflag", "ship_month", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    coh = Window.partitionBy("l_returnflag", "ship_month")
+    cum = (
+        F.sum("c")
+        .over(coh.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum")
+    )
+    h = hist.select(
+        "l_returnflag",
+        "ship_month",
+        "cents",
+        "c",
+        cum,
+        F.sum("c").over(coh).alias("n"),
+    )
+    # Order statistic at 0-indexed position k is the first histogram
+    # row whose cumulative count exceeds k; disc(q) is the first row
+    # whose cume_dist (cum/n) reaches q. Conditional mins over the
+    # cohort-bounded histogram resolve every target rank in one agg.
+    v_at = lambda k: F.min(F.when(F.col("cum") >= k + 1, F.col("cents")))
+    lo = F.floor((F.col("n") - 1) / 2)
+    hi = F.ceil((F.col("n") - 1) / 2)
+    # n is cohort-constant; carry it through the agg via grouping.
+    return (
+        h.groupBy("l_returnflag", "ship_month", "n")
+        .agg(
+            v_at(lo).alias("v_lo"),
+            v_at(hi).alias("v_hi"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents"))
+            ).alias("d50"),
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("cents"))
+            ).alias("d90"),
+        )
+        .select(
+            "l_returnflag",
+            "ship_month",
+            F.col("n").alias("n"),
+            ((F.col("v_lo") + F.col("v_hi")) / 2 / 100.0).alias("p50_cont"),
+            (F.col("d50") / 100.0).alias("p50_disc"),
+            (F.col("d90") / 100.0).alias("p90_disc"),
+        )
     )
 
 

@@ -239,6 +239,16 @@ ALL_OPS = [
     "pandas_api_orders_report", "sql_scripting_threshold_report",
     "insert_overwrite_dynamic_partitions", "writer_v2_lifecycle",
     "sql_listagg_nation_top",
+    # round-12 additions: the remaining exact-percentile family
+    # (value_percentiles_exact / outlier_filter_p99 buffer the event
+    # stream per group — same TypedImperativeAggregate class whose
+    # cohort buffering made shipmonth_price_percentiles quadratic-ish
+    # before its histogram rewrite; priority_price_quantiles is the
+    # window cume_dist spelling over lineitem cohorts). Expected ~1:
+    # events are ~5x smaller than lineitem per factor and each uses
+    # 1-2 aggregates; the window form sorts within bounded cohorts.
+    "value_percentiles_exact", "outlier_filter_p99",
+    "priority_price_quantiles",
     # round-8 events-backed additions (expected ~1: one user_id
     # shuffle + global agg; two group-bys + broadcast of per-group
     # estimates).
@@ -424,7 +434,7 @@ RELATIONAL_OPS = {
     "orders_yoy_growth", "nation_revenue_share_report",
     "orders_customer_acquisition",
     "referential_integrity_audit", "delete_cascade_audit",
-    "f2_self_join_size_cms",
+    "f2_self_join_size_cms", "priority_price_quantiles",
 }
 
 
@@ -531,7 +541,7 @@ def _replicate(spark, n: int, path: str, reuse: bool = False) -> int:
     return base_docs * n, base_vecs * n
 
 
-def _replicate_relational(spark, n: int, path: str) -> None:
+def _replicate_relational(spark, n: int, path: str, reuse: bool = False) -> None:
     """Replicate the TPC-H-ish fact tables Nx with key offsets —
     per-replica orders→lineitem and customer→orders join structure is
     bit-identical to the original (offsets applied consistently on
@@ -539,7 +549,26 @@ def _replicate_relational(spark, n: int, path: str) -> None:
     supplier, part) are copied verbatim: under TPC-H-style scaling
     dimension tables are fixed-size, so per-dim group counts stay
     constant while per-group row counts grow — exactly the regime a
-    real fact table grows in."""
+    real fact table grows in.
+
+    ``reuse`` mirrors _replicate's --reuse-replicas contract: skip
+    the rewrite when the replicated orders table already exists at
+    ``path`` with the expected count (the key-offset scheme is
+    deterministic in (SF_DIR, n)); any mismatch falls through to a
+    fresh rewrite."""
+    if reuse:
+        try:
+            base = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+            got = spark.read.parquet(
+                os.path.join(path, "orders.parquet")
+            ).count()
+            spark.read.parquet(os.path.join(path, "lineitem.parquet")).head(1)
+            spark.read.parquet(os.path.join(path, "customer.parquet")).head(1)
+            spark.read.parquet(os.path.join(path, "nation.parquet")).head(1)
+            if got == base * n:
+                return
+        except Exception:
+            pass  # fall through to a fresh rewrite
     reps = spark.range(n).select(F.col("id").alias("rep"))
 
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
@@ -708,7 +737,7 @@ def main() -> None:
             shift_path = path + "_shift"
             _replicate_events_shifted(spark, n, shift_path)
         if any(q in RELATIONAL_OPS for q in ops):
-            _replicate_relational(spark, n, path)
+            _replicate_relational(spark, n, path, reuse=reuse)
         # Flush replication writeback before timing: at 256x the
         # replicas leave multiple GB of dirty pages, and a short op
         # measured while the kernel flushes them is billed for IO it
