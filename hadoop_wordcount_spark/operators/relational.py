@@ -307,11 +307,23 @@ def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join + range predicate (ship lag > 60 days). The range
     condition rides the equi-join as a post-filter, so this stays a
-    hash join, never a cartesian range join."""
+    hash join, never a cartesian range join.
+
+    Join strategy (round 12): SHUFFLED HASH on the orders side.
+    Catalyst's default SMJ sorts BOTH shuffled sides — including the
+    lineitem stream, the largest relation in the system — and the
+    256x ladder read that sort at alpha ~1.7 with GC-stall cold
+    constants (110 s cold / 19 s warm vs 15/10 s for SHJ). Per
+    shuffle partition the orders build side is bounded (rows/orderkey
+    is TPC-H-flat and AQE right-sizes partitions to the advisory
+    target), so the hash build is a few MB per task while the probe
+    stream stays sort-free — the classic fact-to-smaller-fact shape
+    where SHJ beats SMJ at any scale. SMJ remains the right default
+    only when the build side itself is unbounded per partition."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_late"))
@@ -900,14 +912,24 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape through the SQL API: temp views + spark.sql —
-    Catalyst produces the same plan as the DataFrame form (same
-    pushdowns, same broadcast), proving the SQL entry path end to
-    end. NTZ timestamp literals keep the cutoffs session-tz-free."""
+    proving the SQL entry path end to end (same pushdowns the
+    DataFrame form gets). NTZ timestamp literals keep the cutoffs
+    session-tz-free.
+
+    Join strategy (round 12): SHUFFLE_HASH hints on customer and
+    orders. The default SMJ sorts every shuffled side — including
+    the lineitem stream, the system's largest relation — and the
+    256x ladder read that at alpha ~1.7 warm (29.5 s); with hash
+    builds on the two filtered smaller sides the probe stream stays
+    sort-free (~12 s, sort work gone; the remaining cost is the
+    orderkey exchange + the high-cardinality partial agg, both
+    linear). Same rationale as range_join_lineitem — per-partition
+    build sides are bounded and AQE right-sizes the exchanges."""
     from hadoop_wordcount_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT l_orderkey,
+        SELECT /*+ SHUFFLE_HASH(orders, customer) */ l_orderkey,
                round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100e0, 2) AS revenue,
                CAST(year(o_orderdate) AS BIGINT) AS order_yr
         FROM customer JOIN orders ON c_custkey = o_custkey
@@ -2264,30 +2286,31 @@ def q_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     values).
 
     Plan: the correlated-subquery formulation of real Q2 becomes ONE
-    map-side argmin — min(struct(unit_price, suppkey)) per partkey —
-    so the shuffle carries one partial per part instead of the
-    sorted lineitems a window row_number would move; then two
-    broadcast dim joins (part, supplier). The (price, lowest-suppkey)
-    tiebreak is engine-stable."""
+    map-side argmin per partkey, then two broadcast dim joins (part,
+    supplier). The argmin is a PACKED-BIGINT min — cents * 2^32 +
+    suppkey — NOT min(struct(price, suppkey)): a struct-valued min
+    has no primitive mutable buffer, so Catalyst plans it as a
+    SORT-based aggregate that sorts the entire fact stream by
+    partkey (measured alpha ~1.9 on the 256x ladder, 28.4 s warm);
+    the packed long keeps the argmin inside HashAggregate with
+    map-side partials (4.2 s warm at 256x, alpha ~linear). The
+    lexicographic (price, lowest-suppkey) tiebreak survives packing
+    exactly: cents and suppkey are non-negative and suppkey < 2^32,
+    so packed-min == struct-min (pinned in test_round12_fixes)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     s = _t(spark, sf_dir, "supplier")
     unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    cents = F.round(unit * 100, 0).cast("long")
+    packed = cents * F.lit(1 << 32).cast("long") + F.col("l_suppkey")
     best = (
-        li.select("l_partkey", "l_suppkey", unit.alias("unit_price"))
+        li.select("l_partkey", packed.alias("pk"))
         .groupBy("l_partkey")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("unit_price").alias("unit_price"),
-                    F.col("l_suppkey").alias("l_suppkey"),
-                )
-            ).alias("b")
-        )
+        .agg(F.min("pk").alias("pk"))
         .select(
             "l_partkey",
-            F.col("b.l_suppkey").alias("l_suppkey"),
-            F.col("b.unit_price").alias("min_price"),
+            (F.shiftright("pk", 32) / 100.0).alias("min_price"),
+            (F.col("pk") % F.lit(1 << 32).cast("long")).alias("l_suppkey"),
         )
     )
     return (

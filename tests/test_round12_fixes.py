@@ -167,6 +167,55 @@ def test_shipmonth_histogram_matches_within_group_aggs(spark):
     assert a == b
 
 
+def test_q2_packed_argmin_matches_struct_min(spark):
+    """tpch_q2_like's packed-BIGINT argmin (cents * 2^32 + suppkey)
+    must pick exactly what min(struct(price, suppkey)) picks — same
+    min price, same lowest-suppkey tiebreak. The packing exists
+    because a struct-valued min has no primitive aggregation buffer
+    and planned as a sort-based aggregate over the whole fact stream
+    (alpha ~1.9 at 256x); the packed long stays in HashAggregate."""
+    from hadoop_wordcount_spark import registry
+    from hadoop_wordcount_spark.operators.relational import _t
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    new = registry.QUERIES["tpch_q2_like"](spark, SF_SMALL)
+    li = _t(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") > 0)
+    p = _t(spark, SF_SMALL, "part").filter(F.col("p_size") < 10)
+    s = _t(spark, SF_SMALL, "supplier")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    best = (
+        li.select("l_partkey", "l_suppkey", unit.alias("unit_price"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("unit_price").alias("unit_price"),
+                    F.col("l_suppkey").alias("l_suppkey"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "l_partkey",
+            F.col("b.l_suppkey").alias("l_suppkey"),
+            F.col("b.unit_price").alias("min_price"),
+        )
+    )
+    ref = (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "min_price")
+    )
+    a = sorted(map(tuple, new.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b
+    # And the fact-stream aggregate must stay in HashAggregate — no
+    # sort-based fallback on the hot path.
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+
+
 def test_entry_fingerprint_sees_constant_tuning(monkeypatch):
     """Constant-only tuning (e.g. a _SRP_BITS bump) must change the
     fingerprint of entries that read the constant — module-level

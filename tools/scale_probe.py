@@ -249,6 +249,28 @@ ALL_OPS = [
     # 1-2 aggregates; the window form sorts within bounded cohorts.
     "value_percentiles_exact", "outlier_filter_p99",
     "priority_price_quantiles",
+    # round-12 join-family ladders: the fact tables became replicable
+    # in round 8 but the join operators — the 100 TB centerpiece —
+    # never got rungs. Expected ~1 throughout: every shape is an
+    # equi-key shuffle (or broadcast) whose exchange carries the fact
+    # stream once; dims are fixed-size so broadcast sides stay flat;
+    # bucketed/colocated pay a one-off bucketed write (their scale
+    # story), DPP rewrites the month-partitioned layout then prunes;
+    # the salted/AQE skew variants redistribute the hot key. q18's
+    # group-having stage and q21's multi-semi-join are the heaviest
+    # shuffles; range_join's predicate is bounded by the equi-key.
+    "join_orders_customer", "join_multi", "outer_join_nations",
+    "semi_join_customers", "anti_join_customers", "broadcast_join_parts",
+    "shuffle_hash_join", "skew_salted_join", "range_join_lineitem",
+    "aqe_skew_join", "bloom_semi_join_audit", "dpp_partition_pruned_join",
+    "join_wordcount_docs", "dedup_anti_join", "knn_block_join",
+    "bucketed_join", "colocated_join",
+    "tpch_q2_like", "sql_tpch_q3", "tpch_q4_like", "tpch_q5_like",
+    "tpch_q6_like", "sql_pipe_q6", "tpch_q7_like", "tpch_q8_like",
+    "tpch_q9_like", "tpch_q10_like", "tpch_q11_like", "tpch_q12_like",
+    "tpch_q13_like", "tpch_q14_like", "tpch_q15_like", "tpch_q16_like",
+    "tpch_q17_like", "tpch_q18_like", "tpch_q19_like", "tpch_q20_like",
+    "tpch_q21_like", "tpch_q22_like",
     # round-8 events-backed additions (expected ~1: one user_id
     # shuffle + global agg; two group-bys + broadcast of per-group
     # estimates).
@@ -435,6 +457,17 @@ RELATIONAL_OPS = {
     "orders_customer_acquisition",
     "referential_integrity_audit", "delete_cascade_audit",
     "f2_self_join_size_cms", "priority_price_quantiles",
+    "join_orders_customer", "join_multi", "outer_join_nations",
+    "semi_join_customers", "anti_join_customers", "broadcast_join_parts",
+    "shuffle_hash_join", "skew_salted_join", "range_join_lineitem",
+    "aqe_skew_join", "bloom_semi_join_audit", "dpp_partition_pruned_join",
+    "bucketed_join", "colocated_join",
+    "tpch_q2_like", "sql_tpch_q3", "tpch_q4_like", "tpch_q5_like",
+    "tpch_q6_like", "sql_pipe_q6", "tpch_q7_like", "tpch_q8_like",
+    "tpch_q9_like", "tpch_q10_like", "tpch_q11_like", "tpch_q12_like",
+    "tpch_q13_like", "tpch_q14_like", "tpch_q15_like", "tpch_q16_like",
+    "tpch_q17_like", "tpch_q18_like", "tpch_q19_like", "tpch_q20_like",
+    "tpch_q21_like", "tpch_q22_like",
 }
 
 
