@@ -121,11 +121,12 @@ def srp_spark_side(emb_df, carry_embedding: bool = False):
     multiply-add chain (beats the HOF at 32 bits but blows the JVM
     64KB method limit at the ladder's wider band dials and falls
     back to an even slower interpreted tree). The 6dp quantization
-    uses `round_half_away` — the half-away-from-zero mode Spark's
-    BigDecimal HALF_UP and DuckDB's round() agree on — rather than
-    np.round's half-even, so a dot landing exactly on a .5e-6
-    boundary cannot flip the sign bit against the oracle (r11
-    ADVICE). Reads the band dials through the module at call time so
+    uses `round_half_away` — DuckDB round()'s half-away-from-zero on
+    the double's true value (and Spark F.round's on exact .5
+    boundaries; see functions/rounding.py for the shortest-repr
+    pseudo-half caveat) — rather than np.round's half-even, so a dot
+    landing exactly on a .5e-6 boundary cannot flip the sign bit
+    against the DuckDB oracle (r11 ADVICE). Reads the band dials through the module at call time so
     the scale probe's monkeypatch applies."""
     from pyspark.sql import functions as F
 

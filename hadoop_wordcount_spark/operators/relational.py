@@ -2341,22 +2341,45 @@ def q_tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     is adapted to shipped more than 60 days after the order date —
     the same correlated-EXISTS decorrelating to a left-semi join.
 
-    Plan: the date filter pushes to the orders scan; the EXISTS
-    becomes one semi join on the order key (probe side stops at first
-    match, nothing from lineitem is projected through), then a
-    5-group aggregate with map-side partials. The semi join is the
-    only shuffle pair at 100 TB, and AQE can flip it to broadcast
-    when the half-year's orders fit."""
+    Plan (round 13 rewrite, adjudicated on the 256x ladder): the
+    date filter pushes to the orders scan; the correlated EXISTS
+    becomes an inner SHUFFLED HASH join built on the half-year
+    orders slice (bounded: key+date+priority per row, ~7% of orders
+    after the pushed filter) with the range predicate riding the
+    equi-join, then a distinct-orders aggregate over the MATCHED
+    rows only (two cheap shuffles of join output, not fact input).
+
+    Two rejected formulations, both measured superlinear at 256x:
+    the naive left-semi plans as SMJ sorting the entire lineitem
+    stream (LeftSemi shuffled-hash supports only BuildRight =
+    hash-building the fact side, so the hint route is closed) —
+    solo rung 5.84 -> 60.98 s, alpha ~1.69; decorrelating through a
+    per-orderkey max(l_shipdate) pre-agg spends 48 s of that in the
+    |orderkeys|-group hash aggregate (measured vs a 2.65 s scan) —
+    partial-agg maps at ~5M groups/task hit the spill/sort
+    fallback. The winning plan also DERIVES the transitive lower
+    bound the optimizer can't infer across the inequality:
+    o_orderdate >= window-start AND l_shipdate > o_orderdate + 60d
+    implies l_shipdate > window-start + 60d, pruning ~60% of
+    lineitem before the shuffle (constant-folded literal, reaches
+    the parquet scan as a pushed row-group filter). 256x solo:
+    15.1 s, back in the linear class."""
+    start, end = "1996-01-01", "1996-07-01"
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp_ntz"))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").filter(
+        F.col("l_shipdate")
+        > F.lit(start).cast("timestamp_ntz") + F.expr("INTERVAL 60 DAYS")
+    )
     cond = (li.l_orderkey == o.o_orderkey) & (
         li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
-        o.join(li, cond, "left_semi")
+        li.join(o.hint("shuffle_hash"), cond)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_nl"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -3262,7 +3285,13 @@ def q_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplycost*quantity term; documented deviation).
 
     Plan: part (name-filtered), supplier, and nation broadcast; the
-    fact chain shuffles once on the order key. The LIKE filter
+    fact chain shuffles once on the order key as a SHUFFLED HASH
+    join built on orders (round 13: the default SMJ sorts the
+    lineitem stream — the confirmed alpha~1.7 fact-sort class from
+    range_join_lineitem; solo 256x rung read 113 s SMJ vs ~15 s
+    class SHJ. Per shuffle partition the orders build side is
+    bounded — key+date only, TPC-H-flat keys, AQE-right-sized —
+    while the probe stream stays sort-free). The LIKE filter
     reaches the part scan as a pushed StringContains. Profit rides
     integer cents (the 0.5*retailprice*qty term is exact at 3
     decimal digits, so cents-rounding is engine-stable). Group space
@@ -3277,7 +3306,7 @@ def q_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))

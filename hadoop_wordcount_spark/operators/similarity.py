@@ -570,9 +570,11 @@ def ivf_assignments(
         # transform+array_min variant's K x d interpreted lambda
         # evals per row) both measured as the recall rung's dominant
         # cost at K=64. The 4dp quantization uses round_half_away —
-        # the mode Spark F.round (HALF_UP) and DuckDB round() agree
-        # on — so a d2 on an exact .5e-4 boundary cannot flip an
-        # assignment against the oracle (r11 ADVICE); the pytest pin
+        # DuckDB round()'s half-away on the double's true value,
+        # agreeing with Spark F.round on exact .5 boundaries (see
+        # functions/rounding.py for the pseudo-half caveat) — so a
+        # d2 on an exact .5e-4 boundary cannot flip an assignment
+        # against the DuckDB oracle (r11 ADVICE); the pytest pin
         # (test_round11_fixes) holds the kernel bit-identical to the
         # DataFrame argmin formulation.
         #

@@ -281,6 +281,32 @@ def _source_of(obj: object) -> str:
         return repr(obj)
 
 
+# Per-object (qual, source) memo (r12 ADVICE: load_all() is called
+# several times per test session and each fingerprint's transitive
+# closure re-runs inspect.getsource over large parts of the package —
+# O(entries x package-source) per call). Keyed by object identity:
+# a callable's on-disk source cannot change under a live object (an
+# edit only lands through a module reload, which creates NEW function
+# objects), and every memoized object is strongly held by its module,
+# so ids stay valid. Constants are deliberately NOT memoized — their
+# reprs are re-read from live module globals on every call, so
+# in-process tuning (a monkeypatched _SRP_BITS) still changes the
+# fingerprint, as the epoch tests pin. The fingerprint VALUE is
+# unchanged by the memo (same bytes hashed), so LEDGER_EPOCH
+# snapshots stay valid.
+_QUAL_SRC_MEMO: dict[int, tuple[str, str]] = {}
+
+
+def _qual_and_source(obj: object) -> tuple[str, str]:
+    cached = _QUAL_SRC_MEMO.get(id(obj))
+    if cached is not None:
+        return cached
+    qual = f"{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', '?')}"
+    pair = (qual, _source_of(obj))
+    _QUAL_SRC_MEMO[id(obj)] = pair
+    return pair
+
+
 def entry_fingerprint(name: str) -> str:
     """Content fingerprint of a registered entry: sha256 over its
     query function's source, the sources of every package-defined
@@ -289,13 +315,13 @@ def entry_fingerprint(name: str) -> str:
     the one snapshotted when the row landed (LEDGER_EPOCH.json).
     Referenced module-level scalar/tuple constants are hashed by
     repr, so constant-only tuning (a ``_SRP_BITS`` bump) requeues
-    too; mutable globals (memo dicts) stay outside the hash."""
+    too; mutable globals (memo dicts) stay outside the hash.
+    Per-callable (qual, source) lookups are memoized for the process
+    lifetime (see _QUAL_SRC_MEMO); the closure walk and constant
+    reprs run live on every call."""
     fn = QUERIES[name]
     callables, consts = _referenced_package_objects(fn)
-    parts = []
-    for obj in callables:
-        qual = f"{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', '?')}"
-        parts.append((qual, _source_of(obj)))
+    parts = [_qual_and_source(obj) for obj in callables]
     parts.sort()
     parts.extend(consts)
     h = hashlib.sha256()

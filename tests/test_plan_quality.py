@@ -235,13 +235,18 @@ def test_q14_pushdown_and_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q4_semi_join(spark, sf_dir):
-    """tpch_q4_like: the EXISTS must decorrelate to a left-semi join,
-    never a full join + distinct."""
+def test_q4_derived_pushdown_no_fact_sort(spark, sf_dir):
+    """tpch_q4_like (round-13 plan): the EXISTS runs as an equi-join
+    against the half-year orders slice — never a cartesian and never
+    the SMJ that sorts the lineitem stream (the adjudicated alpha~1.7
+    256x defect) — and the transitive bound the rewrite derives
+    (l_shipdate > window_start + 60d) must reach the lineitem scan
+    as a pushed GreaterThan filter."""
     df = registry.QUERIES["tpch_q4_like"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan
 
 
 def test_q16_two_phase_distinct(spark, sf_dir):

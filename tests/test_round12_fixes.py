@@ -46,6 +46,27 @@ def test_round_half_away_matches_duckdb_round():
     assert round_half_away(np.array(vals), 1).tolist() == want
 
 
+def test_round_half_away_tracks_duckdb_on_pseudo_halves():
+    """DuckDB is the engine the helper tracks (r12 ADVICE): on
+    shortest-repr pseudo-halves like 1.005 (stored double is
+    1.00499999...) Spark's F.round goes through BigDecimal.valueOf
+    and yields 1.01, while the helper and DuckDB round the double's
+    TRUE value to 1.00. Pin the helper==DuckDB side so a silent
+    helper change toward Spark's mode fails loudly."""
+    import duckdb
+
+    vals = [1.005, 2.675, -1.005, 0.615]
+    want = [
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 2)").fetchone()[0]
+        for v in vals
+    ]
+    got = round_half_away(np.array(vals), 2).tolist()
+    assert got == want
+    # The divergence the docstring tolerates is real on this input:
+    # 1.005's stored double sits BELOW the .5 boundary.
+    assert got[0] == 1.00
+
+
 def test_srp_kernel_rejects_wrong_embedding_dim(spark):
     """Hyperplanes (and the pair_dot unroll in dedup.py) are built at
     _SRP_DIM; a table with a different dim must fail loudly, not emit

@@ -500,12 +500,20 @@ def _replicate(spark, n: int, path: str, reuse: bool = False) -> int:
     document count — the schemes are fully deterministic in (SF_DIR,
     n), so a same-session or same-host re-adjudication run (the
     watchlist solo re-rows) need not pay the multi-GB replication
-    again. Counts are still verified; any mismatch falls through to
-    a fresh rewrite."""
+    again. EXACT counts (base * n) are verified for every replicated
+    table — a stale or partially-written replica dir from an older
+    scheme must never be silently reused (r12 ADVICE) — and any
+    mismatch falls through to a fresh rewrite."""
     if reuse:
         try:
-            base = spark.read.parquet(
+            base_d = spark.read.parquet(
                 f"{SF_DIR}/documents.parquet"
+            ).count()
+            base_v = spark.read.parquet(
+                f"{SF_DIR}/embeddings.parquet"
+            ).count()
+            base_e = spark.read.parquet(
+                f"{SF_DIR}/events.parquet"
             ).count()
             got_docs = spark.read.parquet(
                 os.path.join(path, "documents.parquet")
@@ -513,10 +521,14 @@ def _replicate(spark, n: int, path: str, reuse: bool = False) -> int:
             got_vecs = spark.read.parquet(
                 os.path.join(path, "embeddings.parquet")
             ).count()
-            spark.read.parquet(
+            got_evts = spark.read.parquet(
                 os.path.join(path, "events.parquet")
-            ).head(1)
-            if got_docs == base * n and got_vecs % n == 0:
+            ).count()
+            if (
+                got_docs == base_d * n
+                and got_vecs == base_v * n
+                and got_evts == base_e * n
+            ):
                 return got_docs, got_vecs
         except Exception:
             pass  # fall through to a fresh rewrite
@@ -585,20 +597,27 @@ def _replicate_relational(spark, n: int, path: str, reuse: bool = False) -> None
     real fact table grows in.
 
     ``reuse`` mirrors _replicate's --reuse-replicas contract: skip
-    the rewrite when the replicated orders table already exists at
-    ``path`` with the expected count (the key-offset scheme is
-    deterministic in (SF_DIR, n)); any mismatch falls through to a
-    fresh rewrite."""
+    the rewrite only when EVERY replicated table exists at ``path``
+    with its exact expected count (base * n for the three fact
+    tables, base for the verbatim-copied dims — the key-offset
+    scheme is deterministic in (SF_DIR, n)); any mismatch falls
+    through to a fresh rewrite (r12 ADVICE: head(1)-only checks let
+    a stale partial replica skew ladder rows)."""
     if reuse:
         try:
-            base = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
-            got = spark.read.parquet(
-                os.path.join(path, "orders.parquet")
-            ).count()
-            spark.read.parquet(os.path.join(path, "lineitem.parquet")).head(1)
-            spark.read.parquet(os.path.join(path, "customer.parquet")).head(1)
-            spark.read.parquet(os.path.join(path, "nation.parquet")).head(1)
-            if got == base * n:
+            ok = True
+            for tbl, mult in (
+                ("orders", n), ("lineitem", n), ("customer", n),
+                ("region", 1), ("nation", 1), ("supplier", 1), ("part", 1),
+            ):
+                base = spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").count()
+                got = spark.read.parquet(
+                    os.path.join(path, f"{tbl}.parquet")
+                ).count()
+                if got != base * mult:
+                    ok = False
+                    break
+            if ok:
                 return
         except Exception:
             pass  # fall through to a fresh rewrite
