@@ -5181,14 +5181,22 @@ def q_interval_overlap_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("salt", F.col("salt").cast("int")).alias("b")
     ov_start = F.greatest(F.col("a.s"), F.col("b.s"))
     ov_end = F.least(F.col("a.e"), F.col("b.e"))
-    # merge hint: without it Catalyst's size estimate can BROADCAST
-    # the 8x-exploded B side at mid scales (measured: the 4x scale
-    # probe ran 3x slower than 16x because 4x sat under the broadcast
-    # estimate while 16x shuffled). Broadcasting a fact-sized
-    # exploded side is never the 100 TB plan; the salting design
-    # requires the shuffle on (type, bucket, salt) to exist.
-    pairs = a.join(
-        b.hint("merge"),
+    # SHUFFLED HASH hint, built on the UNEXPLODED A side (round 13;
+    # was hint("merge")). The hint exists because Catalyst's size
+    # estimate can BROADCAST the 8x-exploded B side at mid scales
+    # (measured: the 4x scale probe ran 3x slower than 16x because 4x
+    # sat under the broadcast estimate) — but merge bought that
+    # no-broadcast guarantee by SORTING both shuffled streams,
+    # including the 8x-exploded B side (~2B rows at the 256x rung:
+    # the fact-sort spill class, solo alpha 1.36, 33.5 -> 220.3 s).
+    # SHJ keeps the mandatory shuffle on (type, bucket, salt), builds
+    # the per-task hash from A only — per cell that is occupancy/S
+    # rows, exactly the quantity the salting design bounds — and
+    # streams B sort-free. Solo post-fix: 35.5/87.3 s at 64/256x
+    # (alpha 0.65 — the linear-by-construction days x occupancy^2
+    # profile, scan-dominated at these occupancies).
+    pairs = a.hint("shuffle_hash").join(
+        b,
         (F.col("a.event_type") == F.col("b.event_type"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.salt") == F.col("b.salt"))
