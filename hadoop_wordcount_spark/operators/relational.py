@@ -1346,7 +1346,15 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite lands via dynamic partition overwrite so only partitions
     containing changed keys are rewritten. This plan IS what Delta/
     Iceberg MERGE compiles to underneath; expressing it directly
-    keeps the capability available with plain parquet."""
+    keeps the capability available with plain parquet.
+
+    Join strategy (round 13): full-outer SHUFFLED HASH built on the
+    change set (~2% of base here — per-partition bounded however the
+    base grows, the CDC norm). The default full-outer SMJ sorts the
+    BASE stream — the round's thrice-confirmed fact-sort class;
+    256x A/B: SMJ 7.9 s cold / 4.0 warm vs SHJ 3.9 / 3.5. FullOuter
+    BuildRight SHJ tracks unmatched build rows (Spark 3.1+), so the
+    insert branch still lands."""
     base = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("s"),
@@ -1359,7 +1367,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("k")).alias("k"), F.lit("N").alias("s"), F.col("p").alias("p")
     )
     ch = upd.unionAll(ins)
-    b, c = base.alias("b"), ch.alias("c")
+    b, c = base.alias("b"), ch.hint("shuffle_hash").alias("c")
     merged = b.join(c, F.col("b.k") == F.col("c.k"), "full").select(
         F.coalesce(F.col("c.s"), F.col("b.s")).alias("s"),
         F.coalesce(F.col("c.p"), F.col("b.p")).alias("p"),
