@@ -264,7 +264,7 @@ ALL_OPS = [
     "shuffle_hash_join", "skew_salted_join", "range_join_lineitem",
     "aqe_skew_join", "bloom_semi_join_audit", "dpp_partition_pruned_join",
     "join_wordcount_docs", "dedup_anti_join", "knn_block_join",
-    "bucketed_join", "colocated_join",
+    "bucketed_join", "colocated_join", "merge_upsert",
     "tpch_q2_like", "sql_tpch_q3", "tpch_q4_like", "tpch_q5_like",
     "tpch_q6_like", "sql_pipe_q6", "tpch_q7_like", "tpch_q8_like",
     "tpch_q9_like", "tpch_q10_like", "tpch_q11_like", "tpch_q12_like",
@@ -461,7 +461,7 @@ RELATIONAL_OPS = {
     "semi_join_customers", "anti_join_customers", "broadcast_join_parts",
     "shuffle_hash_join", "skew_salted_join", "range_join_lineitem",
     "aqe_skew_join", "bloom_semi_join_audit", "dpp_partition_pruned_join",
-    "bucketed_join", "colocated_join",
+    "bucketed_join", "colocated_join", "merge_upsert",
     "tpch_q2_like", "sql_tpch_q3", "tpch_q4_like", "tpch_q5_like",
     "tpch_q6_like", "sql_pipe_q6", "tpch_q7_like", "tpch_q8_like",
     "tpch_q9_like", "tpch_q10_like", "tpch_q11_like", "tpch_q12_like",
