@@ -1533,7 +1533,24 @@ def _bpe_train(
     """Run the unrolled trainer; return the post-merge distinct-word
     table (word, cnt, repr) and the per-round 1-row merge tables.
     Shared by `bpe_merges_train` (emits the merges) and
-    `bpe_encode_stats` (encodes the corpus with the final table)."""
+    `bpe_encode_stats` (encodes the corpus with the final table).
+
+    Lineage discipline (r13): each round's winner `top` feeds BOTH the
+    merge output and the next round's table, so a fully lazy unroll
+    doubles the logical plan per round — at 6 rounds the physical plan
+    reached 5,373 lines / 366 Exchange nodes and Catalyst planning plus
+    stage scheduling dominated runtime (optimization guide §7.3, huge
+    plans). Fix: materialize the vocabulary table once after the single
+    corpus-sized aggregate and each round's 1-row winner with
+    `localCheckpoint(eager=True)` — every round is then one
+    vocabulary-sized pair aggregate and the final plan is linear in
+    _BPE_ROUNDS (66 lines, zero Exchanges for the merge-table union;
+    218 lines / 16 Exchanges for the encode consumer). At 100 TB the checkpointed
+    table is the word-frequency vocabulary (millions of rows where the
+    corpus is trillions) and each winner is ONE row; executor-local
+    storage for both is exactly the iterative-algorithm pattern
+    `dedup_clusters` already uses. Results are bit-identical: the same
+    aggregates run, only lineage is truncated."""
     d = _docs(spark, sf_dir)
     tok = d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
     words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1543,7 +1560,7 @@ def _bpe_train(
         F.concat(
             F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
         ).alias("repr"),
-    )
+    ).localCheckpoint(eager=True)
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
         tk = F.split(F.trim(F.col("repr")), " ")
@@ -1564,6 +1581,7 @@ def _bpe_train(
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.desc("c"), "pa", "pb")
             .limit(1)
+            .localCheckpoint(eager=True)
         )
         merges.append(
             top.select(
