@@ -226,18 +226,35 @@ def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookback windows, multi-column nearest matches) outgrow SQL fast
     while staying two sorted per-user arrays in pandas.
 
-    Scale: both sides shuffle ONCE on user_id (co-partitioned, no
-    join product); the kernel is O(n log n) in the per-user slice via
-    the int64 microsecond key — timestamps never round-trip through
-    Python datetimes (`lag_event_gap`'s exactness discipline).
+    Scale: both sides shuffle ONCE on a deterministic hash BUCKET of
+    user_id (co-partitioned, no join product); the kernel is
+    O(n log n) in the per-bucket slice via the int64 microsecond key —
+    timestamps never round-trip through Python datetimes
+    (`lag_event_gap`'s exactness discipline).
+
+    Bucketed cogroup (r13): cogrouping directly on user_id invoked the
+    Python kernel once per user — at sf0.1 that is 1,500 pandas
+    round-trips for 40k rows (~6 ms of per-group overhead each, ~9 s
+    total; optimization guide §4: amortize per-task work). The
+    cogroup key is now `pmod(xxhash64(user_id), B)` with
+    B = 4 x shuffle partitions, and `pd.merge_asof(..., by="user_id")`
+    performs the per-user as-of matching INSIDE each bucket — the
+    same vectorized kernel, ~B invocations instead of |users|. The
+    bucket count tracks the deployment (shuffle partitions are sized
+    to the cluster/AQE), the key is deterministic under task retries
+    (guide §2.5), and per-user semantics are unchanged: a user's
+    purchases only ever match that user's clicks, wherever the bucket
+    boundary falls.
     """
+    n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = load_table(spark, sf_dir, "events").withColumn(
         "us", F.expr("ts_ns div 1000")
     )
+    b = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "us"
+        b, "event_id", "user_id", "us"
     )
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "us")
+    clicks = e.filter(F.col("event_type") == "click").select(b, "user_id", "us")
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -248,7 +265,9 @@ def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             return left[["event_id", "user_id", "gap_s"]]
         m = pd.merge_asof(
             left,
-            right.sort_values("us").rename(columns={"us": "click_us"}),
+            right[["user_id", "us"]]
+            .sort_values("us")
+            .rename(columns={"us": "click_us"}),
             left_on="us",
             right_on="click_us",
             by="user_id",
@@ -259,8 +278,8 @@ def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["gap_s"] = gap.fillna(-1).astype("int64")
         return m[["event_id", "user_id", "gap_s"]]
 
-    return purchases.groupBy("user_id").cogroup(
-        clicks.groupBy("user_id")
+    return purchases.groupBy("b").cogroup(
+        clicks.groupBy("b")
     ).applyInPandas(asof, schema="event_id long, user_id long, gap_s long")
 
 

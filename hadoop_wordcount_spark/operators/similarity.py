@@ -554,7 +554,7 @@ def ivf_assignments(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     ).localCheckpoint()
 
-    def assign(cent_df: DataFrame) -> DataFrame:
+    def assign(cent_df: DataFrame, include_vec: bool = False) -> DataFrame:
         # Arrow-vectorized argmin kernel (the srp_spark_side
         # discipline): the K x d centroid table — dimension-sized by
         # construction, the same bounded-pull class as the query
@@ -615,16 +615,32 @@ def ivf_assignments(
                         better = d2 < best_d2
                         best_d2 = np.where(better, d2, best_d2)
                         best_cid = np.where(better, cid_arr[k], best_cid)
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "cid": best_cid}
-                )
+                out = {"vec_id": pdf["vec_id"], "cid": best_cid}
+                if include_vec:
+                    out["v"] = pdf["v"]
+                yield pd.DataFrame(out)
 
-        return vecs.mapInPandas(assign_kernel, "vec_id bigint, cid bigint")
+        schema = (
+            "vec_id bigint, cid bigint, v array<double>"
+            if include_vec
+            else "vec_id bigint, cid bigint"
+        )
+        return vecs.mapInPandas(assign_kernel, schema)
 
     for _ in range(IVF_ITERS):
-        assigned = assign(cent)
+        # include_vec carries each vector through the assignment kernel
+        # so the centroid update aggregates the kernel output directly —
+        # the former vecs.join(assigned, "vec_id") paid a join (and its
+        # exchanges) per k-means round for rows the kernel already held
+        # (r13; guide §2.4 remove shuffles outright). Same rows reach
+        # the same F.avg groups, so centroids are unchanged.
+        assigned = assign(cent, include_vec=True)
+        # No per-round checkpoint: assign() collect()s the centroid
+        # table into the kernel closure, which both materializes it
+        # (one job) and cuts the lineage — an eager localCheckpoint
+        # here was a second job per round doing the same work (r13).
         cent = (
-            vecs.join(assigned, "vec_id")
+            assigned
             .select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("val"), 4).alias("cval"))
@@ -635,8 +651,11 @@ def ivf_assignments(
                     lambda s: s["cval"],
                 ).alias("cv")
             )
-            .localCheckpoint()
         )
+    # The FINAL centroid table is read by every memo consumer (and by
+    # the final assignment's collect below) — checkpoint it once so
+    # consumers scan K rows instead of replaying the last k-means round.
+    cent = cent.localCheckpoint()
     # Materialize the inverted file once (it is |V| (id, cid) rows —
     # tiny next to the vectors) so every memo consumer starts from the
     # same flat-lineage table instead of replaying the final assign.
