@@ -91,11 +91,14 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavily skew-concentrated in practice — head-word skew is the
     `salted_aggregation` pattern); each iteration is one
     edges-to-ranks equi-join + one groupBy(dst) — O(edges) shuffle
-    per iteration, the textbook distributed PageRank step. Ranks and
-    normalized edges are cached: the unrolled plan references them
-    every iteration, and the cache turns those into memory scans. At
-    web scale you'd loop with localCheckpoint like `dedup_clusters`
-    instead of unrolling — both patterns are in this engine."""
+    per iteration, the textbook distributed PageRank step. Normalized
+    edges and the node set are eagerly checkpointed (the unrolled plan
+    references them every iteration, and the checkpoint keeps the
+    corpus lineage out of the per-round plans); the vocabulary-sized
+    rank/contribution tables broadcast, so the edge stream never
+    re-sorts. At web scale you'd loop with localCheckpoint like
+    `dedup_clusters` instead of unrolling — both patterns are in this
+    engine."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
     bi = tok.filter(F.size("tk") >= 2).select(
@@ -115,27 +118,41 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     outw = edges.groupBy("src").agg(F.sum("cnt").alias("ow"))
+    # Eager checkpoints instead of cache (r13): the unrolled iterations
+    # reference these tables every round, and checkpointing also cuts
+    # the corpus-sized lineage out of the final plan (745 -> ~250
+    # lines), so per-round planning touches edge/vocab tables only.
     en = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("cnt").cast("double") / F.col("ow")).alias("w"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     nodes = (
-        tok.select(F.explode("tk").alias("word")).distinct().cache()
+        tok.select(F.explode("tk").alias("word"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "word", "n", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(_ITERS):
+        # Broadcast the vocabulary-sized rank/contribution tables so
+        # the edge stream never sorts or reshuffles per round (guide
+        # §3.1: SortMergeJoin -> BroadcastHashJoin; the edge table is
+        # the fact side here). Ranks stay unrounded doubles through
+        # every round — identical arithmetic, different join strategy.
         contrib = (
-            en.join(ranks.select(F.col("word").alias("src"), "r"), "src")
+            en.join(
+                F.broadcast(ranks.select(F.col("word").alias("src"), "r")),
+                "src",
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w")).alias("inflow"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, nodes.word == contrib.dst, "left")
+            .join(F.broadcast(contrib), nodes.word == contrib.dst, "left")
             .select(
                 "word",
                 "n",
@@ -446,7 +463,11 @@ def q_bigram_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     )
-    edges = bi.select("e.src", "e.dst").distinct()
+    # r13: materialize the edge set once and each hop's frontier —
+    # the lazy unroll re-planned the corpus-sized distinct per hop and
+    # doubled the reached-set lineage every level (the per-hop
+    # checkpoint the docstring below already prescribes at scale).
+    edges = bi.select("e.src", "e.dst").distinct().localCheckpoint(eager=True)
     reached = spark.createDataFrame([(_KHOP_SEED,)], ["word"])
     frontier = reached
     out = []
@@ -459,6 +480,7 @@ def q_bigram_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("word"))
             .distinct()
             .join(reached, "word", "left_anti")
+            .localCheckpoint(eager=True)
         )
         out.append(
             nxt.agg(
@@ -549,20 +571,30 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     sp = F.split("p", " ")
+    # r13: eager checkpoint (not cache) cuts the corpus lineage out of
+    # the four chained half-steps' plans; broadcasting the
+    # vocabulary-sized score side of every half-step keeps the edge
+    # table in place (guide §3.1) — scores are exact integer sums, so
+    # join strategy cannot perturb a single bit.
     edges = (
         bi.select(sp.getItem(0).alias("src"), sp.getItem(1).alias("dst"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a1 = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("s"))
     h1 = (
-        edges.join(a1.withColumnRenamed("dst", "w"), F.col("dst") == F.col("w"))
+        edges.join(
+            F.broadcast(a1.withColumnRenamed("dst", "w")),
+            F.col("dst") == F.col("w"),
+        )
         .groupBy("src")
         .agg(F.sum("s").cast("long").alias("s"))
     )
     a2 = (
         edges.join(
-            h1.withColumnRenamed("src", "w").withColumnRenamed("s", "hs"),
+            F.broadcast(
+                h1.withColumnRenamed("src", "w").withColumnRenamed("s", "hs")
+            ),
             F.col("src") == F.col("w"),
         )
         .groupBy("dst")
@@ -570,7 +602,9 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h2 = (
         edges.join(
-            a2.withColumnRenamed("dst", "w").withColumnRenamed("s", "as_"),
+            F.broadcast(
+                a2.withColumnRenamed("dst", "w").withColumnRenamed("s", "as_")
+            ),
             F.col("dst") == F.col("w"),
         )
         .groupBy("src")

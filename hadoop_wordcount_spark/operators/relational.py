@@ -2899,33 +2899,41 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines run the SAME recursion structure (tie-safe edge cut:
     count DESC, w1, w2; min-level aggregate AFTER expansion makes
     duplicate paths harmless). Plan: per iteration one join of the
-    frontier against the 200-row broadcast edge table — frontier
+    frontier against the 200-row MATERIALIZED edge table — frontier
     rows, not corpus rows, drive the cost; the corpus-sized stage is
-    the one bigram aggregate. At 100 TB recursion depth bounds the
-    iteration count exactly like dedup_clusters' convergence loop."""
+    the one bigram aggregate, run exactly once. The edge cut and the
+    seed are checkpointed before the recursion (r13): Spark's
+    UnionLoop replans the recursion step each iteration, so leaving
+    the corpus-sized CTE inline replayed the bigram aggregate once
+    per level (guide §2.4 — the same subtree executed 4x). At 100 TB
+    recursion depth bounds the iteration count exactly like
+    dedup_clusters' convergence loop."""
     d = _t(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents_rcte")
-    return spark.sql("""
-        WITH RECURSIVE toks AS (
+    bg = spark.sql("""
+        WITH toks AS (
             SELECT filter(split(text, ' '), w -> w <> '') AS tk
             FROM documents_rcte),
         bi AS (
             SELECT explode(transform(sequence(1, size(tk) - 1),
                            i -> struct(element_at(tk, i) AS w1,
                                        element_at(tk, i + 1) AS w2))) AS e
-            FROM toks WHERE size(tk) >= 2),
-        bg AS (
-            SELECT e.w1 AS w1, e.w2 AS w2, count(*) AS c
-            FROM bi GROUP BY e.w1, e.w2
-            ORDER BY c DESC, w1, w2 LIMIT 200),
-        seed AS (
-            SELECT w1 AS word FROM (SELECT w1, sum(c) AS s FROM bg GROUP BY w1)
+            FROM toks WHERE size(tk) >= 2)
+        SELECT e.w1 AS w1, e.w2 AS w2, count(*) AS c
+        FROM bi GROUP BY e.w1, e.w2
+        ORDER BY c DESC, w1, w2 LIMIT 200
+    """).localCheckpoint(eager=True)
+    bg.createOrReplaceTempView("bg_rcte")
+    return spark.sql("""
+        WITH RECURSIVE seed AS (
+            SELECT w1 AS word
+            FROM (SELECT w1, sum(c) AS s FROM bg_rcte GROUP BY w1)
             ORDER BY s DESC, w1 LIMIT 1),
         reach(word, level) AS (
             SELECT word, 0 FROM seed
             UNION ALL
             SELECT bg.w2, r.level + 1
-            FROM reach r JOIN bg ON bg.w1 = r.word WHERE r.level < 3)
+            FROM reach r JOIN bg_rcte bg ON bg.w1 = r.word WHERE r.level < 3)
         SELECT word, CAST(min(level) AS BIGINT) AS hops
         FROM reach GROUP BY word
     """)

@@ -838,10 +838,18 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vid2"), F.col("pos").alias("j"),
         F.col("val").alias("vb"),
     )
+    # Lineage discipline (r13): each round's x references y twice (via
+    # the norm and directly), so a fully lazy unroll re-plans the
+    # corpus-sized moment matrix ~2^k times (guide §7.3, huge plans).
+    # Materialize M once (d² rows — the one corpus-sized aggregate) and
+    # each round's d-row product; every iteration is then a tiny job
+    # over the checkpointed M and the final plan is linear in
+    # _PI_ITERS. Same aggregates, bit-identical trajectory.
     m = (
         a.join(b, F.col("vec_id") == F.col("vid2"))
         .groupBy("i", "j")
         .agg(F.round(F.avg(F.col("va") * F.col("vb")), 6).alias("v"))
+        .localCheckpoint(eager=True)
     )
     x = ev.select("pos").distinct().select("pos", F.lit(1.0).alias("xv"))
     nrm = None
@@ -850,6 +858,7 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.join(F.broadcast(x), m.j == x.pos)
             .groupBy(F.col("i").alias("pos"))
             .agg(F.round(F.sum(F.col("v") * F.col("xv")), 6).alias("yv"))
+            .localCheckpoint(eager=True)
         )
         nrm = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
         x = y.crossJoin(F.broadcast(nrm)).select(
@@ -1004,10 +1013,14 @@ def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vid2"), F.col("pos").alias("j"),
         F.col("val").alias("vb"),
     )
+    # Same lineage discipline as embedding_power_iteration (r13): the
+    # moment matrix (d² rows) and each round's d-row product are
+    # checkpointed so the unrolled loop plans linearly, not 2^k.
     m = (
         a.join(b, F.col("vec_id") == F.col("vid2"))
         .groupBy("i", "j")
         .agg(F.round(F.avg(F.col("va") * F.col("vb")), 6).alias("v"))
+        .localCheckpoint(eager=True)
     )
     x = ev.select("pos").distinct().select("pos", F.lit(1.0).alias("xv"))
     for _ in range(_PI_ITERS):
@@ -1015,6 +1028,7 @@ def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.join(F.broadcast(x), m.j == x.pos)
             .groupBy(F.col("i").alias("pos"))
             .agg(F.round(F.sum(F.col("v") * F.col("xv")), 6).alias("yv"))
+            .localCheckpoint(eager=True)
         )
         nrm = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
         x = y.crossJoin(F.broadcast(nrm)).select(
