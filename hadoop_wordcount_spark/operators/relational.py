@@ -3417,27 +3417,52 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(a,b)/(P(a)P(b)) — the classic affinity-analysis query, run on
     the order/part bipartite projection of lineitem.
 
-    Plan: one DISTINCT projection keyed on (order, part), then the
-    pair join is an equi-join on the order key — the intermediate is
-    sum over orders of (lines choose 2), bounded because basket
-    width is bounded (TPC-H lineitem is <=7 lines/order; a 100x
-    corpus adds orders, not basket width). Per-part counts are
-    dimension-sized -> broadcast back onto the pair table; the
-    global order count attaches via crossJoin(broadcast(agg)). The
+    Plan (r13 rewrite): ONE exchange on the fact — groupBy(order)
+    with collect_set(part) builds each basket directly (the set dedupes
+    like the former DISTINCT projection, guide §2.3 aggregate before
+    you shuffle) — then pairs expand JVM-side inside the sorted basket
+    array (i < j over a sorted distinct set ≡ the former self-join's
+    part_a < part_b), bounded because basket width is bounded (TPC-H
+    lineitem is <=7 lines/order; a 100x corpus adds orders, not basket
+    width). The former plan shuffled the (order, part) projection
+    three more times: DISTINCT, then both sides of a self equi-join on
+    the order key. Per-part counts and the global order count now
+    derive from the basket table (order-sized, no second fact scan) —
+    dimension-sized -> broadcast back onto the pair table. The
     ORDER BY .. LIMIT compiles to TakeOrderedAndProject, so only 20
     rows reach the driver."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
     )
-    b = op.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    ps = F.col("ps")
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        baskets.filter(F.size(ps) >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ps) - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + F.lit(1), F.size(ps)),
+                            lambda j: F.struct(
+                                F.element_at(ps, i).alias("part_a"),
+                                F.element_at(ps, j).alias("part_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )

@@ -1319,6 +1319,11 @@ def _pq_train(spark: SparkSession, sf_dir: str):
                 .agg(F.round(F.avg("val"), 4).alias("cval"))
                 .localCheckpoint(eager=False)
             )
+    # NOTE (r13): checkpointing the final assignment was tried and
+    # reverted — ReuseExchange already dedupes the two consumer
+    # subtrees of the encode query within one plan, and the extra
+    # storage pass measured ~0.4s SLOWER on the single-consumer ADC
+    # search. Lazy plans + exchange reuse win here.
     return ev, assign, c
 
 

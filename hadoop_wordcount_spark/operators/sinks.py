@@ -121,8 +121,15 @@ def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible: the dimension filter prunes fact partitions before any
     fact I/O, composing with AQE and broadcast joins for free — the
     declarative replacement for hand-maintained date predicates."""
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    # Project to the columns the report reads BEFORE laying out the
+    # fact (r13; guide §2.3 project early): the month-partitioned
+    # write carried all 9 orders columns where the join+aggregate
+    # below reads only (o_totalprice, o_month) — ~4x the bytes
+    # written, re-listed and re-read for no consumer. The DPP
+    # demonstration (dynamicpruning on the month PartitionFilter) is
+    # unchanged.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
     )
     path = _tmp("orders_by_month", sf_dir)
     o.write.mode("overwrite").partitionBy("o_month").parquet(path)

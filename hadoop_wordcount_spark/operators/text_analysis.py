@@ -672,6 +672,12 @@ def _span_window_matches(spark: SparkSession, sf_dir: str):
     def window_hash(col: str, start: Column, base_: int, mod: int) -> Column:
         return kr_fold(F.slice(F.col(col), start, _SPAN_W), base_, mod)
 
+    # Pack the two 31-bit family hashes into ONE 62-bit long
+    # (h0 * 2^31 + h1 — injective since both mods are < 2^31): the
+    # window self-join shuffles and compares a single key column
+    # instead of two, ~25% fewer shuffled bytes on the widest stream
+    # of the query (guide §2.3 narrower keys). The match set is
+    # EXACTLY the (h0, h1) pair-equality set — no new collision class.
     windows = hashed.select(
         "doc_id",
         F.explode(
@@ -679,28 +685,26 @@ def _span_window_matches(spark: SparkSession, sf_dir: str):
                 F.sequence(F.lit(1), F.size("t") - (_SPAN_W - 1)),
                 lambda i: F.struct(
                     i.cast("long").alias("pos"),
-                    *[
-                        window_hash(f"th{k}", i, b, m).alias(f"h{k}")
-                        for k, (b, m) in enumerate(_KR_FAMILIES)
-                    ],
+                    (
+                        window_hash("th0", i, *_KR_FAMILIES[0])
+                        * F.lit(1 << 31)
+                        + window_hash("th1", i, *_KR_FAMILIES[1])
+                    ).alias("h"),
                 ),
             )
         ).alias("s"),
-    ).select("doc_id", "s.pos", "s.h0", "s.h1")
+    ).select("doc_id", "s.pos", "s.h")
     wa = windows.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h0", "h1"
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
     )
     wb = windows.select(
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
-        F.col("h0").alias("hb0"),
-        F.col("h1").alias("hb1"),
+        F.col("h").alias("hb"),
     )
     p = wa.join(
         wb,
-        (F.col("h0") == F.col("hb0"))
-        & (F.col("h1") == F.col("hb1"))
-        & (F.col("doc_a") < F.col("doc_b")),
+        (F.col("h") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")),
     ).select("doc_a", "doc_b", "pos_a", "pos_b")
     return base, p
 
