@@ -4330,11 +4330,17 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Materialize the interval table once (r13): the boundary union
+    # reads it twice and the session count a third time — without
+    # this the two-window sessionization pipeline executed three
+    # times (plan read 793 lines / 80 Exchanges). Session-count-sized
+    # by construction, the table this sweep-line exists to shrink to.
     iv = (
         e.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(run).cast("long"))
         .groupBy("user_id", "session_id")
         .agg(F.min("us").alias("s"), (F.max("us") + 1).alias("e"))
+        .localCheckpoint(eager=True)
     )
     pts = iv.select(
         F.col("s").alias("us"), F.lit(1).alias("delta"), "user_id", "session_id"
@@ -8336,6 +8342,11 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
                 6,
             ).alias("mu"),
         )
+        # r13: the |types|-row fit table is referenced by the cal
+        # pass, the test pass AND the final report join — checkpoint
+        # it (and cal below) so the fact scan appears once per pass
+        # instead of once per reference (plan was 729 lines).
+        .localCheckpoint(eager=True)
     )
     cal = (
         lab.filter(F.col("part") == 1)
@@ -8346,6 +8357,7 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.percentile(F.abs(F.col("value") - F.col("mu")), F.lit(0.9)), 6
             ).alias("q90")
         )
+        .localCheckpoint(eager=True)
     )
     test = (
         lab.filter(F.col("part") == 2)

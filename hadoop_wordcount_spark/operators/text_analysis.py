@@ -2826,9 +2826,20 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = tr.agg(F.count(F.lit(1)).cast("long").alias("td"))
     tw = tr.select(F.col("lang").alias("c"), F.explode("tk").alias("w"))
-    cnt = tw.groupBy("c", "w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
-    ct = tw.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("tc"))
-    vv = tw.agg(F.countDistinct("w").cast("long").alias("v"))
+    # r13: ONE pass over the train token stream. The per-class token
+    # totals and the vocabulary size both derive from the (class,
+    # token) count table — the former three tw aggregates each
+    # re-exploded the train corpus (guide §1.2: don't compute the
+    # same pass twice). cnt is vocabulary-sized, so checkpointing it
+    # (and the |classes|-row meta below, referenced by both the
+    # likelihood build and the scoring join) is executor-cheap.
+    cnt = (
+        tw.groupBy("c", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+        .localCheckpoint(eager=True)
+    )
+    ct = cnt.groupBy("c").agg(F.sum("cw").cast("long").alias("tc"))
+    vv = cnt.agg(F.countDistinct("w").cast("long").alias("v"))
     meta = (
         cls.join(ct, "c")
         .crossJoin(F.broadcast(tot))
@@ -2844,6 +2855,7 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tc",
             "v",
         )
+        .localCheckpoint(eager=True)
     )
     lik = cnt.join(F.broadcast(meta.select("c", "tc", "v")), "c").select(
         "c",
