@@ -1119,6 +1119,10 @@ def q_ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bm25_term), 4).alias("bm25"),
             F.round(F.sum(tfidf_term), 4).alias("tfidf"),
         )
+        # r13: both rankers' top-k cuts read this candidate table —
+        # materialize it once (term-matched docs only) instead of
+        # re-running the tf/dl/stats chain per ranker.
+        .localCheckpoint(eager=True)
     )
     # Only ranks <= max(k) ever matter, so NEVER rank the full scored
     # table (a global row_number is a single-partition window — the

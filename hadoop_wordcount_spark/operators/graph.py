@@ -234,12 +234,17 @@ def q_bigram_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(_TRI_EDGE_CUT)
     )
+    # r13: the 200-row canonical edge set feeds three join sides and
+    # the triangle table three union branches — without
+    # materialization the corpus-sized bigram aggregate appeared ~9x
+    # in the plan (840 lines).
     ue = (
         bg.filter(F.col("w1") != F.col("w2"))
         .select(
             F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = ue.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = ue.select(F.col("a").alias("y2"), F.col("b").alias("z"))

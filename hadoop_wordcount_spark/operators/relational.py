@@ -8016,6 +8016,10 @@ def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nn"),
     )
+    # r13: the distinct-score table feeds both the prefix-sum chain
+    # and the totals aggregate — materialize the one event-sized
+    # exchange instead of running it per consumer.
+    s = s.localCheckpoint(eager=True)
     c = global_cumsum(s, [("value", False)], "nn", out="cumnn").withColumn(
         "below", F.col("cumnn") - F.col("nn")
     )
