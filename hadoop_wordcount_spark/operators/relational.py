@@ -3079,6 +3079,10 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy("l_partkey").agg(
         _sum_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
     ).withColumn("val_c", F.round(F.col("val") * 100, 0).cast("long"))
+    # r13: the per-part rollup feeds both the global total and the
+    # distributed running sum — materialize the one fact-sized
+    # aggregate instead of running it per consumer.
+    pv = pv.localCheckpoint(eager=True)
     tot = pv.agg(F.sum("val_c").alias("t_c"))
     # small_threshold=0: the per-partkey rollup is data-sized (parts
     # scale with SF), so pin the distributed path and skip the probe.
@@ -8228,6 +8232,9 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col = F.when(
             F.col("value") <= F.col("ed").getItem(i - 1), i - 1
         ).otherwise(bin_col)
+    # r13: the 10-row bin census feeds the totals aggregate and the
+    # final report — materialize it so the fact passes (decile agg +
+    # bin count) run once, not once per reference.
     cnt = binned.select(bin_col.alias("bin"), "half").groupBy("bin").agg(
         F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
         .cast("long")
@@ -8235,7 +8242,7 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
         .cast("long")
         .alias("n_cur"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("n_ref").cast("long").alias("tr"),
         F.sum("n_cur").cast("long").alias("tc"),

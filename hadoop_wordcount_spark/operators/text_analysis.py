@@ -2445,13 +2445,16 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.w,
         ).alias("words")
     )
+    # r13: the phrase-occurrence table feeds both the word-stat and
+    # the phrase-count aggregates — materialize it so the
+    # window+islands chain runs once, not twice.
     occ = runs.filter(
         F.size("words").between(1, _RAKE_MAX_PHRASE)
     ).select(
         F.size("words").alias("plen"),
         "words",
         F.array_join("words", " ").alias("ptext"),
-    )
+    ).localCheckpoint(eager=True)
     wstat = (
         occ.select(F.explode("words").alias("w"), "plen")
         .groupBy("w")
@@ -2707,9 +2710,16 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c")
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
-    pts = npts.join(vpts, "c").select(
-        F.log(F.col("n_tok").cast("double")).alias("x"),
-        F.log(F.col("v").cast("double")).alias("y"),
+    # r13: the 10-point table feeds the moments aggregate AND the
+    # regression join — materialize it so the two corpus passes
+    # (token census + first-occurrence vocab) run once, not twice.
+    pts = (
+        npts.join(vpts, "c")
+        .select(
+            F.log(F.col("n_tok").cast("double")).alias("x"),
+            F.log(F.col("v").cast("double")).alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
     m = pts.agg(
         F.avg("x").alias("ax"), F.avg("y").alias("ay"), F.count(F.lit(1)).alias("n")
