@@ -619,7 +619,10 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         # small_threshold=0: the input is every document — data-sized
         # — so pin the distributed ntile and skip the size probe.
         small_threshold=0,
-    )
+    ).localCheckpoint(eager=True)
+    # ^ r13: the phased table feeds the shard-skew census AND the
+    #   per-phase aggregate — materialize it once (4 small columns per
+    #   doc) instead of re-deriving from the ntile per consumer.
     ps = ph.groupBy("phase", "shard").agg(F.count(F.lit(1)).alias("n"))
     skew = ps.groupBy("phase").agg(
         (F.max("n") - F.min("n")).alias("shard_skew")

@@ -353,7 +353,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
-    bg = bi.groupBy("p").agg(F.count(F.lit(1)).alias("c2"))
+    # r13: the vocabulary²-bounded bigram table feeds the marginal
+    # aggregate AND broadcasts onto the scoring stream — materialize
+    # it so the corpus tokenize+explode pass behind it runs once, not
+    # once per reference (also collapses perplexity_bucket_report's
+    # 706-line plan, which composes this query).
+    bg = (
+        bi.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     c1 = bg.groupBy(F.split("p", " ").getItem(0).alias("w1")).agg(
         F.sum("c2").alias("c1")
     )
