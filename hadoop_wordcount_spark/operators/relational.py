@@ -2538,11 +2538,14 @@ def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|types|² rows), and broadcast attachment of the marginals. Lift
     is an exact integer ratio — engine-stable without log math."""
     e = _t(spark, sf_dir, "events")
+    # r13: the distinct slot table feeds four consumers (slot count,
+    # marginals, both self-join sides) — materialize the one
+    # event-sized distinct instead of running it per reference.
     s = e.select(
         "user_id",
         F.expr("ts_ns div 3600000000000").alias("hr"),
         "event_type",
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     n = s.select("user_id", "hr").distinct().agg(
         F.count(F.lit(1)).alias("n_slots")
     )
@@ -6333,10 +6336,14 @@ def q_pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the pruned frontier band."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    # r13: the per-customer rollup feeds the bucket-max table and the
+    # candidate filter; the pruned frontier feeds both sides of the
+    # dominance anti-join — checkpoint both so the fact aggregate and
+    # the pruning pass run once each.
     cust = o.groupBy("o_custkey").agg(
         F.sum(cents).alias("spend_cents"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
+    ).localCheckpoint(eager=True)
     bucket = F.floor(F.col("spend_cents") / F.lit(10_000_000)).alias("bkt")
     bmax = cust.select(bucket, "n_orders").groupBy("bkt").agg(
         F.max("n_orders").alias("bkt_max")
@@ -6359,6 +6366,7 @@ def q_pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_orders") > F.col("max_higher"))
         )
         .select("o_custkey", "spend_cents", "n_orders")
+        .localCheckpoint(eager=True)
     )
     other = cand.select(
         F.col("spend_cents").alias("o_spend"),
@@ -6783,7 +6791,14 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized and broadcast. At 100 TB: one scan + one
     100-cell shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # r13: the |langs| x |sources| contingency cell table feeds both
+    # marginals, the total, and the expected-count join — checkpoint
+    # the one fact-sized aggregate.
+    cell = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     rowm = cell.groupBy("lang").agg(F.sum("o").alias("rn"))
     colm = cell.groupBy("source").agg(F.sum("o").alias("cn"))
     tot = cell.agg(F.sum("o").alias("n"))
@@ -7195,6 +7210,10 @@ def q_nation_revenue_share_report(
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(F.sum(cents).alias("rc"))
+        # r13: the 25-row nation rollup feeds the region rollup, the
+        # grand total AND the report join — checkpoint it so the
+        # fact-to-dim join chain runs once.
+        .localCheckpoint(eager=True)
     )
     reg = rev.groupBy("region").agg(F.sum("rc").alias("reg_rc"))
     tot = rev.agg(F.sum("rc").alias("t"))
@@ -7825,9 +7844,12 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = cnt.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
         F.explode(F.sequence("lo", "hi")).alias("h")
     )
+    # r13: the calendar-bounded hourly series feeds the global
+    # moments and BOTH sides of the lag join — checkpoint it so the
+    # event-sized hourly census runs once.
     s = grid.join(cnt, "h", "left").select(
         "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
-    )
+    ).localCheckpoint(eager=True)
     glob = s.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s1"),
@@ -8674,13 +8696,18 @@ def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # r13: each cascade level feeds the NEXT level's semi join AND its
+    # own report row — checkpoint the (small, ~0.4%-selected) key sets
+    # so each semi join runs once, not once per reference.
     fs = c.filter(
         F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
         == _FORGET_PREFIX
-    ).select("c_custkey")
-    ords = o.join(
-        fs, o.o_custkey == fs.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    ).select("c_custkey").localCheckpoint(eager=True)
+    ords = (
+        o.join(fs, o.o_custkey == fs.c_custkey, "left_semi")
+        .select("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
     li_hit = li.join(ords, li.l_orderkey == ords.o_orderkey, "left_semi")
 
     def row(label: str, deleted: DataFrame, table: DataFrame) -> DataFrame:

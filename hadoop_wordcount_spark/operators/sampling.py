@@ -304,7 +304,14 @@ def q_dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("word")
     )
     tgt = d.agg(F.min("source").alias("t"))
-    fr = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    # r13: the two vocabulary-sized frequency tables each feed their
+    # scalar rollup AND the scoring-stream join — checkpoint both so
+    # the corpus token aggregates run once, not once per reference.
+    fr = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .localCheckpoint(eager=True)
+    )
     rs = fr.agg(
         F.count(F.lit(1)).cast("long").alias("v"),
         F.sum("cr").cast("long").alias("nr"),
@@ -314,6 +321,7 @@ def q_dsir_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source") == F.col("t"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=True)
     )
     ts = ft.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
     ratio = F.log(
