@@ -721,12 +721,14 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1.0
         / (F.col("n") * (F.col("n") - 1))
     )
+    # r13: the |sources|-row weight and quota tables each feed two
+    # consumers — checkpoint them so the fact aggregate runs once.
     w = s.select(
         "source",
         "n",
         sd.alias("sd"),
         F.round(F.col("n") * sd, 0).cast("long").alias("wi"),
-    )
+    ).localCheckpoint(eager=True)
     tot = w.agg(F.sum("wi").alias("t"))
     quota = w.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -735,7 +737,7 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wi",
         F.expr(f"({_NEYMAN_BUDGET} * wi) div t").cast("long").alias("base"),
         ((F.lit(_NEYMAN_BUDGET) * F.col("wi")) % F.col("t")).alias("rem"),
-    )
+    ).localCheckpoint(eager=True)
     slots = quota.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("r"))
     ranked = global_row_number(
         quota, [("rem", True), ("source", False)], out="rk", size_hint=1024

@@ -1879,24 +1879,38 @@ def q_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos6"),
     )
-    own = scored.filter(F.col("label") == F.col("clabel")).select(
-        "vec_id", "label", F.col("cos6").alias("own_cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos6"), F.asc("clabel")
-    )
-    rival = (
-        scored.filter(F.col("label") != F.col("clabel"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("clabel").alias("rival_label"),
-            F.col("cos6").alias("rival_cos"),
-        )
+    # r13: own-cos and rival-argmax in ONE conditional aggregate over
+    # the scored stream — the former filter+window / filter+join pair
+    # executed the |labels|-per-vector cosine scoring twice and paid a
+    # window sort (checkpointing `scored` instead would store a
+    # corpus x |labels| table — wrong at 100 TB). min(struct(-cos6,
+    # clabel)) IS row_number()=1 of (cos6 DESC, clabel ASC): cos6 is
+    # already 6dp-rounded, negation is exact, ties break on clabel.
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("cos6"))
+        ).alias("own_cos"),
+        F.min(
+            F.when(
+                F.col("clabel") != F.col("label"),
+                F.struct(
+                    (-F.col("cos6")).alias("ns"),
+                    F.col("clabel").alias("c"),
+                ),
+            )
+        ).alias("rv"),
     )
     return (
-        own.join(rival, "vec_id")
+        per_vec.filter(
+            F.col("own_cos").isNotNull() & F.col("rv").isNotNull()
+        )
+        .select(
+            "vec_id",
+            "label",
+            "own_cos",
+            F.col("rv.c").alias("rival_label"),
+            (-F.col("rv.ns")).alias("rival_cos"),
+        )
         .select(
             "vec_id",
             F.col("label").cast("int").alias("label"),
