@@ -6437,7 +6437,13 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("a"),
         F.lead("event_type").over(w).alias("b"),
     ).filter(F.col("b").isNotNull())
-    pairs = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # r13: the |types|² transition census feeds the total and the
+    # entropy aggregate — checkpoint the one event-sized aggregate.
+    pairs = (
+        seq.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
     wa = Window.partitionBy("a")
     tot = pairs.agg(F.sum("n_ab").alias("n"))
     marg = pairs.select(
@@ -7011,6 +7017,9 @@ def q_supplier_herfindahl_by_type(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_type").alias("ptype"), F.col("l_suppkey").alias("supp"))
         .agg(F.sum(cents).alias("rc"))
+        # r13: the (type, supplier) rollup feeds the per-type totals
+        # AND the HHI aggregate — checkpoint the one fact-sized agg.
+        .localCheckpoint(eager=True)
     )
     tot = rev.groupBy("ptype").agg(
         F.sum("rc").alias("t"), F.count(F.lit(1)).alias("n_supp")

@@ -849,7 +849,15 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tokd = d.select(tokens_col(F.col("text")).alias("tk"))
     uni = tokd.select(F.explode("tk").alias("w"))
-    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # r13: the unigram table feeds the total and BOTH join sides, and
+    # the bigram stream feeds its total and the >= 5 cut — checkpoint
+    # the two corpus aggregates so each tokenize+explode runs once
+    # (nb derives from the unfiltered bigram counts).
+    u = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
+    )
     nw = u.agg(F.sum("c1").alias("nw"))
     tk = F.col("tk")
     bigrams = F.transform(
@@ -859,8 +867,13 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bi = tokd.filter(F.size("tk") >= 2).select(F.explode(bigrams).alias("p"))
-    nb = bi.agg(F.count(F.lit(1)).alias("nb"))
-    bg = bi.groupBy("p").agg(F.count(F.lit(1)).alias("c2")).filter(F.col("c2") >= 5)
+    bgu = (
+        bi.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    nb = bgu.agg(F.sum("c2").alias("nb"))
+    bg = bgu.filter(F.col("c2") >= 5)
     u1 = u.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
     u2 = u.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
     pmi = F.round(
@@ -1231,6 +1244,9 @@ def q_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokd = d.select(tokens_col(F.col("text")).alias("tk"))
 
     def entropy(counts: DataFrame) -> DataFrame:
+        # r13: the count table feeds the total AND the entropy sum —
+        # materialize the one corpus-sized aggregate per n-gram order.
+        counts = counts.localCheckpoint(eager=True)
         tot = counts.agg(F.sum("c").alias("n"))
         pr = F.col("c") / F.col("n")
         return (
@@ -1433,12 +1449,23 @@ def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios of exact integers."""
     d = _docs(spark, sf_dir)
     tok = d.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
-    cw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # r13: both vocabulary-sized count tables feed their scalar
+    # rollups AND the grid join — checkpoint them so each corpus
+    # token aggregate runs once.
+    cw = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     vs = cw.agg(
         F.count(F.lit(1)).cast("long").alias("v"),
         F.sum("c").cast("long").alias("nc"),
     )
-    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    sw = (
+        tok.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
     st = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
     grid = (
         F.broadcast(st)
@@ -2965,11 +2992,18 @@ def q_nucleus_vocab_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     min() rollup to |sources| rows."""
     d = _docs(spark, sf_dir)
     tw = d.select("source", F.explode(tokens_col(F.col("text"))).alias("w"))
-    f = tw.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # r13: the per-source frequency table feeds the totals AND the
+    # ranked cumulative pass; the |sources|-row totals feed two joins
+    # — checkpoint both so the corpus aggregate runs once.
+    f = (
+        tw.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     t = f.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("vocab"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
     r = f.select(
         "source",
