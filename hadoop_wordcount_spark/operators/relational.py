@@ -8164,6 +8164,49 @@ def q_events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _psi_bin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-checkpointed PSI bin census — the per-row decile
+    binning as a codegen'd CASE chain closed by one (bin, half)
+    count. Split out so `test_psi_binning_is_codegen_not_hof` can pin
+    the CASE chain: the registered query checkpoints this table
+    (r13), which hides the upstream plan from the final explain."""
+    e = _t(spark, sf_dir, "events").select("value", "ts_ns")
+    b = e.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    )
+    lab = e.crossJoin(F.broadcast(b)).select(
+        "value",
+        F.when(
+            F.col("ts_ns") <= F.expr("(lo + hi) div 2"), "ref"
+        )
+        .otherwise("cur")
+        .alias("half"),
+    )
+    edges = lab.filter(F.col("half") == "ref").agg(
+        F.transform(
+            F.percentile(
+                "value",
+                F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("ed")
+    )
+    binned = lab.crossJoin(F.broadcast(edges))
+    bin_col = F.lit(9)
+    for i in range(9, 0, -1):
+        bin_col = F.when(
+            F.col("value") <= F.col("ed").getItem(i - 1), i - 1
+        ).otherwise(bin_col)
+    return binned.select(bin_col.alias("bin"), "half").groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+
+
 @query(
     "psi_feature_drift",
     oracle="""
@@ -8236,44 +8279,11 @@ def q_psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons, not an interpreted HOF (the bootstrap_ci_poisson
     lesson). Flat at 100 TB; swap percentile for the DDSketch census
     when the reference half is itself huge."""
-    e = _t(spark, sf_dir, "events").select("value", "ts_ns")
-    b = e.agg(
-        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
-    )
-    lab = e.crossJoin(F.broadcast(b)).select(
-        "value",
-        F.when(
-            F.col("ts_ns") <= F.expr("(lo + hi) div 2"), "ref"
-        )
-        .otherwise("cur")
-        .alias("half"),
-    )
-    edges = lab.filter(F.col("half") == "ref").agg(
-        F.transform(
-            F.percentile(
-                "value",
-                F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
-            ),
-            lambda x: F.round(x, 6),
-        ).alias("ed")
-    )
-    binned = lab.crossJoin(F.broadcast(edges))
-    bin_col = F.lit(9)
-    for i in range(9, 0, -1):
-        bin_col = F.when(
-            F.col("value") <= F.col("ed").getItem(i - 1), i - 1
-        ).otherwise(bin_col)
-    # r13: the 10-row bin census feeds the totals aggregate and the
-    # final report — materialize it so the fact passes (decile agg +
-    # bin count) run once, not once per reference.
-    cnt = binned.select(bin_col.alias("bin"), "half").groupBy("bin").agg(
-        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
-        .cast("long")
-        .alias("n_ref"),
-        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
-        .cast("long")
-        .alias("n_cur"),
-    ).localCheckpoint(eager=True)
+    # r13: the 10-row bin census (see _psi_bin_counts — the CASE-chain
+    # binning the plan pin inspects) feeds the totals aggregate and
+    # the final report — materialize it so the fact passes (decile
+    # agg + bin count) run once, not once per reference.
+    cnt = _psi_bin_counts(spark, sf_dir).localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("n_ref").cast("long").alias("tr"),
         F.sum("n_cur").cast("long").alias("tc"),
