@@ -976,18 +976,40 @@ def q_filter_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, name) for i, (name, _) in enumerate(_FUNNEL_GATES)],
         "stage int, gate string",
     )
+    # r14: collapse the corpus to its <=6-cell (stage_reached) census
+    # FIRST — the former stages-crossJoin multiplied every document
+    # row 6x before aggregating, and `surv` is referenced by both the
+    # total and the report, so the tokenize+regex gate pass ran TWICE
+    # (guide §2.3/§5). The survival sums over the checkpointed census
+    # are the same integer sums, cell-grouped instead of row-grouped.
+    cells = (
+        per_doc.groupBy("stage_reached")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("n_words").alias("nw"),
+        )
+        .localCheckpoint(eager=True)
+    )
     surv = (
-        per_doc.crossJoin(F.broadcast(stages))
+        cells.crossJoin(F.broadcast(stages))
         .groupBy("stage", "gate")
         .agg(
-            F.count(
-                F.when(F.col("stage_reached") >= F.col("stage"), 1)
-            ).alias("n_docs"),
             F.coalesce(
                 F.sum(
                     F.when(
                         F.col("stage_reached") >= F.col("stage"),
-                        F.col("n_words"),
+                        F.col("nd"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("stage_reached") >= F.col("stage"),
+                        F.col("nw"),
                     )
                 ),
                 F.lit(0),

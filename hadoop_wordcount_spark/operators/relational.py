@@ -1710,13 +1710,18 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One aggregation pass PER COLUMN over the same scan (column
     pruning keeps each scan to its own column) — exact distincts
-    can't share one pass. `profile_table_sketch` is the 100 TB form:
-    approx_count_distinct sketches fold the whole report into ONE
-    aggregation over one scan. min/max string casts make the report
-    schema-stable across column types (numerics compare numerically
-    BEFORE the cast, so min_s/max_s are the true extremes rendered as
-    text; doubles render via DECIMAL so the text is engine-stable at
-    any magnitude)."""
+    can't profitably share one pass: r14 A/B'd the single-scan form
+    (4 countDistinct in one agg → Spark's 5-way Expand rewrite) at
+    3x SLOWER (0.74 s vs 2.21 s interleaved mins) because Expand
+    multiplies every row 5x carrying all four columns, while the
+    four column-pruned passes each read one column and run as
+    independent concurrent stages (guide §2.6). `profile_table_sketch`
+    is the 100 TB form: approx_count_distinct sketches fold the whole
+    report into ONE aggregation over one scan with no Expand. min/max
+    string casts make the report schema-stable across column types
+    (numerics compare numerically BEFORE the cast, so min_s/max_s are
+    the true extremes rendered as text; doubles render via DECIMAL so
+    the text is engine-stable at any magnitude)."""
     o = _t(spark, sf_dir, "orders")
     parts = []
     for c, dbl in _PROFILE_COLS:
@@ -3602,12 +3607,26 @@ def q_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GK sketch) is the documented approximate fallback when a group
     outgrows a partition."""
     e = _t(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    # r14: checkpoint the two |types|-row median tables — `dev` is
+    # referenced by BOTH the MAD aggregate and the final flag count,
+    # so a lazy `med` embeds its full events median pass once per
+    # reference (guide §5). `dev` itself stays lazy: it is fact-sized
+    # and materializing it would be wrong at 100 TB — three events
+    # scans is the exact-two-level-median minimum.
+    med = (
+        e.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint(eager=True)
+    )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("ad"),
     )
-    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.median("ad").alias("mad"))
+        .localCheckpoint(eager=True)
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -4011,10 +4030,15 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation frameworks (Delta Live Tables expectations, Great
     Expectations) expressed as plain DataFrame ops.
 
-    Scale: each check is one scan + map-side-combined count (the
-    anti-join broadcasts the DIM key set); checks share nothing, so
-    the scheduler runs them as independent stages — and a failed
-    expectation costs a count, not a materialized quarantine copy.
+    Scale: ONE pass per checked table (r14; formerly one pass per
+    check): a table's checks fold into a single wide aggregate of
+    conditional counts — violation counts never prune the scan, so
+    two filter+count passes over the same table read it twice for no
+    benefit (guide §2.4); the per-table wide row unpivots
+    shuffle-free to the report rows. The referential check keeps its
+    broadcast LEFT ANTI shape (the one check that needs a second
+    relation), and a failed expectation still costs a count, not a
+    materialized quarantine copy.
     """
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -4028,6 +4052,18 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_violations"),
         )
 
+    def unpivot(one: DataFrame, names: list[str]) -> DataFrame:
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("check_name"),
+                    F.col(f"n__{i}").cast("long").alias("n_violations"),
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+        return one.select(F.explode(rows).alias("p")).select("p.*")
+
     ref = check(
         "orders.custkey_refs_customer",
         o.join(
@@ -4036,31 +4072,30 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         ).agg(F.count(F.lit(1)).alias("n")),
     )
-    uniq = check(
-        "documents.doc_id_unique",
+    docs = unpivot(
         d.agg(
-            (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("n")
+            (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("n__0"),
+            F.count(
+                F.when(F.col("n_chars") != F.length("text"), 1)
+            ).alias("n__1"),
         ),
+        ["documents.doc_id_unique", "documents.n_chars_matches_text"],
     )
-    rng = check(
-        "events.value_non_negative",
-        e.filter(F.col("value").isNull() | (F.col("value") < 0)).agg(
-            F.count(F.lit(1)).alias("n")
+    evs = unpivot(
+        e.agg(
+            F.count(
+                F.when(F.col("value").isNull() | (F.col("value") < 0), 1)
+            ).alias("n__0"),
+            F.count(
+                F.when(
+                    ~F.col("event_type").isin(
+                        "signup", "click", "view", "purchase", "error"
+                    ),
+                    1,
+                )
+            ).alias("n__1"),
         ),
-    )
-    enum = check(
-        "events.event_type_in_enum",
-        e.filter(
-            ~F.col("event_type").isin(
-                "signup", "click", "view", "purchase", "error"
-            )
-        ).agg(F.count(F.lit(1)).alias("n")),
-    )
-    cons = check(
-        "documents.n_chars_matches_text",
-        d.filter(F.col("n_chars") != F.length("text")).agg(
-            F.count(F.lit(1)).alias("n")
-        ),
+        ["events.value_non_negative", "events.event_type_in_enum"],
     )
     disc = check(
         "lineitem.discount_in_range",
@@ -4068,9 +4103,7 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n")
         ),
     )
-    return ref.unionByName(uniq).unionByName(rng).unionByName(enum).unionByName(
-        cons
-    ).unionByName(disc)
+    return ref.unionByName(docs).unionByName(evs).unionByName(disc)
 
 
 # Module-level handle so tests can read the metrics the last
@@ -4163,7 +4196,10 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("long").alias("sk"),
         F.lit("existing").alias("origin"),
     )
-    mx = existing.agg(F.max("sk").alias("mx"))
+    # r14: the 1-row max-key scalar is re-embedded in the assigned
+    # branch's plan — checkpoint it so the existing-dimension scan
+    # behind it runs once, not once per reference (guide §5).
+    mx = existing.agg(F.max("sk").alias("mx")).localCheckpoint(eager=True)
     # small_threshold=0 pins the DISTRIBUTED rank: an incoming
     # dimension delta is data-sized by contract (it scales with the
     # batch, never a fixed bound), so the bounded demo path can never
@@ -6265,6 +6301,9 @@ def q_orders_repeat_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap"
         )
     ).filter(F.col("gap").isNotNull())
+    # r14: the <=13-row bucket census feeds BOTH the cumsum and the
+    # grand total — materialize it once so the customer-key window
+    # pass over orders runs once, not once per reference (guide §5).
     cells = (
         gaps.select(
             F.least(
@@ -6273,6 +6312,7 @@ def q_orders_repeat_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("gap_bucket")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .localCheckpoint(eager=True)
     )
     cum = global_cumsum(
         cells, [("gap_bucket", False)], "n_gaps", out="c", size_hint=13
@@ -8491,17 +8531,22 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         F.expr("ts_ns div 86400000000000").alias("day")
     )
-    d = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    # r14: eager checkpoint on the calendar-bounded daily series (was
+    # cache() on `s` only): `d` is referenced by BOTH the min-day
+    # scalar and `s`, so a lazy `d` ran the events scan+agg twice —
+    # the r13 plan showed 10 scans / 27 Exchanges. One materialized
+    # ~30-row table pins ONE events pass; everything after (pair
+    # self-join, medians, day count) is bounded work over it
+    # (guide §5; measured 5x scan cost at the 256x rung uncached).
+    d = (
+        e.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
     mn = d.agg(F.min("day").alias("m0"))
-    # cache() is a constant-factor necessity, not a hint: the daily
-    # series is referenced by BOTH pair sides, the intercept pass and
-    # the day count — uncached, each reference re-runs the full
-    # events scan+agg (measured 5x scan cost at the 256x rung); the
-    # cached table is calendar-bounded (~30 rows here), so this pins
-    # one scan and makes everything after it bounded work.
     s = d.crossJoin(F.broadcast(mn)).select(
         (F.col("day") - F.col("m0")).alias("t"), "x"
-    ).cache()
+    )
     a = s.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
     b = s.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
     pairs = a.join(b, F.col("tb") > F.col("ta")).select(

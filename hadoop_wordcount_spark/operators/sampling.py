@@ -230,13 +230,16 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).alias("n_tokens"),
-    ).cache()
+    ).localCheckpoint(eager=True)  # r14: was cache(); guarantees ONE
+    # corpus tokenize pass and bounded downstream plans (guide §5) —
+    # both normalization totals and the final projection re-read this
+    # |sources|-row table.
     tot = per.agg(F.sum("n_tokens").alias("_t"))
     share = F.col("n_tokens") / F.col("_t")
     pw = F.pow(share, 0.7)
     sh = per.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens", share.alias("share"), pw.alias("pw")
-    ).cache()
+    )
     totp = sh.agg(F.sum("pw").alias("_tp"))
     weight = F.col("pw") / F.col("_tp")
     return sh.crossJoin(F.broadcast(totp)).select(
@@ -451,11 +454,16 @@ def q_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_wordcount_spark.operators.wordcount import tokens_col
 
     d = load_table(spark, sf_dir, "documents")
+    # r14: eager checkpoint (was cache) — the |sources|-row aggregate
+    # is referenced by the total, the quota table and the rank; the
+    # checkpoint guarantees ONE corpus tokenize pass independent of
+    # cache-hit timing and keeps every downstream plan bounded-sized
+    # (guide §5).
     avail = (
         d.select("source", F.size(tokens_col(F.col("text"))).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n_tok"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     tot = avail.agg(F.sum("n_tok").alias("t"))
     # Integer `div`, not floor(double /): Spark's `/` on longs is

@@ -620,8 +620,16 @@ def q_sketch_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("source", F.explode(shingles).alias("s"))
         .distinct()
     )
-    sk = sh.groupBy("source").agg(
-        F.theta_sketch_agg("s", _THETA_LGK).alias("sk")
+    # r14: the |sources|-row sketch table feeds BOTH self-join sides —
+    # one side broadcast, one shuffled, so ReuseExchange cannot dedupe
+    # them and the corpus-sized distinct + sketch agg ran TWICE
+    # (before-plan: 4 corpus scans / 10 Exchanges). Checkpoint the
+    # ~20 sketch payloads (~16 KB each at capacity) so the corpus is
+    # read once (guide §5).
+    sk = (
+        sh.groupBy("source")
+        .agg(F.theta_sketch_agg("s", _THETA_LGK).alias("sk"))
+        .localCheckpoint(eager=True)
     )
     a, b = sk.alias("a"), sk.alias("b")
     pairs = a.join(
@@ -855,13 +863,27 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window-free), and the three rank probes are a 3-row broadcast
     crossJoin + min() — nothing after the scan depends on row
     count."""
+    # r14: the ~550-row bucket census is the WHOLE sketch state and
+    # feeds both the total-count agg and the cumulative walk inside
+    # dd_quantile_walk — materialize it once so the events scan runs
+    # once, not once per reference (guide §5). The census stage's
+    # partial-agg pin moved to `_dd_bucket_census` (the psi-census
+    # precedent: checkpointing hides the stage from the final explain).
+    return dd_quantile_walk(
+        _dd_bucket_census(spark, sf_dir).localCheckpoint(eager=True)
+    )
+
+
+def _dd_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bkt, c) DDSketch bucket census over events.value — one
+    map-side-combined groupBy; exposed un-checkpointed so the plan
+    pin can assert the partial aggregate."""
     e = load_table(spark, sf_dir, "events").select("value")
-    b = (
+    return (
         e.select(dd_bucket_col(F.col("value")))
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    return dd_quantile_walk(b)
 
 
 def dd_bucket_col(value: Column) -> Column:

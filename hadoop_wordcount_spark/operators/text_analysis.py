@@ -1384,10 +1384,20 @@ def q_source_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles."""
     d = _docs(spark, sf_dir)
     tok = d.select("source", F.explode(tokens_col(F.col("text"))).alias("word"))
-    n = tok.agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    jw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_ws"))
-    mw = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
-    ms = tok.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    # r14: tokenize the corpus ONCE — the joint (source, word) table
+    # is the finest aggregate here, so both marginals and the corpus
+    # total derive from it by exact integer rollups instead of three
+    # more corpus passes (the r13 plan showed 8 scans / 16 Exchanges).
+    # The joint is |sources| x vocab-bounded → checkpoint (guide §5,
+    # the naive_bayes_langid treatment).
+    jw = (
+        tok.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c_ws"))
+        .localCheckpoint(eager=True)
+    )
+    n = jw.agg(F.sum("c_ws").cast("long").alias("nn"))
+    mw = jw.groupBy("word").agg(F.sum("c_ws").alias("c_w"))
+    ms = jw.groupBy("source").agg(F.sum("c_ws").alias("c_s"))
     contrib = (F.col("c_ws") * 1.0 / F.col("nn")) * F.log(
         F.col("c_ws") * 1.0 * F.col("nn") / (F.col("c_w") * 1.0 * F.col("c_s"))
     )

@@ -539,10 +539,17 @@ def test_naive_bayes_vocab_join_not_broadcast_pinned(spark, sf_dir):
 def test_ddsketch_census_is_partial_agg_and_window_free(spark, sf_dir):
     """ddsketch_quantiles: the bucket census must partial-aggregate
     map-side (the sketch's mergeability IS the partial agg), and the
-    cumulative walk must not introduce a Window."""
+    cumulative walk must not introduce a Window. The registered query
+    checkpoints the census (r14), which hides the census stage from
+    its final explain — pin the partial agg on the un-checkpointed
+    census stage (the psi_feature_drift precedent)."""
+    from hadoop_wordcount_spark.operators.sketches import _dd_bucket_census
+
+    census_plan = formatted_plan(_dd_bucket_census(spark, sf_dir))
+    assert census_plan.count("HashAggregate") >= 2, census_plan
+    assert "Window" not in census_plan, census_plan
     df = registry.QUERIES["ddsketch_quantiles"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("HashAggregate") >= 2, plan
     assert "Window" not in plan, plan
 
 
