@@ -234,6 +234,17 @@ def main() -> None:
                 "dedup_incremental",
                 "dedup_ngram_jaccard_lsh",
                 "pipeline_curate",
+                # r14 measurement fix: pipeline_train_corpus composes
+                # pipeline_curate and therefore consumes the SAME
+                # cached banded-pair stage — it was the one consumer
+                # missing from this set, so its bench line alone was
+                # charged the shared build every sweep (the exact
+                # first-consumer accounting bug this map exists to
+                # prevent). Old readings: 24.25 s (r14 round-start,
+                # burst-inflated) / 5.50 s (r13 driver) INCLUDING the
+                # build; the line now reports marginal work like every
+                # other consumer.
+                "pipeline_train_corpus",
                 "dedup_edit_verify",
                 "minhash_estimator_calibration",
                 "dedup_cluster_purity",

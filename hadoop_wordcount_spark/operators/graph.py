@@ -122,6 +122,14 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference these tables every round, and checkpointing also cuts
     # the corpus-sized lineage out of the final plan (745 -> ~250
     # lines), so per-round planning touches edge/vocab tables only.
+    # Failure-mode note (r13 advice): localCheckpoint stores to
+    # NON-REPLICATED executor storage — on a cluster, losing an
+    # executor makes the job unrecoverable where cache() could
+    # recompute, and eager=True runs the job at DataFrame-CONSTRUCTION
+    # time (merely building the plan executes the edge aggregate).
+    # Both are deliberate here: bench/driver runs are single-process
+    # local mode, and at deployment scale the recoverable alternative
+    # is cache()+count() at the same call sites.
     en = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("cnt").cast("double") / F.col("ow")).alias("w"))
@@ -142,6 +150,13 @@ def q_pagerank_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # §3.1: SortMergeJoin -> BroadcastHashJoin; the edge table is
         # the fact side here). Ranks stay unrounded doubles through
         # every round — identical arithmetic, different join strategy.
+        # Vocab ceiling (r13 advice): the unconditional hint holds a
+        # |vocab|-row build relation on the driver and every executor
+        # with no SMJ fallback — safe through ~10^8 rank rows (the
+        # 8 GB / 512M-row broadcast cap), i.e. any natural-language
+        # vocabulary; switch to an SMJ (drop the hint) only if the
+        # node set ever becomes data-scaled (the ivf_assignments
+        # K-ceiling discipline).
         contrib = (
             en.join(
                 F.broadcast(ranks.select(F.col("word").alias("src"), "r")),

@@ -246,7 +246,14 @@ def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases only ever match that user's clicks, wherever the bucket
     boundary falls.
     """
-    n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The conf can be non-numeric on managed deployments (e.g.
+    # "auto"); fall back to the cluster's default parallelism rather
+    # than raising (r13 advice). Bucket count never changes results —
+    # per-user semantics hold wherever the bucket boundary falls.
+    try:
+        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_buckets = 4 * max(spark.sparkContext.defaultParallelism, 50)
     e = load_table(spark, sf_dir, "events").withColumn(
         "us", F.expr("ts_ns div 1000")
     )
@@ -256,31 +263,40 @@ def q_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = e.filter(F.col("event_type") == "click").select(b, "user_id", "us")
 
-    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "gap_s"])
-        left = left.sort_values("us")
-        if right.empty:
-            left["gap_s"] = -1
-            return left[["event_id", "user_id", "gap_s"]]
-        m = pd.merge_asof(
-            left,
-            right[["user_id", "us"]]
-            .sort_values("us")
-            .rename(columns={"us": "click_us"}),
-            left_on="us",
-            right_on="click_us",
-            by="user_id",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        gap = (m["us"] - m["click_us"]) // 1_000_000
-        m["gap_s"] = gap.fillna(-1).astype("int64")
-        return m[["event_id", "user_id", "gap_s"]]
-
     return purchases.groupBy("b").cogroup(
         clicks.groupBy("b")
-    ).applyInPandas(asof, schema="event_id long, user_id long, gap_s long")
+    ).applyInPandas(
+        asof_kernel, schema="event_id long, user_id long, gap_s long"
+    )
+
+
+def asof_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """The per-bucket as-of kernel behind `cogroup_merge_asof` —
+    module-level (r13 advice) so tests exercise the PRODUCTION kernel
+    (the planted per-user-isolation test formerly re-implemented a
+    private copy that could drift), and so executors import it rather
+    than unpickling a closure. `by="user_id"` carries the per-user
+    isolation inside each hash bucket."""
+    if left.empty:
+        return pd.DataFrame(columns=["event_id", "user_id", "gap_s"])
+    left = left.sort_values("us")
+    if right.empty:
+        left["gap_s"] = -1
+        return left[["event_id", "user_id", "gap_s"]]
+    m = pd.merge_asof(
+        left,
+        right[["user_id", "us"]]
+        .sort_values("us")
+        .rename(columns={"us": "click_us"}),
+        left_on="us",
+        right_on="click_us",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    gap = (m["us"] - m["click_us"]) // 1_000_000
+    m["gap_s"] = gap.fillna(-1).astype("int64")
+    return m[["event_id", "user_id", "gap_s"]]
 
 
 @query(

@@ -1892,7 +1892,14 @@ def q_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("own_cos"),
         F.min(
             F.when(
-                F.col("clabel") != F.col("label"),
+                # cos6.isNotNull guard (r13 advice): struct-field NULLs
+                # sort SMALLEST in min(), so a NULL cosine (zero-norm
+                # degeneracy) would win the rival argmax that the old
+                # row_number-over-desc form ordered LAST. No NULLs
+                # exist in the fixtures (norms are clamped >= 1e-12),
+                # so this is oracle-neutral hardening.
+                (F.col("clabel") != F.col("label"))
+                & F.col("cos6").isNotNull(),
                 F.struct(
                     (-F.col("cos6")).alias("ns"),
                     F.col("clabel").alias("c"),

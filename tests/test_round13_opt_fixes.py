@@ -44,7 +44,11 @@ def test_bucketed_cogroup_isolates_users(spark):
     mod any bucket count) must never see each other's clicks. Planted:
     user 1 has a click BEFORE user 65's purchase; user 65 has no
     clicks, so its gap must stay -1 even though user 1's click is in
-    the same bucket whenever n_buckets divides 64."""
+    the same bucket whenever n_buckets divides 64. Exercises the
+    PRODUCTION kernel (`pandas_ops.asof_kernel`, factored to module
+    level per the r13 advice — a private test copy could drift)."""
+    from hadoop_wordcount_spark.operators.pandas_ops import asof_kernel
+
     purchases = spark.createDataFrame(
         [(100, 1, 1_000_000), (200, 65, 2_000_000)],
         "event_id long, user_id long, us long",
@@ -53,34 +57,14 @@ def test_bucketed_cogroup_isolates_users(spark):
         [(1, 500_000)], "user_id long, us long"
     )
 
-    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "gap_s"])
-        left = left.sort_values("us")
-        if right.empty:
-            left["gap_s"] = -1
-            return left[["event_id", "user_id", "gap_s"]]
-        m = pd.merge_asof(
-            left,
-            right[["user_id", "us"]]
-            .sort_values("us")
-            .rename(columns={"us": "click_us"}),
-            left_on="us",
-            right_on="click_us",
-            by="user_id",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        gap = (m["us"] - m["click_us"]) // 1_000_000
-        m["gap_s"] = gap.fillna(-1).astype("int64")
-        return m[["event_id", "user_id", "gap_s"]]
-
     one_bucket = F.lit(0).alias("b")  # the worst case: everyone together
     out = (
         purchases.select(one_bucket, "event_id", "user_id", "us")
         .groupBy("b")
         .cogroup(clicks.select(one_bucket, "user_id", "us").groupBy("b"))
-        .applyInPandas(asof, schema="event_id long, user_id long, gap_s long")
+        .applyInPandas(
+            asof_kernel, schema="event_id long, user_id long, gap_s long"
+        )
     )
     rows = {r["event_id"]: r["gap_s"] for r in out.collect()}
     assert rows == {100: 0, 200: -1}

@@ -38,7 +38,8 @@ _BANDED = {
     "dedup_minhash_banded", "source_overlap_matrix", "dedup_clusters",
     "dedup_cluster_representatives", "dedup_threshold_sweep",
     "dedup_graph_degree_report", "dedup_containment", "dedup_incremental",
-    "dedup_ngram_jaccard_lsh", "pipeline_curate", "dedup_edit_verify",
+    "dedup_ngram_jaccard_lsh", "pipeline_curate", "pipeline_train_corpus",
+    "dedup_edit_verify",
     "minhash_estimator_calibration", "dedup_cluster_purity",
 }
 _IVF = {
